@@ -1,0 +1,43 @@
+"""Pipeline configuration.
+
+Replaces the reference's env-var settings surface (reference: config.py:7-25)
+with one dataclass. Limits that are semantic (entity cap, window size) mirror
+the reference's constants; limits that are physical (batch sizes, pool sizes)
+are sized for a 32-CPU node and meant to be overridden per cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class KGConfig:
+    # --- semantics ---------------------------------------------------------
+    # Extraction backend: "rules" (deterministic oracle) or "llm" (actor pool
+    # with validate -> rules fallback, reference: services.py:85-115).
+    backend: str = "rules"
+    # Window size in characters for windowed extraction mode; the reference
+    # truncates LLM input at 2000 chars (services.py:375). 0 = whole
+    # conversation in one unit (the oracle-parity mode: the reference's rule
+    # path sees the full accumulated text).
+    window_chars: int = 0
+    # Version = extraction over turns with turn_idx <= version_cutoff
+    # (reference append-and-reextract semantics, main.py:231-259).
+    # None = all turns.
+    version: int = 1
+    version_cutoff: int | None = None
+
+    # --- physical ----------------------------------------------------------
+    num_partitions: int = 64          # output/commit granularity; hash(conv_id)
+    extract_batch_size: int = 256     # conversations per extractor batch
+    extract_concurrency: int | tuple = 8   # extractor actor pool size
+    alias_salt_buckets: int = 16      # salted partial-agg fan-out for hot keys
+    max_nodes_per_unit: int = 1000    # validation caps, reference services.py:143-149
+    max_edges_per_unit: int = 2000
+
+    # --- llm backend knobs (mirrors reference config.py:13-25) -------------
+    llm_model: str = "deterministic-fake"
+    llm_timeout_s: float = 120.0
+    llm_max_chars: int = 2000
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,121 @@
+"""The flagship pipeline: transcripts -> knowledge graph parquet.
+
+Streaming DAG (reference lifecycle analogue: SURVEY.md §3; reference
+entry point main.py:81-132 re-expressed Ray-Data-first):
+
+    read transcripts (column-pruned)
+      -> stamp partition_id = crc32(conv_id) % P        [vectorized]
+      -> [resume] drop turns of already-committed partitions
+      -> groupby(partition_id).map_groups(assemble)     [shuffle #1: the only
+           wide exchange over raw text; sorts within group on
+           (conv_id, turn_idx) — never a global sort]
+      -> map_batches(Extractor, actor pool)             [stateful stage]
+      -> groupby(partition_id).map_groups(write_partition)
+                                                        [shuffle #2: over
+           extracted graph rows (much smaller than text); commits each
+           partition atomically with a lineage manifest]
+      -> manifests (tiny) -> job summary
+
+Everything streams with backpressure; nothing materializes driver-side
+except the P manifest rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import KGConfig
+from ..stages.conversation import add_partition_id, assemble_partition
+from ..stages.extract import Extractor, extract_graphs
+from ..state import lineage
+
+
+def build_graph_rows(transcripts: rd.Dataset, cfg: KGConfig,
+                     skip_partitions: set[int] | None = None) -> rd.Dataset:
+    """transcripts -> unified graph-rows Dataset (no sink)."""
+    ds = add_partition_id(transcripts, cfg.num_partitions)
+
+    if skip_partitions:
+        skip = pa.array(sorted(skip_partitions), pa.int32())
+
+        def drop_committed(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.invert(pc.is_in(t["partition_id"], value_set=skip)))
+
+        ds = ds.map_batches(drop_committed, batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return assemble_partition(
+            df, window_chars=cfg.window_chars,
+            version_cutoff=cfg.version_cutoff, version=cfg.version)
+
+    conversations = ds.groupby("partition_id").map_groups(fn, batch_format="pandas")
+    return extract_graphs(conversations, cfg)
+
+
+def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
+               resume: bool = True) -> dict:
+    """Execute the pipeline with per-partition commit; returns the job
+    summary (aggregated manifest counts)."""
+    committed = lineage.committed_partitions(out_dir, cfg.version) if resume else {}
+    graph_rows = build_graph_rows(transcripts, cfg,
+                                  skip_partitions=set(committed))
+
+    def write(df: pd.DataFrame) -> pd.DataFrame:
+        return lineage.write_partition(df, out_dir, cfg.version)
+
+    manifests = graph_rows.groupby("partition_id").map_groups(
+        write, batch_format="pandas")
+    fresh = manifests.to_pandas()  # P rows at most — safe to materialize
+
+    all_manifests = list(committed.values()) + fresh.to_dict("records")
+    summary = {
+        "version": cfg.version,
+        "partitions_total": len(all_manifests),
+        "partitions_resumed": len(committed),
+        "partitions_computed": len(fresh),
+        "n_conversations": int(sum(m["n_conversations"] for m in all_manifests)),
+        "n_turns": int(sum(m["n_turns"] for m in all_manifests)),
+        "n_nodes": int(sum(m["n_nodes"] for m in all_manifests)),
+        "n_edges": int(sum(m["n_edges"] for m in all_manifests)),
+    }
+    return summary
+
+
+def read_nodes(out_dir: str, version: int) -> rd.Dataset:
+    return rd.read_parquet(
+        [str(p / "nodes.parquet")
+         for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
+
+
+def read_edges(out_dir: str, version: int) -> rd.Dataset:
+    return rd.read_parquet(
+        [str(p / "edges.parquet")
+         for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
+
+
+def get_conversation_graph(out_dir: str, version: int, conv_id: str,
+                           num_partitions: int) -> dict:
+    """Point lookup of one conversation's graph — the analogue of the
+    reference's GET /documents/{id}/graph (reference: main.py:155-177,
+    database_service.py:175-235). Partition pruning via the lineage layout:
+    only the conversation's own partition directory is read."""
+    from ..stages.conversation import partition_of
+    pid = partition_of(conv_id, num_partitions)
+    pdir = lineage.partition_dir(out_dir, version, pid)
+    nodes = pd.read_parquet(pdir / "nodes.parquet")
+    edges = pd.read_parquet(pdir / "edges.parquet")
+    nodes = nodes[nodes["conv_id"] == conv_id]
+    edges = edges[edges["conv_id"] == conv_id]
+    return {
+        "conv_id": conv_id,
+        "version": version,
+        "nodes": [{"id": r.node_id, "label": r.label, "type": r.node_type}
+                  for r in nodes.itertuples()],
+        "edges": [{"source": r.src_node_id, "target": r.dst_node_id,
+                   "relationship": r.pred}
+                  for r in edges.itertuples()],
+    }

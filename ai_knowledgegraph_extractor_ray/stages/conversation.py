@@ -1,0 +1,148 @@
+"""Conversation assembly: turns -> ordered, concatenated text units.
+
+The reference accumulates a document's text by appending update text with
+"\n" and re-extracting the whole accumulated string (reference: main.py:235,
+252). Mapped to transcripts: one conversation's text = "\n".join(turn texts
+ordered by turn_idx); version K = the prefix of turns with turn_idx <= cutoff.
+
+Scale design: ONE shuffle, keyed on partition_id = crc32(conv_id) % P, which
+is also the engine's commit/lineage granularity. Inside each partition group
+the assembly is vectorized pandas (sort + groupby-join, C path, no per-row
+Python). Only *within-conversation* order matters, so no global sort is ever
+performed — the ordering invariant is enforced per group (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import KGConfig
+
+
+def partition_of(conv_id: str, num_partitions: int) -> int:
+    return zlib.crc32(conv_id.encode()) % num_partitions
+
+
+def add_partition_id(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Vectorized-ish partition id column. crc32 is cheap (<100ns/row) and —
+    unlike Python hash() — stable across processes, which resumability
+    requires."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        pids = np.fromiter(
+            (zlib.crc32(c) % num_partitions
+             for c in t["conv_id"].cast(pa.binary()).to_pylist()),
+            dtype="int32", count=len(t))
+        return t.append_column("partition_id", pa.array(pids))
+
+    return ds.map_batches(stamp, batch_format="pyarrow")
+
+
+def _conv_fingerprints(df: pd.DataFrame) -> pd.Series:
+    """Per-conversation input fingerprint (order-insensitive xor of per-turn
+    hashes) for lineage manifests. df must already be sorted."""
+    h = (
+        df["conv_id"].astype("string").str.len().astype("uint64") * 1000003
+        ^ df["turn_idx"].astype("uint64") * 8191
+        ^ df["text"].map(lambda s: zlib.crc32(s.encode())).astype("uint64")
+    )
+    return h.groupby(df["conv_id"], sort=False).agg(lambda s: np.bitwise_xor.reduce(s.values))
+
+
+def assemble_partition(df: pd.DataFrame, *, window_chars: int = 0,
+                       version_cutoff: int | None = None,
+                       version: int = 1) -> pd.DataFrame:
+    """Assemble every conversation inside one partition group.
+
+    Returns rows (conv_id, window_id, text, n_turns, partition_id, version,
+    conv_fp). Vectorized except the optional windowing split (rare path,
+    per-conversation Python over already-joined strings).
+    """
+    if version_cutoff is not None:
+        df = df[df["turn_idx"] <= version_cutoff]
+    if len(df) == 0:
+        return pd.DataFrame({
+            "conv_id": pd.Series([], dtype="string"),
+            "window_id": pd.Series([], dtype="int32"),
+            "text": pd.Series([], dtype="string"),
+            "n_turns": pd.Series([], dtype="int32"),
+            "partition_id": pd.Series([], dtype="int32"),
+            "version": pd.Series([], dtype="int32"),
+            "conv_fp": pd.Series([], dtype="uint64"),
+        })
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    fps = _conv_fingerprints(df)
+    grouped = df.groupby("conv_id", sort=False)
+    joined = grouped["text"].agg("\n".join)
+    n_turns = grouped.size().astype("int32")
+    pid = int(df["partition_id"].iloc[0])
+
+    if window_chars <= 0:
+        out = pd.DataFrame({
+            "conv_id": joined.index.astype("string"),
+            "window_id": np.zeros(len(joined), dtype="int32"),
+            "text": joined.values,
+            "n_turns": n_turns.values,
+        })
+    else:
+        conv_ids, win_ids, texts, nts = [], [], [], []
+        turn_lists = grouped["text"].agg(list)
+        for cid, turns in turn_lists.items():
+            nt = len(turns)
+            win, size, wid = [], 0, 0
+
+            def flush():
+                nonlocal win, size, wid
+                if win:
+                    conv_ids.append(cid)
+                    win_ids.append(wid)
+                    texts.append("\n".join(win))
+                    nts.append(nt)
+                    wid += 1
+                    win, size = [], 0
+
+            for t in turns:
+                if size and size + 1 + len(t) > window_chars:
+                    flush()
+                if len(t) > window_chars:   # single over-long turn: hard split
+                    flush()
+                    for s in range(0, len(t), window_chars):
+                        conv_ids.append(cid)
+                        win_ids.append(wid)
+                        texts.append(t[s:s + window_chars])
+                        nts.append(nt)
+                        wid += 1
+                    continue
+                win.append(t)
+                size += len(t) + 1
+            flush()
+        out = pd.DataFrame({
+            "conv_id": pd.Series(conv_ids, dtype="string"),
+            "window_id": pd.Series(win_ids, dtype="int32"),
+            "text": pd.Series(texts, dtype="string"),
+            "n_turns": pd.Series(nts, dtype="int32"),
+        })
+
+    out["partition_id"] = np.int32(pid)
+    out["version"] = np.int32(version)
+    out["conv_fp"] = out["conv_id"].map(fps).astype("uint64")
+    return out
+
+
+def assemble_conversations(ds: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
+    """turns Dataset -> conversation/window Dataset. The single wide shuffle
+    of the extraction phase (groupby partition_id); everything downstream is
+    embarrassingly parallel until canonicalization."""
+    ds = add_partition_id(ds, cfg.num_partitions)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return assemble_partition(
+            df, window_chars=cfg.window_chars,
+            version_cutoff=cfg.version_cutoff, version=cfg.version)
+
+    return ds.groupby("partition_id").map_groups(fn, batch_format="pandas")

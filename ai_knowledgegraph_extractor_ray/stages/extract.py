@@ -1,0 +1,210 @@
+"""Triple extraction stage: conversation texts -> graph rows.
+
+The per-batch body of the extractor actor pool (SURVEY.md §2.2 M1-M11). Each
+actor holds its backend state (compiled patterns / model client) across
+batches; work happens per batch over Arrow columns. The LLM fallback chain of
+the reference (openai -> ollama -> rules, validation-gated, reference:
+services.py:85-115) becomes a per-row try/validate/fallback inside the actor —
+a poisoned row degrades to the deterministic backend instead of failing the
+partition.
+
+Output is a single unified "graph rows" Arrow table (kind: node|edge) so one
+streaming pass produces both graph tables; the sink partitions by kind.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Protocol
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import KGConfig
+from ..functions.rules import RuleGraph, extract_rule_graph
+from ..functions import json_repair
+
+GRAPH_ROW_FIELDS = [
+    ("kind", pa.string()),            # "node" | "edge"
+    ("conv_id", pa.string()),
+    ("window_id", pa.int32()),
+    ("node_id", pa.string()),         # nodes only
+    ("label", pa.string()),           # nodes only (surface form)
+    ("node_type", pa.string()),       # nodes only
+    ("edge_id", pa.string()),         # edges only (content hash)
+    ("src_node_id", pa.string()),
+    ("dst_node_id", pa.string()),
+    ("subj", pa.string()),            # edges only: surface forms
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("version", pa.int32()),
+    ("partition_id", pa.int32()),
+    ("conv_fp", pa.uint64()),
+    ("backend", pa.string()),         # which extractor produced the row
+    ("n_turns", pa.int32()),          # conv rows only
+]
+GRAPH_ROWS = pa.schema(GRAPH_ROW_FIELDS)
+
+
+class ExtractorBackend(Protocol):
+    """One text unit in, one graph out. Implementations must be pure
+    per-call (no cross-call state that affects results)."""
+
+    name: str
+
+    def extract(self, text: str) -> RuleGraph: ...
+
+
+class RuleBackend:
+    """The deterministic oracle backend (reference: services.py:379-547)."""
+
+    name = "rules"
+
+    def extract(self, text: str) -> RuleGraph:
+        return extract_rule_graph(text)
+
+
+class LLMBackend:
+    """LLM-backed extraction with validate -> rules fallback.
+
+    The sandbox has no model runtime, so the client seam
+    (``_generate``) raises NotImplementedError unless a ``fake_responses``
+    callable is injected; the Ray-side plumbing (batching, JSON repair,
+    validation, fallback) is real and tested via the deterministic fake.
+    Mirrors reference semantics: prompt over text[:max_chars]
+    (services.py:375), robust JSON parse (services.py:233-320), structural
+    validation with node/edge caps (services.py:117-176), referential
+    formatting (services.py:549-580), rules fallback on any failure
+    (services.py:102-115).
+    """
+
+    name = "llm"
+
+    def __init__(self, cfg: KGConfig, fake_responses=None):
+        self.cfg = cfg
+        self.fallback = RuleBackend()
+        self.fake_responses = fake_responses
+
+    def _generate(self, prompt: str) -> str:
+        if self.fake_responses is not None:
+            return self.fake_responses(prompt)
+        raise NotImplementedError(
+            "no LLM runtime in this environment; inject fake_responses or "
+            "use backend='rules'")
+
+    def extract(self, text: str) -> RuleGraph:
+        if not text or not text.strip():
+            return RuleGraph()
+        try:
+            raw = self._generate(text[: self.cfg.llm_max_chars])
+            data = json_repair.parse_llm_json(raw)
+            graph = json_repair.validate_and_format_graph(data)
+            if not json_repair.validate_extraction_result(
+                    graph, self.cfg.max_nodes_per_unit, self.cfg.max_edges_per_unit):
+                raise ValueError("validation failed")
+        except Exception:
+            return self.fallback.extract(text)
+        g = RuleGraph()
+        for n in graph["nodes"]:
+            g.node_ids.append(str(n["id"]))
+            g.labels.append(str(n["label"]))
+            g.types.append(str(n["type"]))
+        id_to_label = dict(zip(g.node_ids, g.labels))
+        for e in graph["edges"]:
+            g.edge_src.append(str(e["source"]))
+            g.edge_dst.append(str(e["target"]))
+            g.edge_rel.append(str(e["relationship"]))
+        return g
+
+
+def make_backend(cfg: KGConfig) -> ExtractorBackend:
+    if cfg.backend == "rules":
+        return RuleBackend()
+    if cfg.backend == "llm":
+        return LLMBackend(cfg, fake_responses=cfg.extra.get("fake_responses"))
+    raise ValueError(f"unknown backend {cfg.backend!r}")
+
+
+def edge_id_of(conv_id: str, version: int, subj: str, pred: str, obj: str) -> str:
+    return hashlib.sha256(
+        f"{conv_id}\x00{version}\x00{subj}\x00{pred}\x00{obj}".encode()
+    ).hexdigest()[:20]
+
+
+class Extractor:
+    """map_batches callable class -> actor pool. State (backend, any model
+    client) is built once per actor in __init__; __call__ handles one Arrow
+    batch of assembled conversations/windows."""
+
+    def __init__(self, cfg: KGConfig):
+        self.cfg = cfg
+        self.backend = make_backend(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name, _ in GRAPH_ROW_FIELDS}
+        conv_ids = batch["conv_id"].to_pylist()
+        win_ids = batch["window_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        versions = batch["version"].to_pylist()
+        pids = batch["partition_id"].to_pylist()
+        fps = batch["conv_fp"].to_pylist()
+        n_turns = batch["n_turns"].to_pylist()
+
+        bname = self.backend.name
+
+        def emit(kind, cid, wid, ver, pid, fp, *, node_id=None, label=None,
+                 node_type=None, edge_id=None, src=None, dst=None, subj=None,
+                 pred=None, obj=None, nt=None):
+            cols["kind"].append(kind)
+            cols["conv_id"].append(cid)
+            cols["window_id"].append(wid)
+            cols["node_id"].append(node_id)
+            cols["label"].append(label)
+            cols["node_type"].append(node_type)
+            cols["edge_id"].append(edge_id)
+            cols["src_node_id"].append(src)
+            cols["dst_node_id"].append(dst)
+            cols["subj"].append(subj)
+            cols["pred"].append(pred)
+            cols["obj"].append(obj)
+            cols["version"].append(ver)
+            cols["partition_id"].append(pid)
+            cols["conv_fp"].append(fp)
+            cols["backend"].append(bname)
+            cols["n_turns"].append(nt)
+
+        for cid, wid, text, ver, pid, fp, nt in zip(
+                conv_ids, win_ids, texts, versions, pids, fps, n_turns):
+            g = self.backend.extract(text)
+            # marker row per text unit: lineage counts + guarantees every
+            # input partition commits even when extraction yields no graph
+            emit("conv", cid, wid, ver, pid, fp, nt=nt)
+            label_of = dict(zip(g.node_ids, g.labels))
+            for nid, label, typ in zip(g.node_ids, g.labels, g.types):
+                emit("node", cid, wid, ver, pid, fp,
+                     node_id=nid, label=label, node_type=typ)
+            for src, dst, rel in zip(g.edge_src, g.edge_dst, g.edge_rel):
+                subj, obj = label_of.get(src, ""), label_of.get(dst, "")
+                emit("edge", cid, wid, ver, pid, fp,
+                     edge_id=edge_id_of(cid, ver, subj, rel, obj),
+                     src=src, dst=dst, subj=subj, pred=rel, obj=obj)
+
+        return pa.Table.from_pydict(
+            {name: pa.array(cols[name], typ) for name, typ in GRAPH_ROW_FIELDS},
+            schema=GRAPH_ROWS,
+        )
+
+
+def extract_graphs(conversations: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
+    """Attach the extractor actor pool. Regex/rule extraction is CPU-bound per
+    string; batch_size bounds actor heap (batch ~ extract_batch_size texts)."""
+    return conversations.map_batches(
+        Extractor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,155 @@
+"""End-to-end pipeline tests: transcripts parquet -> graph parquet, checked
+against (a) golden reference fixtures and (b) direct application of the
+oracle extractor to the assembled texts (the per-turn text-equality +
+P/R invariant)."""
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ai_knowledgegraph_extractor_ray.config import KGConfig
+from ai_knowledgegraph_extractor_ray.functions.rules import extract_rule_graph
+from ai_knowledgegraph_extractor_ray.pipelines import kg
+from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+
+GOLDEN = json.loads(
+    (Path(__file__).parent / "golden" / "reference_rule_graphs.json").read_text()
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("transcripts") / "transcripts.parquet"
+    table = src.synthetic_transcripts_table(n_convs=60, seed=42)
+    import pyarrow.parquet as pq
+    pq.write_table(table, path)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def job(corpus_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    cfg = KGConfig(num_partitions=8, extract_concurrency=2)
+    summary = kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out)
+    return cfg, out, summary
+
+
+def test_summary_counts(job):
+    cfg, out, summary = job
+    assert summary["n_conversations"] == 60
+    assert summary["n_nodes"] > 0 and summary["n_edges"] > 0
+    assert summary["partitions_computed"] >= 1
+
+
+def test_per_turn_text_equality(corpus_path):
+    """Per-row invariant: each turn's text survives the pipeline's ordering/
+    concat unchanged — "\n".join of ordered turns re-splits to the turns."""
+    df = rd.read_parquet(corpus_path).to_pandas()
+    for conv_id, g in df.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        joined = "\n".join(g["text"])
+        assert joined.split("\n") == list(g["text"])
+
+
+def test_golden_conversations_match_reference(job):
+    """The planted demo/seed conversations must produce exactly the
+    reference's graphs (node ids, labels, types, and all triples)."""
+    cfg, out, _ = job
+    for name in ("demo_sample", "seed_doc1", "seed_doc2", "seed_doc3_csv"):
+        fix = GOLDEN[name]
+        got = kg.get_conversation_graph(out, cfg.version, f"golden_{name}",
+                                        cfg.num_partitions)
+        assert got["nodes"] == fix["graph"]["nodes"], name
+        assert got["edges"] == fix["graph"]["edges"], name
+
+
+def test_pipeline_matches_direct_oracle(job, corpus_path):
+    """P/R invariant at full-corpus granularity: pipeline triples == direct
+    extraction over each conversation's ordered concatenated text (P=R=1.0
+    by construction; the reference-parity of the oracle itself is pinned by
+    test_rules.py)."""
+    cfg, out, _ = job
+    edges = kg.read_edges(out, cfg.version).to_pandas()
+    got = {(r.conv_id, r.subj, r.pred, r.obj) for r in edges.itertuples()}
+
+    df = rd.read_parquet(corpus_path).to_pandas()
+    want = set()
+    for conv_id, g in df.groupby("conv_id"):
+        text = "\n".join(g.sort_values("turn_idx")["text"])
+        rg = extract_rule_graph(text)
+        label = dict(zip(rg.node_ids, rg.labels))
+        for s, d, r in zip(rg.edge_src, rg.edge_dst, rg.edge_rel):
+            want.add((conv_id, label[s], r, label[d]))
+    assert got == want
+
+
+def test_resume_skips_committed(job, corpus_path):
+    cfg, out, first = job
+    again = kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out)
+    assert again["partitions_computed"] == 0
+    assert again["partitions_resumed"] == first["partitions_total"]
+    assert again["n_edges"] == first["n_edges"]
+
+
+def test_partial_resume(corpus_path, tmp_path):
+    """Simulate a crash: commit only half the partitions, then resume; the
+    final graph must equal a clean run's."""
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg = KGConfig(num_partitions=6, extract_concurrency=2)
+    ts = src.read_transcripts(corpus_path)
+    kg.run_kg_job(ts, cfg, out_a, resume=False)
+
+    # fake a partial run: copy 3 committed partitions (data + manifests) to b
+    import shutil
+    vdir_a = Path(out_a) / f"version={cfg.version}"
+    vdir_b = Path(out_b) / f"version={cfg.version}"
+    (vdir_b / "_manifests").mkdir(parents=True)
+    for pid in (0, 2, 4):
+        part = f"part-{pid:05d}"
+        if (vdir_a / part).exists():
+            shutil.copytree(vdir_a / part, vdir_b / part)
+            shutil.copy(vdir_a / "_manifests" / f"{part}.json",
+                        vdir_b / "_manifests" / f"{part}.json")
+
+    resumed = kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out_b)
+    assert resumed["partitions_resumed"] >= 1
+    ea = kg.read_edges(out_a, cfg.version).to_pandas()
+    eb = kg.read_edges(out_b, cfg.version).to_pandas()
+    key = ["conv_id", "edge_id"]
+    assert sorted(map(tuple, ea[key].values)) == sorted(map(tuple, eb[key].values))
+
+
+def test_version_cutoff_prefix_semantics(corpus_path, tmp_path):
+    """Version K = extraction over the turn prefix (reference update
+    semantics, main.py:231-259): cutoff at turn_idx<=1 must equal running
+    the oracle on the 2-turn prefix text."""
+    out = str(tmp_path / "v2")
+    cfg = KGConfig(num_partitions=4, version=2, version_cutoff=1,
+                   extract_concurrency=2)
+    kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out)
+    edges = kg.read_edges(out, 2).to_pandas()
+    df = rd.read_parquet(corpus_path).to_pandas()
+    g = df[df["conv_id"] == "conv_00000010"].sort_values("turn_idx")
+    prefix = "\n".join(g[g["turn_idx"] <= 1]["text"])
+    rg = extract_rule_graph(prefix)
+    label = dict(zip(rg.node_ids, rg.labels))
+    want = {(label[s], r, label[d])
+            for s, d, r in zip(rg.edge_src, rg.edge_dst, rg.edge_rel)}
+    sel = edges[edges["conv_id"] == "conv_00000010"]
+    got = {(r.subj, r.pred, r.obj) for r in sel.itertuples()}
+    assert got == want
+
+
+def test_deterministic_across_partitioning(corpus_path, tmp_path):
+    """Same triples regardless of partition count (distribution-invariance)."""
+    outs = []
+    for i, p in enumerate((3, 11)):
+        out = str(tmp_path / f"p{p}")
+        cfg = KGConfig(num_partitions=p, extract_concurrency=2)
+        kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out, resume=False)
+        e = kg.read_edges(out, cfg.version).to_pandas()
+        outs.append(sorted(map(tuple, e[["conv_id", "subj", "pred", "obj"]].values)))
+    assert outs[0] == outs[1]
