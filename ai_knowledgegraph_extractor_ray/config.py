@@ -33,6 +33,7 @@ class KGConfig:
     extract_batch_size: int = 256     # conversations per extractor batch
     extract_concurrency: int | tuple = 8   # extractor actor pool size
     alias_salt_buckets: int = 16      # salted partial-agg fan-out for hot keys
+    link_scorer_concurrency: int = 2  # embedding-scorer actor pool size
     max_nodes_per_unit: int = 1000    # validation caps, reference services.py:143-149
     max_edges_per_unit: int = 2000
 

@@ -97,6 +97,45 @@ def read_edges(out_dir: str, version: int) -> rd.Dataset:
          for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
 
 
+def run_canonicalize_job(out_dir: str, cfg: KGConfig,
+                         link=None, use_embed_scorer: bool = True) -> dict:
+    """Phase 2: per-conversation graphs -> global canonical graph.
+
+    Reads the committed node/edge partitions of a version, builds the alias
+    table (LSH-blocked entity linking over distinct surface forms), rewrites
+    edges onto canonical ids with a broadcast join, and writes the canonical
+    tables under ``version=K/canonical/``. The alias table is vocabulary-sized
+    (distinct entity names), so materializing/broadcasting it is the cheap
+    side; the mention/edge stream never collects on the driver."""
+    from ..stages import canonicalize as cz
+
+    nodes = read_nodes(out_dir, cfg.version)
+    edges = read_edges(out_dir, cfg.version)
+    alias = cz.build_alias_table(nodes, cfg, link=link,
+                                 use_embed_scorer=use_embed_scorer)
+    canon_edges = cz.canonicalize_edges(edges, alias, cfg)
+
+    cdir = lineage.version_dir(out_dir, cfg.version) / "canonical"
+    cdir.mkdir(parents=True, exist_ok=True)
+    alias.to_parquet(cdir / "aliases.parquet", index=False)
+    cz.canonical_nodes_table(alias).to_parquet(
+        cdir / "canonical_nodes.parquet", index=False)
+    canon_edges.write_parquet(str(cdir / "canonical_edges"))
+
+    n_edges = rd.read_parquet(str(cdir / "canonical_edges")).count()
+    return {
+        "version": cfg.version,
+        "n_aliases": int(len(alias)),
+        "n_canonical_entities": int(alias["canonical_id"].nunique()),
+        "n_canonical_edges": int(n_edges),
+    }
+
+
+def read_canonical_edges(out_dir: str, version: int) -> rd.Dataset:
+    return rd.read_parquet(
+        str(lineage.version_dir(out_dir, version) / "canonical" / "canonical_edges"))
+
+
 def get_conversation_graph(out_dir: str, version: int, conv_id: str,
                            num_partitions: int) -> dict:
     """Point lookup of one conversation's graph — the analogue of the

@@ -1,0 +1,343 @@
+"""Entity linking + canonicalization: mentions -> alias table -> canonical graph.
+
+The reference links entities only by exact case-insensitive label match inside
+one document (reference: services.py:489-490). At corpus scale that becomes a
+distributed canonicalization problem (SURVEY.md §2.4 J2): cluster the surface
+forms of *all* conversations into canonical entities, then rewrite every edge
+onto canonical ids and deduplicate.
+
+Scale design (SURVEY.md §7.2, shuffles #2/#3/#4):
+
+* **Mention counting is two-phase.** ``map_batches`` first collapses each
+  block to distinct ``(norm, label) -> count`` partials (the combiner), so the
+  ``groupby(norm)`` shuffle moves at most |distinct variants| rows per block,
+  never one row per mention — this is what defuses hot-key skew (a surface
+  form appearing in 30% of conversations contributes one partial row per
+  block, not millions of mention rows). An explicit salt column fans the
+  merge out further when even variant cardinality is hot.
+* **LSH blocking over *distinct norms*, not mentions.** MinHash signatures of
+  char-3-gram shingles, banded; only norms sharing a band bucket are compared
+  (verified with true Jaccard + an embedding-cosine score from a hash-feature
+  scorer actor pool). Buckets are size-capped: a degenerate bucket (e.g. all
+  empty-shingle norms) degrades to "no link" instead of an O(n^2) blowup.
+* **Cluster merge is driver-side union-find over candidate PAIRS** (tiny:
+  bounded by sum of bucket-pair counts), never over mentions. The alias table
+  itself is broadcast via ``ray.put`` and read inside ``map_batches`` — a
+  shuffle join on surface form would move the (large) edge table for the
+  benefit of the (small) alias side.
+* **Canonical edge dedup** is the same partial-count trick keyed on the
+  canonical (src, pred, dst) triple; ``weight`` = number of supporting
+  extractions, matching the north star's "deduplicated edge IDs".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..config import KGConfig
+
+_WS = re.compile(r"\s+")
+
+
+def normalize_surface(label: str) -> str:
+    """Normalization key: casefold + whitespace collapse (the scaled analogue
+    of the reference's ``k.lower() == x.lower()`` lookup, services.py:489)."""
+    return _WS.sub(" ", label.strip()).casefold()
+
+
+def canonical_id_of(cluster_key: str) -> str:
+    return "e_" + hashlib.sha256(cluster_key.encode()).hexdigest()[:16]
+
+
+# --- phase 1: mention partials ----------------------------------------------
+
+def _mention_partials(batch: pa.Table, salt_buckets: int) -> pa.Table:
+    """Collapse one block of node rows to (norm, label, salt) -> count."""
+    labels = batch["label"].to_pylist()
+    counts: dict[tuple[str, str], int] = {}
+    for lab in labels:
+        if lab is None:
+            continue
+        key = (normalize_surface(lab), lab)
+        counts[key] = counts.get(key, 0) + 1
+    norms = [k[0] for k in counts]
+    return pa.table({
+        "norm": pa.array(norms, pa.string()),
+        "label": pa.array([k[1] for k in counts], pa.string()),
+        "salt": pa.array(
+            [zlib.crc32(n.encode()) % salt_buckets for n in norms], pa.int32()),
+        "cnt": pa.array(list(counts.values()), pa.int64()),
+    })
+
+
+def _merge_salted(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge partials within one (norm, salt) group."""
+    out = (df.groupby(["norm", "label"], sort=False, as_index=False)["cnt"].sum())
+    return out
+
+
+def _pick_variant(df: pd.DataFrame) -> pd.DataFrame:
+    """Final per-norm reduce: total mentions + most frequent original-case
+    variant (ties -> lexicographically smallest, deterministic)."""
+    df = df.sort_values(["cnt", "label"], ascending=[False, True], kind="mergesort")
+    top = df.groupby("norm", sort=False, as_index=False).first()
+    totals = df.groupby("norm", sort=False, as_index=False)["cnt"].sum()
+    out = top[["norm", "label"]].merge(totals, on="norm")
+    return out.rename(columns={"label": "canonical_label", "cnt": "n_mentions"})
+
+
+def build_surface_table(nodes: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
+    """node mentions -> distinct surface table (norm, canonical_label,
+    n_mentions). Two shuffles over *partials only*; mention rows never move."""
+    partials = nodes.map_batches(
+        lambda t: _mention_partials(t, cfg.alias_salt_buckets),
+        batch_format="pyarrow")
+    merged = partials.groupby(["salt", "norm"]).map_groups(
+        _merge_salted, batch_format="pandas")
+    return merged.groupby("norm").map_groups(_pick_variant, batch_format="pandas")
+
+
+# --- phase 2: MinHash/LSH blocking over distinct norms ----------------------
+
+def shingles(norm: str, k: int = 3) -> set[int]:
+    s = f" {norm} "
+    return {zlib.crc32(s[i:i + k].encode()) for i in range(max(1, len(s) - k + 1))}
+
+
+_MINHASH_A: np.ndarray | None = None
+_MINHASH_B: np.ndarray | None = None
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    global _MINHASH_A, _MINHASH_B
+    if _MINHASH_A is None or len(_MINHASH_A) < num_perm:
+        rng = np.random.RandomState(0xC0FFEE)  # fixed: signatures must agree across actors
+        _MINHASH_A = rng.randint(1, 2**31 - 1, size=num_perm).astype(np.uint64)
+        _MINHASH_B = rng.randint(0, 2**31 - 1, size=num_perm).astype(np.uint64)
+    return _MINHASH_A[:num_perm], _MINHASH_B[:num_perm]
+
+_MERSENNE = np.uint64(2**61 - 1)
+
+
+def minhash_signature(sh: set[int], num_perm: int) -> np.ndarray:
+    a, b = _minhash_params(num_perm)
+    if not sh:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod p, min over shingles — vectorized (num_perm, n_shingles)
+    prod = (a[:, None] * vals[None, :] + b[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, bands: int) -> list[str]:
+    rows = len(sig) // bands
+    return [
+        f"{b}:{zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes()):08x}"
+        for b in range(bands)
+    ]
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+class HashEmbedScorer:
+    """Embedding-similarity scorer actor (north-star stage A4). Deterministic
+    hash-feature embeddings (char-3-gram feature hashing into R^dim, L2
+    normalized) instead of learned weights — no model runtime exists in this
+    sandbox (SURVEY.md §2.3) — but the actor-pool plumbing, batching and
+    cosine math are the real production shape: swap ``_embed_batch`` for a
+    model forward pass and nothing else changes."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def _embed_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for sh in shingles(t):
+                out[i, sh % self.dim] += 1.0 if (sh >> 16) & 1 else -1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        va = self._embed_batch(batch["norm_a"].to_pylist())
+        vb = self._embed_batch(batch["norm_b"].to_pylist())
+        cos = (va * vb).sum(axis=1)
+        return batch.append_column("cos_sim", pa.array(cos, pa.float32()))
+
+
+@dataclass(frozen=True)
+class LinkParams:
+    num_perm: int = 32
+    bands: int = 8            # 8 bands x 4 rows: ~Jaccard 0.5+ candidates
+    jaccard_threshold: float = 0.66
+    cosine_threshold: float = 0.60
+    max_bucket: int = 64      # degenerate-bucket guard
+
+
+def _candidate_pairs(surfaces: rd.Dataset, p: LinkParams) -> pd.DataFrame:
+    """LSH blocking: norm -> (band bucket) shuffle -> within-bucket pairs with
+    true-Jaccard verification. Returns the (small) verified pair list."""
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        norms, keys = [], []
+        for n in t["norm"].to_pylist():
+            sig = minhash_signature(shingles(n), p.num_perm)
+            for bk in band_keys(sig, p.bands):
+                norms.append(n)
+                keys.append(bk)
+        return pa.table({"bucket": pa.array(keys, pa.string()),
+                         "norm": pa.array(norms, pa.string())})
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ns = sorted(set(df["norm"]))[: p.max_bucket]
+        a_out, b_out, jac = [], [], []
+        sh = {n: shingles(n) for n in ns}
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                jv = jaccard(sh[ns[i]], sh[ns[j]])
+                if jv >= p.jaccard_threshold:
+                    a_out.append(ns[i])
+                    b_out.append(ns[j])
+                    jac.append(jv)
+        return pd.DataFrame({"norm_a": pd.Series(a_out, dtype="string"),
+                             "norm_b": pd.Series(b_out, dtype="string"),
+                             "jaccard": pd.Series(jac, dtype="float64")})
+
+    pairs = (surfaces.select_columns(["norm"])
+             .map_batches(to_buckets, batch_format="pyarrow")
+             .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas"))
+    df = pairs.to_pandas()  # verified pairs only: tiny vs mention volume
+    if "norm_a" not in df.columns:  # every bucket empty -> schemaless frame
+        return pd.DataFrame(columns=["norm_a", "norm_b", "jaccard"])
+    return df.drop_duplicates(["norm_a", "norm_b"])
+
+
+def _union_find_clusters(pairs: pd.DataFrame) -> dict[str, str]:
+    """norm -> cluster-root norm (lexicographically smallest member, so the
+    clustering is independent of pair arrival order)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["norm_a"], pairs["norm_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
+                      link: LinkParams | None = None,
+                      use_embed_scorer: bool = True) -> pd.DataFrame:
+    """Full linking pass: mention partials -> surface table -> LSH candidate
+    pairs -> (optional) embedding-cosine verification -> union-find clusters
+    -> alias table (norm, canonical_id, canonical_label, n_mentions).
+
+    The returned table has one row per distinct norm — small enough to
+    broadcast (it is the *vocabulary* of entity names, not the mention
+    stream); callers ship it with ``ray.put`` into the rewrite stage."""
+    link = link or LinkParams()
+    surfaces = build_surface_table(nodes, cfg)
+    surf_df = surfaces.to_pandas()  # distinct norms only
+
+    pairs = _candidate_pairs(
+        rd.from_pandas(surf_df[["norm"]]) if len(surf_df) else rd.from_items([]),
+        link) if len(surf_df) else pd.DataFrame(columns=["norm_a", "norm_b", "jaccard"])
+
+    if use_embed_scorer and len(pairs):
+        scored = rd.from_pandas(pairs).map_batches(
+            HashEmbedScorer, batch_format="pyarrow",
+            concurrency=cfg.link_scorer_concurrency, num_cpus=1,
+        ).to_pandas()
+        pairs = scored[scored["cos_sim"] >= link.cosine_threshold]
+
+    root_of = _union_find_clusters(pairs)
+
+    norms = surf_df["norm"].tolist()
+    roots = [root_of.get(n, n) for n in norms]
+    surf_df = surf_df.assign(root=roots)
+    # canonical label of a cluster = variant of its most-mentioned member
+    rep = (surf_df.sort_values(["n_mentions", "norm"], ascending=[False, True],
+                               kind="mergesort")
+           .groupby("root", sort=False)
+           .agg(canonical_label=("canonical_label", "first")))
+    total = surf_df.groupby("root", sort=False)["n_mentions"].sum()
+    out = surf_df[["norm", "root"]].merge(rep, on="root").merge(
+        total.rename("cluster_mentions"), on="root")
+    out["canonical_id"] = out["root"].map(canonical_id_of)
+    return out[["norm", "canonical_id", "canonical_label", "cluster_mentions"]]
+
+
+# --- phase 3: rewrite edges onto canonical ids + global dedup ---------------
+
+def canonicalize_edges(edges: rd.Dataset, alias: pd.DataFrame,
+                       cfg: KGConfig) -> rd.Dataset:
+    """Rewrite (subj, pred, obj) surface triples onto canonical entities and
+    aggregate to deduplicated weighted canonical edges.
+
+    The alias table rides the object store once (``ray.put``) and is read by
+    every map task — a broadcast join. Partial counting inside map_batches
+    again bounds the final shuffle to distinct canonical triples per block."""
+    alias_ref = ray.put({
+        n: (cid, clab) for n, cid, clab in zip(
+            alias["norm"], alias["canonical_id"], alias["canonical_label"])
+    })
+
+    def rewrite_and_count(batch: pa.Table) -> pa.Table:
+        amap = ray.get(alias_ref)
+        counts: dict[tuple, int] = {}
+        for subj, pred, obj in zip(batch["subj"].to_pylist(),
+                                   batch["pred"].to_pylist(),
+                                   batch["obj"].to_pylist()):
+            sn, on = normalize_surface(subj), normalize_surface(obj)
+            s = amap.get(sn, (canonical_id_of(sn), subj))
+            o = amap.get(on, (canonical_id_of(on), obj))
+            key = (s[0], pred, o[0], s[1], o[1])
+            counts[key] = counts.get(key, 0) + 1
+        keys = list(counts)
+        return pa.table({
+            "canonical_src": pa.array([k[0] for k in keys], pa.string()),
+            "pred": pa.array([k[1] for k in keys], pa.string()),
+            "canonical_dst": pa.array([k[2] for k in keys], pa.string()),
+            "src_label": pa.array([k[3] for k in keys], pa.string()),
+            "dst_label": pa.array([k[4] for k in keys], pa.string()),
+            "weight": pa.array(list(counts.values()), pa.int64()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["canonical_src", "pred", "canonical_dst",
+                            "src_label", "dst_label"],
+                           sort=False, as_index=False)["weight"].sum())
+
+    partials = edges.map_batches(rewrite_and_count, batch_format="pyarrow")
+    return partials.groupby(["canonical_src", "pred", "canonical_dst"]).map_groups(
+        merge, batch_format="pandas")
+
+
+def canonical_nodes_table(alias: pd.DataFrame) -> pd.DataFrame:
+    """Distinct canonical entities (id, label, total mentions, n_aliases)."""
+    g = alias.groupby(["canonical_id", "canonical_label"], sort=False)
+    out = g.agg(n_mentions=("cluster_mentions", "max"),
+                n_aliases=("norm", "nunique")).reset_index()
+    return out.sort_values("canonical_id", kind="mergesort").reset_index(drop=True)

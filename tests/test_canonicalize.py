@@ -1,0 +1,116 @@
+"""Entity linking + canonicalization: alias table, LSH blocking, broadcast
+rewrite, global weighted edge dedup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ai_knowledgegraph_extractor_ray.config import KGConfig
+from ai_knowledgegraph_extractor_ray.stages import canonicalize as cz
+
+CFG = KGConfig(alias_salt_buckets=4, link_scorer_concurrency=1)
+
+
+def nodes_ds(labels):
+    return rd.from_pandas(pd.DataFrame({"label": pd.Series(labels, dtype="string")}))
+
+
+def test_normalize_surface():
+    assert cz.normalize_surface("  Acme   Corp ") == "acme corp"
+    assert cz.normalize_surface("ACME Corp") == "acme corp"
+
+
+def test_minhash_identical_and_disjoint():
+    a = cz.minhash_signature(cz.shingles("acme corporation"), 32)
+    b = cz.minhash_signature(cz.shingles("acme corporation"), 32)
+    c = cz.minhash_signature(cz.shingles("zzz totally different"), 32)
+    assert (a == b).all()
+    assert (a == c).mean() < 0.5
+
+
+def test_surface_table_counts_and_variant_pick():
+    ds = nodes_ds(["Acme Corp", "ACME Corp", "Acme Corp", "Beta Inc"])
+    surf = cz.build_surface_table(ds, CFG).to_pandas().set_index("norm")
+    assert int(surf.loc["acme corp", "n_mentions"]) == 3
+    # most frequent original-case variant wins
+    assert surf.loc["acme corp", "canonical_label"] == "Acme Corp"
+    assert int(surf.loc["beta inc", "n_mentions"]) == 1
+
+
+def test_alias_links_near_duplicates():
+    labels = (["Acme Corporation"] * 5 + ["Acme Corporatio"] * 2  # typo variant
+              + ["Globex Industries"] * 3)
+    alias = cz.build_alias_table(nodes_ds(labels), CFG)
+    by_norm = alias.set_index("norm")
+    assert (by_norm.loc["acme corporation", "canonical_id"]
+            == by_norm.loc["acme corporatio", "canonical_id"])
+    # cluster canonical label comes from the most-mentioned member
+    assert by_norm.loc["acme corporatio", "canonical_label"] == "Acme Corporation"
+    assert (by_norm.loc["globex industries", "canonical_id"]
+            != by_norm.loc["acme corporation", "canonical_id"])
+    assert int(by_norm.loc["acme corporation", "cluster_mentions"]) == 7
+
+
+def test_alias_does_not_link_distinct():
+    alias = cz.build_alias_table(
+        nodes_ds(["Acme Corporation", "Meridian Capital", "John Doe"]), CFG)
+    assert alias["canonical_id"].nunique() == 3
+
+
+def test_embed_scorer_batch_shape():
+    import pyarrow as pa
+    scorer = cz.HashEmbedScorer()
+    t = pa.table({"norm_a": ["acme corp", "john doe"],
+                  "norm_b": ["acme corp", "zzz unrelated"]})
+    out = scorer(t)
+    sims = out["cos_sim"].to_pylist()
+    assert sims[0] == pytest.approx(1.0, abs=1e-5)
+    assert sims[1] < 0.9
+
+
+def test_canonicalize_edges_dedup_and_weight():
+    edges = rd.from_pandas(pd.DataFrame({
+        "subj": ["Acme Corp", "ACME Corp", "Acme Corp", "Beta Inc"],
+        "pred": ["acquired", "acquired", "acquired", "located_in"],
+        "obj": ["Beta Inc", "Beta Inc", "Gamma LLC", "Austin"],
+    }))
+    alias = cz.build_alias_table(
+        nodes_ds(["Acme Corp", "Acme Corp", "ACME Corp", "Beta Inc",
+                  "Gamma LLC", "Austin"]), CFG)
+    out = cz.canonicalize_edges(edges, alias, CFG).to_pandas()
+    key = out.set_index(["src_label", "pred", "dst_label"])["weight"]
+    # exact-dup edges collapse with weight, case variants unify
+    assert int(key.loc[("Acme Corp", "acquired", "Beta Inc")]) == 2
+    assert int(key.loc[("Acme Corp", "acquired", "Gamma LLC")]) == 1
+    assert len(out) == 3
+    assert out["canonical_src"].str.startswith("e_").all()
+
+
+def test_canonicalize_unknown_surface_falls_back():
+    """Edges whose endpoints never appeared as nodes still canonicalize
+    deterministically (hash of their own norm)."""
+    edges = rd.from_pandas(pd.DataFrame({
+        "subj": ["Mystery Co"], "pred": ["acquired"], "obj": ["Acme Corp"]}))
+    alias = cz.build_alias_table(nodes_ds(["Acme Corp"]), CFG)
+    out = cz.canonicalize_edges(edges, alias, CFG).to_pandas()
+    assert out.iloc[0]["canonical_src"] == cz.canonical_id_of("mystery co")
+
+
+def test_canonical_nodes_table():
+    alias = cz.build_alias_table(
+        nodes_ds(["Acme Corporation"] * 3 + ["Acme Corporatio"]), CFG)
+    nodes = cz.canonical_nodes_table(alias)
+    assert len(nodes) == 1
+    assert int(nodes.iloc[0]["n_aliases"]) == 2
+    assert int(nodes.iloc[0]["n_mentions"]) == 4
+
+
+def test_hot_key_skew_partials_bounded():
+    """A hot surface form (many mentions) must reach the shuffle as partial
+    counts, not mention rows: surface table still exact."""
+    labels = ["Acme Corporation"] * 5000 + ["Rare Co"]
+    ds = nodes_ds(labels).repartition(8)
+    surf = cz.build_surface_table(ds, CFG).to_pandas().set_index("norm")
+    assert int(surf.loc["acme corporation", "n_mentions"]) == 5000
+    assert int(surf.loc["rare co", "n_mentions"]) == 1

@@ -143,6 +143,25 @@ def test_version_cutoff_prefix_semantics(corpus_path, tmp_path):
     assert got == want
 
 
+def test_canonicalize_job(job):
+    """Phase-2 canonical graph: weighted dedup must conserve raw edge count,
+    and hot synthetic orgs must unify across conversations."""
+    cfg, out, summary = job
+    res = kg.run_kg_job  # phase 1 already ran in the fixture
+    canon = kg.run_canonicalize_job(out, cfg)
+    assert canon["n_canonical_entities"] <= canon["n_aliases"]
+    ce = kg.read_canonical_edges(out, cfg.version).to_pandas()
+    assert int(ce["weight"].sum()) == summary["n_edges"]
+    assert len(ce) == canon["n_canonical_edges"]
+    # canonical triples are globally unique
+    assert not ce.duplicated(["canonical_src", "pred", "canonical_dst"]).any()
+    # alias table is a function: each norm maps to exactly one canonical id
+    aliases = pd.read_parquet(
+        f"{out}/version={cfg.version}/canonical/aliases.parquet")
+    assert not aliases["norm"].duplicated().any()
+    assert aliases["canonical_id"].notna().all()
+
+
 def test_deterministic_across_partitioning(corpus_path, tmp_path):
     """Same triples regardless of partition count (distribution-invariance)."""
     outs = []
