@@ -1,0 +1,326 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+Scale shapes:
+
+* **Exact**: content hash inside ``map_batches`` (cheap, vectorized-ish) ->
+  ``groupby(hash)`` — a uniform-key shuffle with no skew — -> keep the
+  smallest id per group. Never compares texts pairwise.
+* **Near-dup (MinHash/SimHash/embedding)**: candidates come from bucketed
+  blocking (LSH bands / simhash bit-bands / hyperplane signs), verified
+  inside the bucket, so the all-pairs comparison never happens globally.
+  Candidate-pair volume is the scaling knob: band counts and bucket caps
+  bound it. Union-find over *verified pairs* (not rows) resolves clusters
+  driver-side — pairs are sparse by construction; the assumption is
+  documented on each entry point.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def content_hash_column(ds: rd.Dataset, text_col: str = "text",
+                        out_col: str = "content_hash") -> rd.Dataset:
+    """sha256 of the exact text (reference analogue: the upload content hash,
+    security.py:283-294)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256((s or "").encode()).hexdigest()[:32]
+              for s in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(hs, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def exact_dedup(ds: rd.Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """Keep exactly one row (the smallest id) per distinct text. One uniform
+    hash-keyed shuffle; group sizes == duplicate multiplicity."""
+    hashed = content_hash_column(ds, text_col)
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="mergesort").head(1)
+
+    out = hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    return out.drop_columns(["content_hash"])
+
+
+def duplicate_groups(ds: rd.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> rd.Dataset:
+    """(content_hash, n_copies, keep_id) for every text with >1 copy."""
+    hashed = content_hash_column(ds, text_col)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"content_hash": pd.Series([], dtype="string"),
+                                 "n_copies": pd.Series([], dtype="int64"),
+                                 "keep_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "content_hash": [df["content_hash"].iloc[0]],
+            "n_copies": [len(df)],
+            "keep_id": [int(df[id_col].min())],
+        })
+
+    return hashed.groupby("content_hash").map_groups(agg, batch_format="pandas")
+
+
+# --- shingling / MinHash -----------------------------------------------------
+
+
+def word_ngrams(text: str, n: int = 3) -> set[int]:
+    """Hashed word-level n-gram shingles."""
+    toks = text.split()
+    if len(toks) < n:
+        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+    return {zlib.crc32(" ".join(toks[i:i + n]).encode())
+            for i in range(len(toks) - n + 1)}
+
+
+_MERSENNE = np.uint64(2**61 - 1)
+_rng = np.random.RandomState(0x5EED)
+_PERM_A = _rng.randint(1, 2**31 - 1, size=256).astype(np.uint64)
+_PERM_B = _rng.randint(0, 2**31 - 1, size=256).astype(np.uint64)
+
+
+def minhash_sig(sh: set[int], num_perm: int) -> np.ndarray:
+    if not sh:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    prod = (_PERM_A[:num_perm, None] * vals[None, :] + _PERM_B[:num_perm, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def jaccard_of(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter) if (a or b) else 0.0
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 128, bands: int = 32, ngram: int = 3,
+    threshold: float = 0.8, max_bucket: int = 256,
+) -> rd.Dataset:
+    """MinHash+LSH near-duplicate pairs with exact n-gram-Jaccard
+    verification: (id_a, id_b, jaccard), id_a < id_b.
+
+    shingle -> signature inside map_batches; band-key explosion; groupby(band)
+    shuffle; within-bucket exact verification over re-shingled texts. The
+    text rides to the bucket so verification is local; ``max_bucket`` guards
+    degenerate buckets (boilerplate corpora) — overflow is dropped, logged by
+    the caller if coverage accounting matters."""
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids, keys, texts = [], [], []
+        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            sig = minhash_sig(word_ngrams(s or "", ngram), num_perm)
+            r = num_perm // bands
+            for b in range(bands):
+                ids.append(i)
+                keys.append(f"{b}:{zlib.crc32(sig[b*r:(b+1)*r].tobytes()):08x}")
+                texts.append(s)
+        return pa.table({"bucket": pa.array(keys, pa.string()),
+                         id_col: pa.array(ids, pa.int64()),
+                         text_col: pa.array(texts, pa.string())})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
+        ids = df[id_col].tolist()
+        sh = [word_ngrams(s or "", ngram) for s in df[text_col]]
+        a_out, b_out, jac = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jv = jaccard_of(sh[i], sh[j])
+                if jv >= threshold:
+                    a_out.append(ids[i]); b_out.append(ids[j]); jac.append(jv)
+        return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
+                             "id_b": pd.Series(b_out, dtype="int64"),
+                             "jaccard": pd.Series(jac, dtype="float64")})
+
+    pairs = (ds.map_batches(to_bands, batch_format="pyarrow")
+             .groupby("bucket").map_groups(verify, batch_format="pandas"))
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    # same pair can surface from several bands -> one uniform-key dedup pass
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        dedup_pairs, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5,
+                        ngram: int = 3, **kw) -> rd.Dataset:
+    """Exact n-gram Jaccard similarity pairs, LSH-blocked. Lower thresholds
+    need proportionally more bands to keep recall; callers pick."""
+    return minhash_candidate_pairs(ds, threshold=threshold, ngram=ngram,
+                                   bands=kw.pop("bands", 64),
+                                   num_perm=kw.pop("num_perm", 128), **kw)
+
+
+def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.8,
+                       **kw) -> rd.Dataset:
+    """Drop near-duplicates: cluster verified pairs (driver-side union-find
+    over the sparse pair list), keep the smallest id per cluster.
+
+    Partitioning assumption: verified near-dup PAIRS fit on the driver (they
+    are duplicates — a corpus that is mostly duplicates should be exact-
+    deduped first). Survivor filtering is a broadcast anti-join."""
+    import ray
+
+    pairs = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
+                                    threshold=threshold, **kw).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    if len(pairs):
+        for a, b in zip(pairs["id_a"], pairs["id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = ~np.isin(t[id_col].to_numpy(zero_copy_only=False), d)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over hashed whitespace tokens (Charikar 2002)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.array([zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
+                   for t in toks], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    vote = (2 * bits - 1).sum(axis=0)
+    return int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_column(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        sh = np.array([simhash64(s or "") for s in t[text_col].to_pylist()],
+                      dtype=np.uint64)
+        return t.append_column("simhash", pa.array(sh.view(np.int64)))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_near_pairs(ds: rd.Dataset, *, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3,
+                       max_bucket: int = 256) -> rd.Dataset:
+    """Near-dup pairs by SimHash Hamming distance <= k, blocked on 4 16-bit
+    bands (any pair within Hamming 3 of 64 bits shares at least one exact
+    16-bit band — pigeonhole)."""
+    hashed = simhash_column(ds, text_col)
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_ids, keys, sims = [], [], []
+        for b in range(4):
+            band = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            for i, bb, s in zip(ids, band, sh):
+                out_ids.append(int(i))
+                keys.append(f"{b}:{int(bb):04x}")
+                sims.append(int(s))
+        return pa.table({"bucket": pa.array(keys, pa.string()),
+                         id_col: pa.array(out_ids, pa.int64()),
+                         "simhash_u": pa.array(np.array(sims, dtype=np.uint64).view(np.int64))})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
+        ids = df[id_col].to_numpy()
+        sh = df["simhash_u"].to_numpy().view(np.uint64)
+        a_out, b_out, ham = [], [], []
+        for i in range(len(ids)):
+            d = np.bitwise_xor(sh[i], sh[i + 1:])
+            hams = np.array([bin(int(x)).count("1") for x in d])
+            for j, h in enumerate(hams):
+                if h <= max_hamming:
+                    a_out.append(int(ids[i])); b_out.append(int(ids[i + 1 + j])); ham.append(int(h))
+        return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
+                             "id_b": pd.Series(b_out, dtype="int64"),
+                             "hamming": pd.Series(ham, dtype="int64")})
+
+    pairs = (hashed.map_batches(to_bands, batch_format="pyarrow")
+             .groupby("bucket").map_groups(verify, batch_format="pandas"))
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+def embedding_near_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.9,
+                         n_planes: int = 12, max_bucket: int = 512) -> rd.Dataset:
+    """Near-duplicate vector pairs by cosine >= threshold. Blocking =
+    random-hyperplane sign signature (vector SimHash): cosine-close vectors
+    agree on most signs, so bucket on the full n_planes-bit signature plus
+    one-bit-flip neighbor keys for recall; verify exact cosine in-bucket."""
+    rng = np.random.RandomState(0xA11CE)
+    planes: np.ndarray | None = None
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        nonlocal planes
+        vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float32)
+        if planes is None:
+            planes = rng.standard_normal((vecs.shape[1], n_planes)).astype(np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = np.divide(vecs, norms, where=norms > 0)
+        signs = (unit @ planes) > 0
+        sig = (signs.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_ids, keys, out_vecs = [], [], []
+        for i, s, v in zip(ids, sig, unit):
+            lv = v.tolist()
+            out_ids.append(int(i)); keys.append(int(s)); out_vecs.append(lv)
+            for bit in range(n_planes):   # 1-bit-flip neighbors for recall
+                out_ids.append(int(i)); keys.append(int(s) ^ (1 << bit)); out_vecs.append(lv)
+        return pa.table({"bucket": pa.array(keys, pa.int64()),
+                         id_col: pa.array(out_ids, pa.int64()),
+                         "unit": pa.array(out_vecs, pa.list_(pa.float32()))})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
+        ids = df[id_col].to_numpy()
+        m = np.asarray(df["unit"].tolist(), dtype=np.float32)
+        a_out, b_out, cos = [], [], []
+        if len(ids) > 1:
+            sims = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            hit = sims[iu] >= threshold
+            for i, j, c in zip(iu[0][hit], iu[1][hit], sims[iu][hit]):
+                a_out.append(int(ids[i])); b_out.append(int(ids[j])); cos.append(float(c))
+        return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
+                             "id_b": pd.Series(b_out, dtype="int64"),
+                             "cosine": pd.Series(cos, dtype="float64")})
+
+    pairs = (ds.map_batches(to_buckets, batch_format="pyarrow")
+             .groupby("bucket").map_groups(verify, batch_format="pandas"))
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")

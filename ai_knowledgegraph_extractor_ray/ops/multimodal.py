@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with sidecar metadata
+(media_type, width/height or sample_rate/duration). Decode and feature
+extraction run as actor-pool ``map_batches`` stages with SMALL batch sizes
+(payload bytes x batch_size x concurrency must fit a worker heap).
+
+The decode libraries (PIL, ffmpeg, torchaudio) are not in this container, so
+the codec seam is explicit: each stage try-imports the real library and
+otherwise uses ``DETERMINISTIC_FAKE`` decoding (seeded from the payload
+bytes) or raises NotImplementedError, per ``fake_ok``. Everything around the
+seam — schema, actor signature, batch sizing, output layout — is real and
+tested; swapping in the real codec changes one method.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    ("item_id", pa.int64()),
+    ("media_type", pa.string()),          # "image" | "audio" | "video"
+    ("payload", pa.binary()),
+    ("meta_width", pa.int32()),           # images/video
+    ("meta_height", pa.int32()),
+    ("meta_sample_rate", pa.int32()),     # audio
+    ("meta_n_frames", pa.int32()),        # video
+])
+
+
+def synthetic_media(n_items: int = 64, seed: int = 7,
+                    payload_bytes: int = 4096) -> rd.Dataset:
+    """Deterministic fake media corpus for plumbing tests: payload = seeded
+    byte stream, metadata consistent with media_type."""
+    def gen(batch: dict) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        media, payloads, w, h, sr, nf = [], [], [], [], [], []
+        for i in ids:
+            kind = ("image", "audio", "video")[i % 3]
+            rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
+            payloads.append(rng.bytes(payload_bytes))
+            media.append(kind)
+            w.append(64 + (i % 8) * 16 if kind != "audio" else 0)
+            h.append(48 + (i % 5) * 16 if kind != "audio" else 0)
+            sr.append(16000 if kind == "audio" else 0)
+            nf.append(1 + i % 30 if kind == "video" else (1 if kind == "image" else 0))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(media, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(w, pa.int32()),
+            "meta_height": pa.array(h, pa.int32()),
+            "meta_sample_rate": pa.array(sr, pa.int32()),
+            "meta_n_frames": pa.array(nf, pa.int32()),
+        })
+
+    return rd.range(n_items).map_batches(gen, batch_format="pyarrow")
+
+
+def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic fake decode: payload bytes -> (h, w, 3) uint8."""
+    rng = np.random.RandomState(zlib.crc32(payload) % (2**31))
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class ImageDecoder:
+    """Actor-pool decode stage. Real path: PIL.Image.open over payload bytes.
+    Sandbox path: deterministic fake pixels (or NotImplementedError when
+    fake_ok=False). Emits a fixed-size thumbnail feature layout either way."""
+
+    def __init__(self, *, thumb: int = 8, fake_ok: bool = True):
+        self.thumb = thumb
+        self.fake_ok = fake_ok
+        try:
+            from PIL import Image  # noqa: F401
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if self._pil is not None:
+            import io
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img)
+        if not self.fake_ok:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "install pillow or pass fake_ok=True")
+        return _fake_pixels(payload, w, h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, ok = [], []
+        t = self.thumb
+        for payload, w, h, kind in zip(batch["payload"].to_pylist(),
+                                       batch["meta_width"].to_pylist(),
+                                       batch["meta_height"].to_pylist(),
+                                       batch["media_type"].to_pylist()):
+            if kind != "image":
+                feats.append([])    # empty, not null: keeps Arrow list type
+                ok.append(False)    # stable under pandas/tensor conversion
+                continue
+            px = self._decode(payload, w, h)
+            # mean-pool to a t x t x 3 thumbnail feature, flattened
+            ys = np.linspace(0, px.shape[0], t + 1, dtype=int)
+            xs = np.linspace(0, px.shape[1], t + 1, dtype=int)
+            pooled = np.array([
+                px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean(axis=(0, 1))
+                for i in range(t) for j in range(t)
+            ], dtype=np.float32).ravel()
+            feats.append(pooled.tolist())
+            ok.append(True)
+        return pa.table({
+            "item_id": batch["item_id"],
+            "decoded": pa.array(ok, pa.bool_()),
+            "features": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
+class FrameSampler:
+    """Video frame-sampling stage: emits one row per sampled frame index
+    (every ``stride``-th frame) with the frame's fake feature. Real path
+    would seek the container; the seam is ``_frame_of``."""
+
+    def __init__(self, stride: int = 10, fake_ok: bool = True):
+        self.stride = stride
+        self.fake_ok = fake_ok
+
+    def _frame_of(self, payload: bytes, idx: int) -> np.ndarray:
+        if not self.fake_ok:
+            raise NotImplementedError("video codec not available")
+        return _fake_pixels(hashlib.sha256(payload + idx.to_bytes(4, "big")).digest(),
+                            8, 8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, feats = [], [], []
+        for item, kind, payload, nf in zip(batch["item_id"].to_pylist(),
+                                           batch["media_type"].to_pylist(),
+                                           batch["payload"].to_pylist(),
+                                           batch["meta_n_frames"].to_pylist()):
+            if kind != "video":
+                continue
+            for f in range(0, max(nf, 1), self.stride):
+                ids.append(item)
+                frames.append(f)
+                feats.append(self._frame_of(payload, f).mean(axis=(0, 1)).tolist())
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int32()),
+            "frame_feature": pa.array(feats, pa.list_(pa.float32())),
+        })
+
+
+def decode_images(ds: rd.Dataset, *, concurrency: int = 2,
+                  batch_size: int = 16, fake_ok: bool = True) -> rd.Dataset:
+    """Small batch_size: payload x batch x concurrency bounds actor heap."""
+    return ds.map_batches(ImageDecoder, fn_constructor_kwargs={"fake_ok": fake_ok},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+def sample_frames(ds: rd.Dataset, *, stride: int = 10, concurrency: int = 2,
+                  batch_size: int = 8, fake_ok: bool = True) -> rd.Dataset:
+    return ds.map_batches(FrameSampler,
+                          fn_constructor_kwargs={"stride": stride, "fake_ok": fake_ok},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,162 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All per-document math is vectorized pyarrow.compute / numpy over Arrow
+batches — no Python loop touches a hot row except the winnowing fingerprint
+(numpy per row over the byte array, still allocation-light). Column names are
+chosen to match the DuckDB oracle SQL in __ray_entry__ exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# GPT-2-ish word/number/punct tokenizer regex (RE2-safe: no backrefs).
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_PUNCT = r"[^\w\s]"
+
+# Tiny per-language marker vocabularies for the n-gram/stopword language
+# heuristic. Substring counts over lowercased text; argmax wins, ties -> "und".
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " is ", " to ", " in "),
+    "fr": (" le ", " la ", " les ", " et ", " est ", " dans "),
+    "es": (" el ", " los ", " las ", " es ", " y ", " en "),
+    "de": (" der ", " die ", " das ", " und ", " ist ", " nicht "),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+
+
+def token_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Append per-document stats: n_chars, n_tokens (whitespace),
+    n_bpe_tokens (regex), n_punct, punct_ratio, mean_token_len."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        toks = pc.list_value_length(pc.utf8_split_whitespace(text)).cast(pa.int64())
+        # split_whitespace yields one empty piece for ""; count real tokens
+        trimmed = pc.utf8_trim_whitespace(text)
+        empty = pc.equal(trimmed, "")
+        n_tokens = pc.if_else(empty, pa.scalar(0, pa.int64()), toks)
+        n_bpe = pc.count_substring_regex(text, BPE_ISH).cast(pa.int64())
+        n_punct = pc.count_substring_regex(text, _PUNCT).cast(pa.int64())
+        nc = n_chars.to_numpy(zero_copy_only=False).astype("float64")
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype("float64")
+        npunct = n_punct.to_numpy(zero_copy_only=False).astype("float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            punct_ratio = np.where(nc > 0, npunct / nc, 0.0)
+            mean_token_len = np.where(nt > 0, (nc - np.maximum(nt - 1, 0)) / np.maximum(nt, 1), 0.0)
+        for name, arr in [
+            ("n_chars", n_chars), ("n_tokens", n_tokens),
+            ("n_bpe_tokens", n_bpe), ("n_punct", n_punct),
+            ("punct_ratio", pa.array(punct_ratio, pa.float64())),
+            ("mean_token_len", pa.array(mean_token_len, pa.float64())),
+        ]:
+            t = t.append_column(name, arr)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Heuristic quality score in [0,1]: length band + punctuation sanity +
+    stopword presence (Gopher/C4-style rules, simplified)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        low = pc.utf8_lower(text)
+        nc = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype("float64")
+        n_punct = pc.count_substring_regex(text, _PUNCT).to_numpy(
+            zero_copy_only=False).astype("float64")
+        stop_hits = np.zeros(len(t), dtype="float64")
+        for w in (" the ", " a ", " and ", " of ", " to ", " is "):
+            stop_hits += pc.count_substring(low, w).to_numpy(
+                zero_copy_only=False).astype("float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            len_score = np.clip(nc / 200.0, 0.0, 1.0)
+            punct_ok = np.where(nc > 0, 1.0 - np.clip(n_punct / np.maximum(nc, 1) / 0.2, 0.0, 1.0), 0.0)
+            stop_score = np.clip(stop_hits / 5.0, 0.0, 1.0)
+        score = 0.4 * len_score + 0.3 * punct_ok + 0.3 * stop_score
+        return t.append_column("quality", pa.array(score, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Marker-vocabulary language guess: for each language, the summed count
+    of its markers in the lowercased text; argmax -> ``lang_guess``. Fully
+    vectorized (one count_substring kernel per marker)."""
+    langs = list(LANG_MARKERS)
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t[text_col])
+        scores = np.zeros((len(t), len(langs)), dtype="int64")
+        for j, lang in enumerate(langs):
+            for m in LANG_MARKERS[lang]:
+                scores[:, j] += pc.count_substring(low, m).to_numpy(
+                    zero_copy_only=False)
+        best = scores.argmax(axis=1)
+        guess = np.array(langs, dtype=object)[best]
+        guess[scores.max(axis=1) == 0] = "und"
+        return t.append_column("lang_guess", pa.array(guess, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- winnowing fingerprint ---------------------------------------------------
+
+_WINNOW_K = 8      # rolling window (bytes)
+_WINNOW_W = 16     # winnow window (hashes)
+_B = np.uint64(257)
+_BK = np.uint64(pow(257, _WINNOW_K - 1, 1 << 64))
+
+
+def _rolling_hashes(data: bytes) -> np.ndarray:
+    """All k-byte Rabin-Karp hashes of data, vectorized via cumulative
+    polynomial trick in uint64 (wraparound arithmetic is part of the hash)."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - _WINNOW_K + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    powers = np.empty(_WINNOW_K, dtype=np.uint64)
+    powers[_WINNOW_K - 1] = np.uint64(1)
+    for i in range(_WINNOW_K - 2, -1, -1):
+        powers[i] = powers[i + 1] * _B
+    # windowed dot product via strided view
+    windows = np.lib.stride_tricks.sliding_window_view(b, _WINNOW_K)
+    with np.errstate(over="ignore"):
+        return (windows * powers).sum(axis=1, dtype=np.uint64)
+
+
+def winnow_fingerprint(text: str) -> int:
+    """Winnowed document fingerprint: xor of the per-window minima of the
+    rolling hashes (robust to local edits; Schleimer et al. 2003)."""
+    hs = _rolling_hashes(text.encode("utf-8", "ignore"))
+    if len(hs) == 0:
+        return 0
+    if len(hs) <= _WINNOW_W:
+        mins = np.array([hs.min()], dtype=np.uint64)
+    else:
+        mins = np.unique(
+            np.lib.stride_tricks.sliding_window_view(hs, _WINNOW_W).min(axis=1))
+    acc = np.uint64(0)
+    for m in mins:
+        acc ^= m
+    return int(acc)
+
+
+def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Append ``fp`` (winnowed rolling-hash fingerprint, uint64 as string for
+    Arrow/parquet friendliness) and ``fp64`` (int64 reinterpretation)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [winnow_fingerprint(s or "") for s in t[text_col].to_pylist()]
+        t = t.append_column("fp", pa.array([f"{f:016x}" for f in fps], pa.string()))
+        return t.append_column(
+            "fp64", pa.array(np.array(fps, dtype=np.uint64).view(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,192 @@
+"""Corpus operators: text analysis, dedup family, similarity search,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyarrow as pa
+import ray.data as rd
+
+from ai_knowledgegraph_extractor_ray.ops import dedup, multimodal, similarity, text
+
+
+def docs_ds(texts, ids=None):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(ids if ids is not None else range(len(texts)),
+                            dtype="int64"),
+        "text": pd.Series(texts, dtype="string"),
+    }))
+
+
+# --- text analysis -----------------------------------------------------------
+
+def test_token_stats():
+    out = text.token_stats(docs_ds(["one two three!", "", "a b"])).to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [3, 0, 2]
+    assert out["n_chars"].tolist() == [14, 0, 3]
+    assert out["n_punct"].tolist() == [1, 0, 0]
+    assert out["n_bpe_tokens"].tolist() == [4, 0, 2]
+
+
+def test_quality_score_orders_sensibly():
+    junk = "!!! ??? ### $$$ %%%"
+    prose = ("the quick brown fox jumps over the lazy dog and runs to the "
+             "river where the water is cold and the sun is warm " * 3)
+    out = text.quality_score(docs_ds([junk, prose])).to_pandas().sort_values("doc_id")
+    assert out["quality"].iloc[1] > out["quality"].iloc[0]
+
+
+def test_lang_id():
+    out = text.lang_id(docs_ds([
+        "the cat is in the house and the dog is on the mat",
+        "le chat est dans la maison et le chien est dans le jardin",
+        "der hund ist nicht in der küche und das haus ist alt",
+        "xyzzy qwerty",
+    ])).to_pandas().sort_values("doc_id")
+    assert out["lang_guess"].tolist() == ["en", "fr", "de", "und"]
+
+
+def test_fingerprint_stability_and_sensitivity():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "completely different content about databases and distributed systems"
+    out = text.fingerprint(docs_ds([a, a, b])).to_pandas().sort_values("doc_id")
+    fps = out["fp"].tolist()
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+# --- dedup -------------------------------------------------------------------
+
+def test_exact_dedup_keeps_min_id():
+    ds = docs_ds(["aaa", "bbb", "aaa", "ccc", "bbb"], ids=[5, 1, 2, 9, 7])
+    out = dedup.exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 2, 9]
+
+
+def test_duplicate_groups():
+    ds = docs_ds(["aaa", "bbb", "aaa", "aaa"], ids=[3, 1, 0, 2])
+    out = dedup.duplicate_groups(ds).to_pandas()
+    assert len(out) == 1
+    assert int(out.iloc[0]["n_copies"]) == 3
+    assert int(out.iloc[0]["keep_id"]) == 0
+
+
+BASE = ("spark stream batch merge join filter sort window group key value "
+        "row column table scan hash agg part small big fast slow data line "
+        "query order customer vector dup")
+
+
+def test_minhash_near_pairs_and_dedup():
+    near = BASE.replace("customer", "client")           # 1-token edit
+    far = " ".join(reversed(BASE.split()))              # same vocab, diff ngrams
+    ds = docs_ds([BASE, near, far], ids=[0, 1, 2])
+    pairs = dedup.minhash_candidate_pairs(ds, threshold=0.5).to_pandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 2) not in set(zip(pairs["id_a"], pairs["id_b"]))
+
+    kept = dedup.near_dedup_minhash(ds, threshold=0.5).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2]
+
+
+def test_simhash_pairs():
+    near = BASE.replace("customer", "client")
+    ds = docs_ds([BASE, near, "utterly different words entirely here"],
+                 ids=[0, 1, 2])
+    pairs = dedup.simhash_near_pairs(ds, max_hamming=6).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+def test_embedding_near_pairs():
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = [base, base + 0.01 * rng.standard_normal(32).astype(np.float32),
+            rng.standard_normal(32).astype(np.float32)]
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series([0, 1, 2], dtype="int64"),
+        "embedding": [r.tolist() for r in rows],
+    }))
+    pairs = dedup.embedding_near_pairs(ds, threshold=0.95).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got and (0, 2) not in got
+
+
+# --- similarity --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vec_corpus():
+    rng = np.random.RandomState(11)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series(range(200), dtype="int64"),
+        "embedding": [r.tolist() for r in m],
+    })).repartition(4)
+    return ds, m
+
+
+def test_knn_brute_force_exact(vec_corpus):
+    ds, m = vec_corpus
+    q = m[[5, 17]]
+    out = similarity.knn_brute_force(ds, q, k=5).to_pandas()
+    for qi, row in ((0, 5), (1, 17)):
+        top = out[(out["query_id"] == qi) & (out["rank"] == 0)]
+        assert int(top["vec_id"].iloc[0]) == row          # self is nearest
+        assert top["score"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+    # verify full top-5 against numpy for query 0
+    unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = unit @ unit[5]
+    want = list(np.argsort(-sims)[:5])
+    got = out[out["query_id"] == 0].sort_values("rank")["vec_id"].tolist()
+    assert got == want
+
+
+def test_ivf_recall_at_least_half(vec_corpus):
+    ds, m = vec_corpus
+    idx = similarity.IVFIndex.build(ds, n_clusters=8, id_col="vec_id")
+    q = m[[3, 50, 99]]
+    approx = idx.search(q, k=5, nprobe=3).to_pandas()
+    unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    recalls = []
+    for qi in range(3):
+        want = set(np.argsort(-(unit @ unit[[3, 50, 99][qi]]))[:5])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & got) / 5)
+    assert np.mean(recalls) >= 0.5
+    # self must always be found (its bucket is probed first)
+    for qi, self_id in ((0, 3), (1, 50), (2, 99)):
+        top = approx[(approx["query_id"] == qi) & (approx["rank"] == 0)]
+        assert int(top["vec_id"].iloc[0]) == self_id
+
+
+# --- multimodal --------------------------------------------------------------
+
+def test_media_plumbing_decode_and_frames():
+    media = multimodal.synthetic_media(n_items=24)
+    decoded = multimodal.decode_images(media, concurrency=1).to_pandas()
+    imgs = decoded[decoded["decoded"]]
+    assert len(imgs) == 8                     # every 3rd item is an image
+    assert all(len(f) == 8 * 8 * 3 for f in imgs["features"])
+
+    frames = multimodal.sample_frames(media, stride=10, concurrency=1).to_pandas()
+    vids = set(frames["item_id"])
+    assert vids and all(i % 3 == 2 for i in vids)
+    assert all(len(f) == 3 for f in frames["frame_feature"])
+
+
+def test_decoder_fake_gate():
+    dec = multimodal.ImageDecoder(fake_ok=False)
+    if dec._pil is None:
+        with pytest.raises(NotImplementedError):
+            dec._decode(b"xx", 4, 4)
+
+
+def test_decode_deterministic():
+    media = multimodal.synthetic_media(n_items=6)
+    a = multimodal.decode_images(media, concurrency=1).to_pandas()
+    b = multimodal.decode_images(multimodal.synthetic_media(n_items=6),
+                                 concurrency=1).to_pandas()
+    fa = [list(map(float, f)) for f in a[a["decoded"]].sort_values("item_id")["features"]]
+    fb = [list(map(float, f)) for f in b[b["decoded"]].sort_values("item_id")["features"]]
+    assert fa == fb
