@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline at sf0.001. ``queries()`` exposes
+one callable per implemented operator pipeline (SURVEY.md §2 + the corpus
+operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every query
+whose semantics are SQL-expressible (non-SQL ops — regex graph extraction,
+LSH near-dedup, approximate ANN — are rows-only checks by design).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+this module or the library calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column-name contract: every aggregate/computed column is named identically in
+the Ray implementation (pipelines/queries.py) and the SQL below; floats are
+compared as integer basis points.
 """
 
 from __future__ import annotations
@@ -18,27 +19,211 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: transcripts (derived from sf0.001 documents, with
+    deterministic entity planting) -> assembled conversations -> rule-backend
+    graph extraction -> per-partition committed node/edge parquet ->
+    canonical weighted edges. Returns the canonical edge table."""
+    import tempfile
+
+    from ai_knowledgegraph_extractor_ray.config import KGConfig
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+
+    import pyarrow.parquet as pq
+
+    cfg = KGConfig(num_partitions=8, extract_concurrency=2)
+    out = tempfile.mkdtemp(prefix="kg_entry_")
+    n_convs = pq.ParquetFile(f"{SF_SMOKE}/documents.parquet").metadata.num_rows
+    ts = src.synthetic_transcripts(n_convs=n_convs, seed=42)
+    kg.run_kg_job(ts, cfg, out, resume=False)
+    kg.run_canonicalize_job(out, cfg)
+    return kg.read_canonical_edges(out, cfg.version)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # conversation assembly / versioning / stats
+        "assemble": q.q_assemble,
+        "assemble_prefix": q.q_assemble_prefix,
+        "transcript_stats": q.q_transcript_stats,
+        "latest_turn": q.q_latest_turn,
+        # text analysis
+        "token_stats": q.q_token_stats,
+        "quality": q.q_quality,
+        "lang_id": q.q_lang_id,
+        "fingerprint": q.q_fingerprint,
+        "top_tokens": q.q_top_tokens,
+        # dedup
+        "exact_dedup": q.q_exact_dedup,
+        "dup_groups": q.q_dup_groups,
+        "minhash_pairs": q.q_minhash_pairs,
+        "simhash_pairs": q.q_simhash_pairs,
+        "embedding_near_pairs": q.q_embedding_near_pairs,
+        # windowed aggregate
+        "events_hourly": q.q_events_hourly,
+        # similarity search
+        "knn": q.q_knn,
+        "ivf_knn": q.q_ivf_knn,
+        # entity extraction + canonicalization
+        "entities": q.q_entities,
+        "alias_exact": q.q_alias_exact,
+        # full KG pipeline (not SQL-expressible)
+        "kg_nodes": q.q_kg_nodes,
+        "kg_edges": q.q_kg_edges,
+        "canonical_edges": q.q_canonical_edges,
+        # multimodal plumbing
+        "media_decode": q.q_media_decode,
+    }
+
+
+_TRANSCRIPTS = ("SELECT 'c' || CAST(doc_id % 100 AS VARCHAR) AS conv_id, "
+                "CAST(doc_id // 100 AS INT) AS turn_idx, text FROM documents")
+
+_TITLECASED = (
+    "SELECT doc_id, array_to_string(list_transform("
+    "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), "
+    "w -> CASE WHEN length(w) % 3 = 0 THEN upper(w[1]) || w[2:] ELSE w END), "
+    "' ') AS t FROM documents")
+
+_ENTITY_RE = "\\b[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*\\b"
+
+_STOPS = ("('In','The','A','An','This','That','These','Those','It','Is',"
+          "'Was','Are','Were','Be','Been')")
+
+_ENTITIES_SQL = f"""
+WITH tc AS ({_TITLECASED}),
+spans AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, '{_ENTITY_RE}')) AS label,
+         unnest(range(1, len(regexp_extract_all(t, '{_ENTITY_RE}')) + 1)) AS ord
+  FROM tc),
+firsts AS (
+  SELECT doc_id, label, min(ord) AS first_ord
+  FROM spans WHERE label NOT IN {_STOPS}
+  GROUP BY doc_id, label),
+ranked AS (
+  SELECT doc_id, label,
+         row_number() OVER (PARTITION BY doc_id ORDER BY first_ord) AS rnk
+  FROM firsts)
+SELECT doc_id, 'n' || CAST(rnk AS VARCHAR) AS node_id, label
+FROM ranked WHERE rnk <= 15
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "assemble": f"""
+            SELECT conv_id,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                   CAST(count(*) AS INT) AS n_turns
+            FROM ({_TRANSCRIPTS}) GROUP BY conv_id
+        """,
+        "assemble_prefix": f"""
+            SELECT conv_id,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                   CAST(count(*) AS INT) AS n_turns
+            FROM ({_TRANSCRIPTS}) WHERE turn_idx <= 2 GROUP BY conv_id
+        """,
+        "transcript_stats": """
+            SELECT CAST(count(DISTINCT doc_id % 100) AS BIGINT) AS n_convs,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents
+        """,
+        "latest_turn": f"""
+            SELECT conv_id, CAST(max(turn_idx) AS INT) AS max_turn_idx
+            FROM ({_TRANSCRIPTS}) GROUP BY conv_id
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+                                             w -> w <> '')) END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "quality": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS nc,
+                     CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS np,
+                     (length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5.0
+                   + (length(lower(text)) - length(replace(lower(text), ' a ', ''))) / 3.0
+                   + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5.0
+                   + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4.0
+                   + (length(lower(text)) - length(replace(lower(text), ' to ', ''))) / 4.0
+                   + (length(lower(text)) - length(replace(lower(text), ' is ', ''))) / 4.0
+                     AS stop_hits
+              FROM documents)
+            SELECT doc_id, CAST(round((
+                     0.4 * least(nc / 200.0, 1.0)
+                   + 0.3 * (CASE WHEN nc > 0
+                            THEN 1.0 - least(np / greatest(nc, 1) / 0.2, 1.0)
+                            ELSE 0.0 END)
+                   + 0.3 * least(stop_hits / 5.0, 1.0)) * 10000) AS BIGINT)
+                   AS quality_bp
+            FROM f
+        """,
+        "top_tokens": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                            w -> w <> '')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+        """,
+        "exact_dedup": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "dup_groups": """
+            SELECT substr(sha256(text), 1, 32) AS content_hash,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "events_hourly": """
+            SELECT user_id,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events GROUP BY user_id, hour
+        """,
+        "knn": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id,
+                   CAST(round(sim * 10000) AS BIGINT) AS score_bp,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) - 1 AS BIGINT) AS rank
+            FROM s QUALIFY rank < 10
+        """,
+        "entities": _ENTITIES_SQL,
+        "alias_exact": f"""
+            WITH ents AS ({_ENTITIES_SQL}),
+            counts AS (
+              SELECT lower(label) AS norm, label, count(*) AS cnt
+              FROM ents GROUP BY lower(label), label),
+            ranked AS (
+              SELECT norm, label, cnt,
+                     row_number() OVER (PARTITION BY norm
+                                        ORDER BY cnt DESC, label) AS rn,
+                     sum(cnt) OVER (PARTITION BY norm) AS total
+              FROM counts)
+            SELECT norm, label AS canonical_label,
+                   CAST(total AS BIGINT) AS n_mentions
+            FROM ranked WHERE rn = 1
+        """,
+    }

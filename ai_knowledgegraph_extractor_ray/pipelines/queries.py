@@ -1,0 +1,320 @@
+"""Driver-facing query catalog: Ray-side implementation of every operator
+pipeline exposed through ``__ray_entry__.queries()``.
+
+Each function takes an ``sf_dir`` of testdata parquet tables and returns a
+Dataset / DataFrame whose COLUMN NAMES AND TYPES match the DuckDB oracle SQL
+in ``__ray_entry__.oracle_sql()`` exactly (the driver sorts columns by name
+and value-hashes, so names and value representations must agree; floats are
+returned as integer basis points to keep hashes stable).
+
+These are thin compositions over the library operators — the operator logic
+lives in ops/ and stages/; this module only wires and projects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import KGConfig
+from ..functions.rules import STOP_WORDS, extract_entities
+from ..ops import dedup, similarity, text as text_ops
+from ..sources import transcripts as src
+from ..stages import canonicalize as cz
+from ..stages.conversation import add_partition_id, assemble_partition
+
+QCFG = KGConfig(num_partitions=16, extract_concurrency=4)
+
+
+def _documents(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _assembled(sf_dir: str, version_cutoff: int | None = None) -> rd.Dataset:
+    ds = src.transcripts_from_documents(sf_dir)
+    ds = add_partition_id(ds, QCFG.num_partitions)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return assemble_partition(df, version_cutoff=version_cutoff)
+
+    return ds.groupby("partition_id").map_groups(fn, batch_format="pandas")
+
+
+# --- conversation assembly / versioning (reference M14, S8, J3, G4) ---------
+
+def q_assemble(sf_dir: str) -> rd.Dataset:
+    return _assembled(sf_dir).select_columns(["conv_id", "text", "n_turns"])
+
+
+def q_assemble_prefix(sf_dir: str) -> rd.Dataset:
+    """Version semantics: cutoff at turn_idx <= 2 (reference main.py:231-259)."""
+    return _assembled(sf_dir, version_cutoff=2).select_columns(
+        ["conv_id", "text", "n_turns"])
+
+
+def q_transcript_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus stats (reference get_database_stats, database_service.py:314-346):
+    per-block partials -> per-conversation merge -> one driver-side row."""
+    ds = src.transcripts_from_documents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(t["text"]).cast(pa.int64())
+        tmp = pa.table({"conv_id": t["conv_id"], "n": chars})
+        df = tmp.to_pandas().groupby("conv_id", as_index=False).agg(
+            n_turns=("n", "size"), n_chars=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("conv_id", as_index=False)[["n_turns", "n_chars"]].sum()
+
+    per_conv = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("conv_id").map_groups(merge, batch_format="pandas")
+                .to_pandas())  # one row per conversation (bounded)
+    return pd.DataFrame({
+        "n_convs": pd.Series([len(per_conv)], dtype="int64"),
+        "n_turns": pd.Series([int(per_conv["n_turns"].sum())], dtype="int64"),
+        "total_chars": pd.Series([int(per_conv["n_chars"].sum())], dtype="int64"),
+    })
+
+
+def q_latest_turn(sf_dir: str) -> rd.Dataset:
+    """Latest version per conversation (reference database_service.py:112-115)."""
+    ds = src.transcripts_from_documents(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"]}).to_pandas()
+        out = df.groupby("conv_id", as_index=False)["turn_idx"].max()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("conv_id", as_index=False)["turn_idx"].max()
+        return out.rename(columns={"turn_idx": "max_turn_idx"})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("conv_id").map_groups(merge, batch_format="pandas"))
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_token_stats(sf_dir: str) -> rd.Dataset:
+    out = text_ops.token_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_chars", "n_tokens",
+                               "n_bpe_tokens", "n_punct"])
+
+
+def q_quality(sf_dir: str) -> rd.Dataset:
+    out = text_ops.quality_score(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+    def to_bp(t: pa.Table) -> pa.Table:
+        bp = np.round(t["quality"].to_numpy(zero_copy_only=False) * 10000)
+        return pa.table({"doc_id": t["doc_id"],
+                         "quality_bp": pa.array(bp.astype(np.int64))})
+
+    return out.map_batches(to_bp, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str) -> rd.Dataset:
+    out = text_ops.lang_id(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "lang_guess"])
+
+
+def q_fingerprint(sf_dir: str) -> rd.Dataset:
+    out = text_ops.fingerprint(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "fp"])
+
+
+def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Hot-token top-k: per-block partial counts -> uniform groupby merge ->
+    tiny sorted head. The shuffle carries (token, count) partials, one per
+    distinct token per block."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for w in (s or "").split():
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "cnt": pa.array(list(counts.values()), pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False)["cnt"].sum()
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("token").map_groups(merge, batch_format="pandas")
+             .to_pandas())  # vocabulary-sized
+    vocab = vocab.sort_values(["cnt", "token"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+    return vocab
+
+
+# --- dedup -------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str) -> rd.Dataset:
+    return dedup.exact_dedup(_documents(sf_dir))
+
+
+def q_dup_groups(sf_dir: str) -> pd.DataFrame:
+    df = dedup.duplicate_groups(_documents(sf_dir)).to_pandas()
+    if "content_hash" not in df.columns:  # all-empty groups lose the schema
+        df = pd.DataFrame({"content_hash": pd.Series(dtype="string"),
+                           "n_copies": pd.Series(dtype="int64"),
+                           "keep_id": pd.Series(dtype="int64")})
+    return df
+
+
+def q_minhash_pairs(sf_dir: str) -> rd.Dataset:
+    return dedup.minhash_candidate_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
+    return dedup.simhash_near_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def q_embedding_near_pairs(sf_dir: str) -> rd.Dataset:
+    return dedup.embedding_near_pairs(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9)
+
+
+# --- events: windowed aggregate ---------------------------------------------
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    """Per (user, hour) event counts + exact integer-cents value sums.
+    Partial aggregation inside map_batches; groupby moves partials only."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+            value_cents=np.round(df["value"].to_numpy() * 100).astype(np.int64))
+        return df.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "hour"], as_index=False)[
+            ["n_events", "value_cents"]].sum()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["user_id", "hour"]).map_groups(merge, batch_format="pandas"))
+
+
+# --- similarity --------------------------------------------------------------
+
+N_KNN_QUERIES = 8
+
+
+def q_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Exact cosine top-k, queries = the first N_KNN_QUERIES embeddings.
+    Scores reported as integer basis points for hash-stable comparison."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
+           .sort_values("vec_id"))
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    out = similarity.knn_brute_force(
+        emb, queries, k=k, query_ids=qdf["vec_id"].to_numpy())
+
+    def to_bp(t: pa.Table) -> pa.Table:
+        bp = np.round(t["score"].to_numpy(zero_copy_only=False) * 10000)
+        return pa.table({"query_id": t["query_id"], "vec_id": t["vec_id"],
+                         "score_bp": pa.array(bp.astype(np.int64)),
+                         "rank": t["rank"].cast(pa.int64())})
+
+    return out.map_batches(to_bp, batch_format="pyarrow")
+
+
+def q_ivf_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
+           .sort_values("vec_id"))
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    idx = similarity.IVFIndex.build(emb, n_clusters=16)
+    return idx.search(queries, k=k, nprobe=4)
+
+
+# --- entity extraction + canonicalization (SQL-checkable slice) -------------
+
+def q_entities(sf_dir: str) -> rd.Dataset:
+    """Reference entity-candidate semantics (services.py:392-419) over
+    deterministically title-cased documents: (doc_id, node_id, label)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, nids, labels = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for i, ent in enumerate(extract_entities(
+                    src.titlecase_mod3(s or "")), start=1):
+                ids.append(did)
+                nids.append(f"n{i}")
+                labels.append(ent)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "node_id": pa.array(nids, pa.string()),
+                         "label": pa.array(labels, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_alias_exact(sf_dir: str) -> rd.Dataset:
+    """Exact-normalization alias table over the extracted entity mentions
+    (the SQL-checkable core of canonicalization: salted two-phase mention
+    counting + most-frequent-variant pick, without the LSH linking)."""
+    mentions = q_entities(sf_dir)
+    surf = cz.build_surface_table(mentions, QCFG)
+    return surf.select_columns(["norm", "canonical_label", "n_mentions"])
+
+
+# --- full KG pipeline slices (not SQL-expressible; rows-only checks) --------
+
+def _sf_n_convs(sf_dir: str) -> int:
+    """Scale the synthetic transcript corpus to the sf's documents table."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def _graph_rows(sf_dir: str) -> rd.Dataset:
+    """Full extraction DAG over the deterministic synthetic transcript corpus
+    (sized by the sf's documents table). The sf documents themselves are
+    lowercase word soup — no relation verbs — so the KG slice runs on the
+    corpus whose golden outputs are pinned by tests/golden/."""
+    from .kg import build_graph_rows
+    ts = src.synthetic_transcripts(n_convs=_sf_n_convs(sf_dir), seed=42)
+    return build_graph_rows(ts, QCFG)
+
+
+def q_kg_nodes(sf_dir: str) -> rd.Dataset:
+    rows = _graph_rows(sf_dir)
+    return rows.filter(expr="kind == 'node'").select_columns(
+        ["conv_id", "node_id", "label", "node_type"])
+
+
+def q_kg_edges(sf_dir: str) -> rd.Dataset:
+    rows = _graph_rows(sf_dir)
+    return rows.filter(expr="kind == 'edge'").select_columns(
+        ["conv_id", "edge_id", "src_node_id", "dst_node_id",
+         "subj", "pred", "obj"])
+
+
+def q_canonical_edges(sf_dir: str) -> rd.Dataset:
+    edges = q_kg_edges(sf_dir)
+    nodes = q_kg_nodes(sf_dir)
+    alias = cz.build_alias_table(nodes, QCFG)
+    return cz.canonicalize_edges(edges, alias, QCFG)
+
+
+def q_media_decode(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing smoke (sf-independent synthetic payloads)."""
+    from ..ops import multimodal
+    media = multimodal.synthetic_media(n_items=48)
+    return multimodal.decode_images(media, concurrency=2)

@@ -210,12 +210,29 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
 
 N_CONV_GROUPS = 100
 
+_WS_SPLIT = __import__("re").compile(r"\s+")
 
-def transcripts_from_documents(sf_dir: str) -> rd.Dataset:
+
+def titlecase_mod3(text: str) -> str:
+    """Deterministic entity planting for lowercase corpora: capitalize words
+    whose length % 3 == 0. Chosen because it is exactly expressible in both
+    Python and ANSI/DuckDB SQL (length(w)%3=0 -> upper(w[1])||w[2:]), which
+    makes the downstream entity-extraction operators oracle-checkable."""
+    words = [w for w in _WS_SPLIT.split(text) if w]
+    return " ".join(
+        (w[:1].upper() + w[1:]) if len(w) % 3 == 0 else w for w in words)
+
+
+def transcripts_from_documents(sf_dir: str, titlecase: bool = False) -> rd.Dataset:
     """Derive a transcript-shaped table from testdata documents.parquet with
     pure arithmetic (doc_id % 100 -> conv, doc_id // 100 -> turn) so DuckDB
     can derive the same rows; see __ray_entry__.oracle_sql()."""
     def derive(t: pa.Table) -> pa.Table:
+        if titlecase:
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text",
+                pa.array([titlecase_mod3(s or "") for s in t["text"].to_pylist()],
+                         pa.string()))
         doc_id = t["doc_id"].to_numpy()
         conv = doc_id % N_CONV_GROUPS
         turn = (doc_id // N_CONV_GROUPS).astype("int32")

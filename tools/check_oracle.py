@@ -1,0 +1,102 @@
+"""Driver-mimicking correctness harness: run every __ray_entry__ query and
+its DuckDB oracle side-by-side and compare (row count, sorted columns,
+order-insensitive values). Usage:
+
+    PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or str(df[c].dtype) == "string":
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    if len(ray_df) != len(sql_df):
+        return f"ROWS ray={len(ray_df)} sql={len(sql_df)}"
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        return f"COLS ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
+    a, b = canon(ray_df), canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+        else:
+            ok = (av == bv).all()
+        if not ok:
+            bad = np.nonzero(av != bv)[0][:3] if av.dtype == bv.dtype else [0]
+            detail = "; ".join(f"[{i}] ray={av[i]!r} sql={bv[i]!r}" for i in bad)
+            return f"VALUES col={c}: {detail}"
+    return "OK"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} RAY-ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows-only rows={len(ray_df)}")
+            continue
+        try:
+            sql_df = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} SQL-ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        verdict = compare(name, ray_df, sql_df)
+        print(f"{name:24s} {verdict} rows={len(ray_df)}")
+        if verdict != "OK":
+            failures += 1
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
