@@ -149,6 +149,26 @@ def winnow_fingerprint(text: str) -> int:
     return int(acc)
 
 
+MAX_TEXT_BYTES = 1024 * 1024   # reference validators.py:409
+
+
+def validate_texts(ds: rd.Dataset, text_col: str = "text",
+                   max_bytes: int = MAX_TEXT_BYTES) -> rd.Dataset:
+    """Text-content validation filter (reference validate_text_content,
+    validators.py:392-412): drop rows whose text is empty/whitespace or
+    larger than ``max_bytes`` utf-8 bytes. Vectorized arrow kernels."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        nonempty = pc.invert(pc.equal(pc.utf8_trim_whitespace(
+            pc.fill_null(txt, "")), ""))
+        small = pc.less_equal(pc.binary_length(
+            pc.fill_null(txt, "").cast(pa.binary())), max_bytes)
+        return t.filter(pc.and_(nonempty, small))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Append ``fp`` (winnowed rolling-hash fingerprint, uint64 as string for
     Arrow/parquet friendliness) and ``fp64`` (int64 reinterpretation)."""

@@ -136,6 +136,69 @@ def read_canonical_edges(out_dir: str, version: int) -> rd.Dataset:
         str(lineage.version_dir(out_dir, version) / "canonical" / "canonical_edges"))
 
 
+def get_stats(out_dir: str, version: int) -> dict:
+    """Corpus graph stats (reference get_database_stats,
+    database_service.py:314-346): totals from the lineage manifests (no data
+    scan) plus per-conversation averages."""
+    manifests = lineage.committed_partitions(out_dir, version)
+    n_convs = sum(m["n_conversations"] for m in manifests.values())
+    n_nodes = sum(m["n_nodes"] for m in manifests.values())
+    n_edges = sum(m["n_edges"] for m in manifests.values())
+    return {
+        "version": version,
+        "total_conversations": int(n_convs),
+        "total_nodes": int(n_nodes),
+        "total_edges": int(n_edges),
+        "avg_nodes_per_conversation": round(n_nodes / n_convs, 2) if n_convs else 0.0,
+        "avg_edges_per_conversation": round(n_edges / n_convs, 2) if n_convs else 0.0,
+    }
+
+
+def list_versions(out_dir: str) -> list[dict]:
+    """Committed versions, newest first (reference get_document_versions,
+    database_service.py:237-258). Metadata-only: reads manifests."""
+    from pathlib import Path
+    out = []
+    for vdir in Path(out_dir).glob("version=*"):
+        try:
+            v = int(vdir.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        ms = lineage.committed_partitions(out_dir, v)
+        if ms:
+            out.append({"version": v,
+                        "n_partitions": len(ms),
+                        "n_conversations": int(sum(
+                            m["n_conversations"] for m in ms.values()))})
+    return sorted(out, key=lambda m: -m["version"])
+
+
+def list_conversations(out_dir: str, version: int) -> rd.Dataset:
+    """Distinct conversations of a version with turn counts (reference
+    list_documents, database_service.py:260-278)."""
+    convs = rd.read_parquet(
+        [str(p / "convs.parquet")
+         for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("conv_id", as_index=False)
+                .agg(n_turns=("n_turns", "max"), n_windows=("window_id", "count")))
+
+    return convs.groupby("conv_id").map_groups(dedup, batch_format="pandas")
+
+
+def cleanup_versions(out_dir: str, keep_versions: int) -> list[int]:
+    """Retention pass (reference cleanup endpoint, database_service.py:280-312):
+    drop all but the newest ``keep_versions`` version partitions. Driver-side
+    metadata op — deletes whole version directories, never rewrites data."""
+    import shutil
+    versions = [m["version"] for m in list_versions(out_dir)]
+    doomed = versions[keep_versions:]
+    for v in doomed:
+        shutil.rmtree(lineage.version_dir(out_dir, v), ignore_errors=True)
+    return doomed
+
+
 def get_conversation_graph(out_dir: str, version: int, conv_id: str,
                            num_partitions: int) -> dict:
     """Point lookup of one conversation's graph — the analogue of the

@@ -1,0 +1,147 @@
+"""Benchmark harness.
+
+    python bench.py                 # headline pipelines at $RAY_GRAFT_CPUS (32)
+    python bench.py --scaling       # same KG job at 8 and 32 CPUs in fresh
+                                    # processes; reports scaling efficiency
+    python bench.py --kg-only       # just the KG pipeline (used by --scaling)
+
+Input tables come from $GRAFT_SF_DIR (default /root/testdata/sf0.1). The KG
+headline runs over the deterministic synthetic transcript corpus sized to the
+sf's documents table (the sf documents are lowercase word soup with no
+relation verbs; the synthetic corpus exercises the full extraction DAG).
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CONVS_PER_DOC = 4          # synthetic corpus size = 4 x documents rows
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from ai_knowledgegraph_extractor_ray.config import KGConfig
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+    from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_convs = CONVS_PER_DOC * n_docs
+    # Leave >=2 CPUs outside the extractor actor pool: a pool sized to the
+    # whole cluster reserves every slot and starves the upstream read/sort
+    # tasks -> deadlock (observed at num_cpus=8, concurrency=8).
+    cfg = KGConfig(num_partitions=max(64, num_cpus * 4),
+                   extract_concurrency=max(2, num_cpus - 2),
+                   extract_batch_size=256)
+
+    out = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        t0 = time.perf_counter()
+        ts = src.synthetic_transcripts(n_convs=n_convs, seed=42,
+                                       override_num_blocks=max(num_cpus * 2, 16))
+        summary = kg.run_kg_job(ts, cfg, out, resume=False)
+        timings["kg_extract"] = round(time.perf_counter() - t0, 3)
+        extras["kg_turns"] = summary["n_turns"]
+        extras["kg_turns_per_sec"] = round(summary["n_turns"] / timings["kg_extract"], 1)
+        extras["kg_edges"] = summary["n_edges"]
+
+        t0 = time.perf_counter()
+        kg.run_canonicalize_job(out, cfg)
+        timings["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    if not kg_only:
+        others = {
+            "assemble": lambda: q.q_assemble(sf_dir).count(),
+            "token_stats": lambda: q.q_token_stats(sf_dir).count(),
+            "exact_dedup": lambda: q.q_exact_dedup(sf_dir).count(),
+            "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
+            "simhash_pairs": lambda: q.q_simhash_pairs(sf_dir).count(),
+            "events_hourly": lambda: q.q_events_hourly(sf_dir).count(),
+            "knn": lambda: q.q_knn(sf_dir).count(),
+            "entities": lambda: q.q_entities(sf_dir).count(),
+            "alias_exact": lambda: q.q_alias_exact(sf_dir).count(),
+        }
+        for name, fn in others.items():
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same KG job, same input, fresh processes at 8 and 32 CPUs (sandbox
+    substitute for N vs 4N nodes). Efficiency = (tput32 / tput8) / 4."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--kg-only"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["kg_turns_per_sec"]
+    t32 = results[32]["kg_turns_per_sec"]
+    eff = round((t32 / t8) / 4.0, 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            "kg_extract_cpus8": results[8]["queries"]["kg_extract"],
+            "kg_extract_cpus32": results[32]["queries"]["kg_extract"],
+        },
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "turns_per_sec_cpus8": t8,
+        "turns_per_sec_cpus32": t32,
+        "kg_turns": results[32]["kg_turns"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--kg-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        result = run_scaling(SF_DIR)
+    else:
+        result = run_benchmarks(SF_DIR, NUM_CPUS, kg_only=args.kg_only)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
