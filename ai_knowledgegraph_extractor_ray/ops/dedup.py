@@ -74,6 +74,36 @@ def duplicate_groups(ds: rd.Dataset, text_col: str = "text",
     return hashed.groupby("content_hash").map_groups(agg, batch_format="pandas")
 
 
+def keep_nonsingleton_buckets(ds: rd.Dataset, bucket_col: str = "bucket") -> rd.Dataset:
+    """Drop rows whose bucket has only one member. LSH blocking produces
+    mostly-singleton buckets (no candidate can come from them); filtering
+    them BEFORE the per-bucket verification groupby turns "one Python task
+    per bucket over the whole corpus" into "one per *colliding* bucket" —
+    the difference between O(corpus) and O(duplicates) group overhead.
+
+    The colliding-bucket key set is broadcast via ray.put; assumption: it is
+    duplicate-volume-sized, small relative to the corpus."""
+    import ray
+
+    from .agg import bucketed_groupby
+
+    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df.groupby(bucket_col, sort=False)[bucket_col].transform("size")
+        return df.loc[sz >= 2, [bucket_col]].drop_duplicates()
+
+    hot = bucketed_groupby(
+        ds.select_columns([bucket_col]), [bucket_col], hot_in_bucket).to_pandas()
+    hot_vals = hot[bucket_col].tolist() if bucket_col in hot.columns else []
+    hot_ref = ray.put(set(hot_vals))
+
+    def keep(t: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        mask = [b in hot_set for b in t[bucket_col].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --- shingling / MinHash -----------------------------------------------------
 
 
@@ -107,6 +137,11 @@ def jaccard_of(a: set[int], b: set[int]) -> float:
     return inter / (len(a) + len(b) - inter) if (a or b) else 0.0
 
 
+def _dedup_pair_merge(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized whole-bucket pair dedup (same pair from several bands)."""
+    return df.drop_duplicates(["id_a", "id_b"])
+
+
 def minhash_candidate_pairs(
     ds: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 128, bands: int = 32, ngram: int = 3,
@@ -115,21 +150,56 @@ def minhash_candidate_pairs(
     """MinHash+LSH near-duplicate pairs with exact n-gram-Jaccard
     verification: (id_a, id_b, jaccard), id_a < id_b.
 
-    shingle -> signature inside map_batches; band-key explosion; groupby(band)
-    shuffle; within-bucket exact verification over re-shingled texts. The
-    text rides to the bucket so verification is local; ``max_bucket`` guards
-    degenerate buckets (boilerplate corpora) — overflow is dropped, logged by
-    the caller if coverage accounting matters."""
+    Two passes so raw text never rides the wide shuffle and the per-bucket
+    Python verification runs only on COLLIDING buckets:
 
-    def to_bands(t: pa.Table) -> pa.Table:
+    1. slim band rows (bucket, id) -> native groupby count -> the small set
+       of buckets with >=2 members, broadcast via ray.put;
+    2. corpus re-scan emits (bucket, id, text) for hot buckets only ->
+       groupby(bucket) -> exact n-gram-Jaccard verification in-bucket.
+
+    Signatures are computed twice (cheap, vectorized) to avoid shipping
+    per-row text/signature payloads for the singleton majority. ``max_bucket``
+    guards degenerate buckets (boilerplate corpora)."""
+    import ray
+
+    from .agg import bucketed_groupby
+
+    r = num_perm // bands
+
+    def band_keys_of(s: str) -> list[str]:
+        sig = minhash_sig(word_ngrams(s or "", ngram), num_perm)
+        return [f"{b}:{zlib.crc32(sig[b*r:(b+1)*r].tobytes()):08x}"
+                for b in range(bands)]
+
+    def to_bands_slim(t: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for bk in band_keys_of(s):
+                ids.append(i)
+                keys.append(bk)
+        return pa.table({"bucket": pa.array(keys, pa.string()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df.groupby("bucket", sort=False)["bucket"].transform("size")
+        return df.loc[sz >= 2, ["bucket"]].drop_duplicates()
+
+    hot = bucketed_groupby(
+        ds.map_batches(to_bands_slim, batch_format="pyarrow"),
+        ["bucket"], hot_in_bucket).to_pandas()
+    hot_ref = ray.put(frozenset(
+        hot["bucket"].tolist() if "bucket" in hot.columns else []))
+
+    def to_bands_hot(t: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
         ids, keys, texts = [], [], []
         for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            sig = minhash_sig(word_ngrams(s or "", ngram), num_perm)
-            r = num_perm // bands
-            for b in range(bands):
-                ids.append(i)
-                keys.append(f"{b}:{zlib.crc32(sig[b*r:(b+1)*r].tobytes()):08x}")
-                texts.append(s)
+            for bk in band_keys_of(s):
+                if bk in hot_set:
+                    ids.append(i)
+                    keys.append(bk)
+                    texts.append(s)
         return pa.table({"bucket": pa.array(keys, pa.string()),
                          id_col: pa.array(ids, pa.int64()),
                          text_col: pa.array(texts, pa.string())})
@@ -148,15 +218,10 @@ def minhash_candidate_pairs(
                              "id_b": pd.Series(b_out, dtype="int64"),
                              "jaccard": pd.Series(jac, dtype="float64")})
 
-    pairs = (ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = (ds.map_batches(to_bands_hot, batch_format="pyarrow")
              .groupby("bucket").map_groups(verify, batch_format="pandas"))
-
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-
-    # same pair can surface from several bands -> one uniform-key dedup pass
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        dedup_pairs, batch_format="pandas")
+    # same pair can surface from several bands -> bucketed uniform-key dedup
+    return bucketed_groupby(pairs, ["id_a", "id_b"], _dedup_pair_merge)
 
 
 def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5,
@@ -266,10 +331,11 @@ def simhash_near_pairs(ds: rd.Dataset, *, id_col: str = "doc_id",
                              "id_b": pd.Series(b_out, dtype="int64"),
                              "hamming": pd.Series(ham, dtype="int64")})
 
-    pairs = (hashed.map_batches(to_bands, batch_format="pyarrow")
-             .groupby("bucket").map_groups(verify, batch_format="pandas"))
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    banded = keep_nonsingleton_buckets(
+        hashed.map_batches(to_bands, batch_format="pyarrow"))
+    pairs = banded.groupby("bucket").map_groups(verify, batch_format="pandas")
+    from .agg import bucketed_groupby
+    return bucketed_groupby(pairs, ["id_a", "id_b"], _dedup_pair_merge)
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -320,7 +386,8 @@ def embedding_near_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
                              "id_b": pd.Series(b_out, dtype="int64"),
                              "cosine": pd.Series(cos, dtype="float64")})
 
-    pairs = (ds.map_batches(to_buckets, batch_format="pyarrow")
-             .groupby("bucket").map_groups(verify, batch_format="pandas"))
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+    bucketed = keep_nonsingleton_buckets(
+        ds.map_batches(to_buckets, batch_format="pyarrow"))
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    from .agg import bucketed_groupby
+    return bucketed_groupby(pairs, ["id_a", "id_b"], _dedup_pair_merge)

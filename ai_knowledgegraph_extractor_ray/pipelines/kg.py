@@ -59,17 +59,56 @@ def build_graph_rows(transcripts: rd.Dataset, cfg: KGConfig,
 def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                resume: bool = True) -> dict:
     """Execute the pipeline with per-partition commit; returns the job
-    summary (aggregated manifest counts)."""
+    summary (aggregated manifest counts).
+
+    With the stateless rule backend the whole per-partition chain
+    (sort-within-group -> concat -> extract -> write -> manifest) FUSES into
+    ONE ``groupby(partition_id).map_groups`` task — the job has exactly one
+    shuffle, over the raw turns, and no second barrier over graph rows
+    (measured: the staged variant spent ~40% of wall in the second sort).
+    Stateful backends (LLM actor pool) take the staged path, where the actor
+    pool sits between the two shuffles."""
     committed = lineage.committed_partitions(out_dir, cfg.version) if resume else {}
-    graph_rows = build_graph_rows(transcripts, cfg,
-                                  skip_partitions=set(committed))
 
-    def write(df: pd.DataFrame) -> pd.DataFrame:
-        return lineage.write_partition(df, out_dir, cfg.version)
+    if cfg.backend == "rules":
+        ds = add_partition_id(transcripts, cfg.num_partitions)
+        if committed:
+            skip = pa.array(sorted(committed), pa.int32())
 
-    manifests = graph_rows.groupby("partition_id").map_groups(
-        write, batch_format="pandas")
+            def drop_committed(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return t.filter(
+                    pc.invert(pc.is_in(t["partition_id"], value_set=skip)))
+
+            ds = ds.map_batches(drop_committed, batch_format="pyarrow")
+
+        extractor = Extractor(cfg)
+
+        def process(df: pd.DataFrame) -> pd.DataFrame:
+            conv = assemble_partition(
+                df, window_chars=cfg.window_chars,
+                version_cutoff=cfg.version_cutoff, version=cfg.version)
+            if len(conv) == 0:      # cutoff filtered the whole partition
+                return lineage.empty_manifest_frame()
+            rows = extractor(pa.Table.from_pandas(conv, preserve_index=False))
+            return lineage.write_partition(
+                rows.to_pandas(), out_dir, cfg.version)
+
+        manifests = ds.groupby("partition_id").map_groups(
+            process, batch_format="pandas")
+    else:
+        graph_rows = build_graph_rows(transcripts, cfg,
+                                      skip_partitions=set(committed))
+
+        def write(df: pd.DataFrame) -> pd.DataFrame:
+            return lineage.write_partition(df, out_dir, cfg.version)
+
+        manifests = graph_rows.groupby("partition_id").map_groups(
+            write, batch_format="pandas")
+
     fresh = manifests.to_pandas()  # P rows at most — safe to materialize
+    if "partition_id" not in fresh.columns:
+        fresh = lineage.empty_manifest_frame()
 
     all_manifests = list(committed.values()) + fresh.to_dict("records")
     summary = {

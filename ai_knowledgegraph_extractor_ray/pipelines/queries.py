@@ -60,6 +60,8 @@ def q_transcript_stats(sf_dir: str) -> pd.DataFrame:
     per-block partials -> per-conversation merge -> one driver-side row."""
     ds = src.transcripts_from_documents(sf_dir)
 
+    from ray.data.aggregate import Sum
+
     def partial(t: pa.Table) -> pa.Table:
         chars = pc.utf8_length(t["text"]).cast(pa.int64())
         tmp = pa.table({"conv_id": t["conv_id"], "n": chars})
@@ -67,11 +69,10 @@ def q_transcript_stats(sf_dir: str) -> pd.DataFrame:
             n_turns=("n", "size"), n_chars=("n", "sum"))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("conv_id", as_index=False)[["n_turns", "n_chars"]].sum()
-
     per_conv = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby("conv_id").map_groups(merge, batch_format="pandas")
+                .groupby("conv_id")
+                .aggregate(Sum("n_turns", alias_name="n_turns"),
+                           Sum("n_chars", alias_name="n_chars"))
                 .to_pandas())  # one row per conversation (bounded)
     return pd.DataFrame({
         "n_convs": pd.Series([len(per_conv)], dtype="int64"),
@@ -82,6 +83,8 @@ def q_transcript_stats(sf_dir: str) -> pd.DataFrame:
 
 def q_latest_turn(sf_dir: str) -> rd.Dataset:
     """Latest version per conversation (reference database_service.py:112-115)."""
+    from ray.data.aggregate import Max
+
     ds = src.transcripts_from_documents(sf_dir)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -89,12 +92,9 @@ def q_latest_turn(sf_dir: str) -> rd.Dataset:
         out = df.groupby("conv_id", as_index=False)["turn_idx"].max()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("conv_id", as_index=False)["turn_idx"].max()
-        return out.rename(columns={"turn_idx": "max_turn_idx"})
-
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("conv_id").map_groups(merge, batch_format="pandas"))
+            .groupby("conv_id")
+            .aggregate(Max("turn_idx", alias_name="max_turn_idx")))
 
 
 # --- text analysis -----------------------------------------------------------
@@ -144,12 +144,11 @@ def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pa.table({"token": pa.array(list(counts), pa.string()),
                          "cnt": pa.array(list(counts.values()), pa.int64())})
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("token", as_index=False)["cnt"].sum()
+    from ..ops.agg import bucketed_groupby, sum_merge
 
-    vocab = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("token").map_groups(merge, batch_format="pandas")
-             .to_pandas())  # vocabulary-sized
+    vocab = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], sum_merge(["token"], ["cnt"])).to_pandas()  # vocabulary-sized
     vocab = vocab.sort_values(["cnt", "token"], ascending=[False, True],
                               kind="mergesort").head(k).reset_index(drop=True)
     return vocab
@@ -194,6 +193,8 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
 
+    from ..ops.agg import bucketed_groupby, sum_merge
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
             hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
@@ -201,12 +202,10 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
         return df.groupby(["user_id", "hour"], as_index=False).agg(
             n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["user_id", "hour"], as_index=False)[
-            ["n_events", "value_cents"]].sum()
-
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby(["user_id", "hour"]).map_groups(merge, batch_format="pandas"))
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "hour"],
+        sum_merge(["user_id", "hour"], ["n_events", "value_cents"]))
 
 
 # --- similarity --------------------------------------------------------------

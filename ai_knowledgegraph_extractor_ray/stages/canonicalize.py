@@ -62,7 +62,8 @@ def canonical_id_of(cluster_key: str) -> str:
 # --- phase 1: mention partials ----------------------------------------------
 
 def _mention_partials(batch: pa.Table, salt_buckets: int) -> pa.Table:
-    """Collapse one block of node rows to (norm, label, salt) -> count."""
+    """Collapse one block of node rows to (norm, label) -> count partials
+    (the combiner: a hot surface form leaves the block as ONE row)."""
     labels = batch["label"].to_pylist()
     counts: dict[tuple[str, str], int] = {}
     for lab in labels:
@@ -70,20 +71,11 @@ def _mention_partials(batch: pa.Table, salt_buckets: int) -> pa.Table:
             continue
         key = (normalize_surface(lab), lab)
         counts[key] = counts.get(key, 0) + 1
-    norms = [k[0] for k in counts]
     return pa.table({
-        "norm": pa.array(norms, pa.string()),
+        "norm": pa.array([k[0] for k in counts], pa.string()),
         "label": pa.array([k[1] for k in counts], pa.string()),
-        "salt": pa.array(
-            [zlib.crc32(n.encode()) % salt_buckets for n in norms], pa.int32()),
         "cnt": pa.array(list(counts.values()), pa.int64()),
     })
-
-
-def _merge_salted(df: pd.DataFrame) -> pd.DataFrame:
-    """Merge partials within one (norm, salt) group."""
-    out = (df.groupby(["norm", "label"], sort=False, as_index=False)["cnt"].sum())
-    return out
 
 
 def _pick_variant(df: pd.DataFrame) -> pd.DataFrame:
@@ -98,13 +90,23 @@ def _pick_variant(df: pd.DataFrame) -> pd.DataFrame:
 
 def build_surface_table(nodes: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
     """node mentions -> distinct surface table (norm, canonical_label,
-    n_mentions). Two shuffles over *partials only*; mention rows never move."""
+    n_mentions). ONE shuffle, moving per-block (norm, label) count partials
+    only — a hot surface form contributes at most one row per block per
+    variant, so the merge is skew-proof — bucketed on crc32(norm) so the
+    merge+variant-pick runs as a vectorized pandas reduce per bucket, never
+    one Python task per distinct surface form."""
+    from ..ops.agg import bucketed_groupby
+
     partials = nodes.map_batches(
         lambda t: _mention_partials(t, cfg.alias_salt_buckets),
         batch_format="pyarrow")
-    merged = partials.groupby(["salt", "norm"]).map_groups(
-        _merge_salted, batch_format="pandas")
-    return merged.groupby("norm").map_groups(_pick_variant, batch_format="pandas")
+
+    def merge_and_pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["norm", "label"], as_index=False, sort=False)["cnt"].sum()
+        return _pick_variant(df)
+
+    return bucketed_groupby(partials, ["norm"], merge_and_pick,
+                            buckets=cfg.alias_salt_buckets)
 
 
 # --- phase 2: MinHash/LSH blocking over distinct norms ----------------------
@@ -219,9 +221,13 @@ def _candidate_pairs(surfaces: rd.Dataset, p: LinkParams) -> pd.DataFrame:
                              "norm_b": pd.Series(b_out, dtype="string"),
                              "jaccard": pd.Series(jac, dtype="float64")})
 
-    pairs = (surfaces.select_columns(["norm"])
-             .map_batches(to_buckets, batch_format="pyarrow")
-             .groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas"))
+    from ..ops.dedup import keep_nonsingleton_buckets
+
+    bucketed = keep_nonsingleton_buckets(
+        surfaces.select_columns(["norm"])
+        .map_batches(to_buckets, batch_format="pyarrow"))
+    pairs = bucketed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
     df = pairs.to_pandas()  # verified pairs only: tiny vs mention volume
     if "norm_a" not in df.columns:  # every bucket empty -> schemaless frame
         return pd.DataFrame(columns=["norm_a", "norm_b", "jaccard"])
@@ -325,14 +331,14 @@ def canonicalize_edges(edges: rd.Dataset, alias: pd.DataFrame,
             "weight": pa.array(list(counts.values()), pa.int64()),
         })
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["canonical_src", "pred", "canonical_dst",
-                            "src_label", "dst_label"],
-                           sort=False, as_index=False)["weight"].sum())
+    from ..ops.agg import bucketed_groupby, sum_merge
 
     partials = edges.map_batches(rewrite_and_count, batch_format="pyarrow")
-    return partials.groupby(["canonical_src", "pred", "canonical_dst"]).map_groups(
-        merge, batch_format="pandas")
+    # labels are functions of the canonical ids, so grouping on all five keys
+    # equals grouping on the triple; bucketed merge keeps the reduce
+    # vectorized regardless of distinct-triple cardinality
+    keys = ["canonical_src", "pred", "canonical_dst", "src_label", "dst_label"]
+    return bucketed_groupby(partials, keys, sum_merge(keys, ["weight"]))
 
 
 def canonical_nodes_table(alias: pd.DataFrame) -> pd.DataFrame:

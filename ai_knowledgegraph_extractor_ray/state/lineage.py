@@ -99,6 +99,18 @@ def write_partition(group: pd.DataFrame, out_dir: str, version: int) -> pd.DataF
     return pd.DataFrame([manifest])
 
 
+MANIFEST_COLS = ["partition_id", "version", "input_fingerprint",
+                 "n_conversations", "n_turns", "n_nodes", "n_edges",
+                 "wall_time_s"]
+
+
+def empty_manifest_frame() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype="object" if c == "input_fingerprint"
+                                      else "float64" if c == "wall_time_s"
+                                      else "int64")
+                         for c in MANIFEST_COLS})
+
+
 def validate_manifest(manifest: dict, fingerprint: str) -> bool:
     """True iff a committed partition's recorded input fingerprint matches a
     freshly computed one (resume-on-changed-input detection)."""
