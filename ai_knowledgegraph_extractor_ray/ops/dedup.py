@@ -44,34 +44,34 @@ def content_hash_column(ds: rd.Dataset, text_col: str = "text",
 
 def exact_dedup(ds: rd.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> rd.Dataset:
-    """Keep exactly one row (the smallest id) per distinct text. One uniform
-    hash-keyed shuffle; group sizes == duplicate multiplicity."""
+    """Keep exactly one row (the smallest id) per distinct text. One
+    uniform hash-bucketed shuffle; the keep-first reduce is a vectorized
+    idxmin per bucket, never one Python task per distinct text."""
+    from .agg import bucketed_groupby
+
     hashed = content_hash_column(ds, text_col)
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col, kind="mergesort").head(1)
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df.groupby("content_hash", sort=False)[id_col].idxmin()]
 
-    out = hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    out = bucketed_groupby(hashed, ["content_hash"], keep_first)
     return out.drop_columns(["content_hash"])
 
 
 def duplicate_groups(ds: rd.Dataset, text_col: str = "text",
                      id_col: str = "doc_id") -> rd.Dataset:
     """(content_hash, n_copies, keep_id) for every text with >1 copy."""
+    from .agg import bucketed_groupby
+
     hashed = content_hash_column(ds, text_col)
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"content_hash": pd.Series([], dtype="string"),
-                                 "n_copies": pd.Series([], dtype="int64"),
-                                 "keep_id": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
-            "content_hash": [df["content_hash"].iloc[0]],
-            "n_copies": [len(df)],
-            "keep_id": [int(df[id_col].min())],
-        })
+        g = df.groupby("content_hash", sort=False, as_index=False).agg(
+            n_copies=(id_col, "size"), keep_id=(id_col, "min"))
+        return g[g["n_copies"] > 1]
 
-    return hashed.groupby("content_hash").map_groups(agg, batch_format="pandas")
+    return bucketed_groupby(
+        hashed.select_columns(["content_hash", id_col]), ["content_hash"], agg)
 
 
 def keep_nonsingleton_buckets(ds: rd.Dataset, bucket_col: str = "bucket") -> rd.Dataset:

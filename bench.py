@@ -26,6 +26,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CONVS_PER_DOC = 4          # synthetic corpus size = 4 x documents rows
+# --scaling uses a larger corpus so each leg runs tens of seconds: the
+# sustained-throughput regime is the honest proxy for the 100 TB target —
+# short jobs measure scheduler latency, not scaling.
+SCALING_CONVS_PER_DOC = int(os.environ.get("GRAFT_SCALING_MULT", "48"))
 
 
 def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
@@ -46,7 +50,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
     extras: dict[str, float] = {}
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    n_convs = CONVS_PER_DOC * n_docs
+    n_convs = int(os.environ.get("GRAFT_BENCH_CONVS_PER_DOC",
+                                 str(CONVS_PER_DOC))) * n_docs
     # Leave >=2 CPUs outside the extractor actor pool: a pool sized to the
     # whole cluster reserves every slot and starves the upstream read/sort
     # tasks -> deadlock (observed at num_cpus=8, concurrency=8).
@@ -101,33 +106,40 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
     }
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Same KG job, same input, fresh processes at 8 and 32 CPUs (sandbox
-    substitute for N vs 4N nodes). Efficiency = (tput32 / tput8) / 4."""
+def run_scaling(sf_dir: str, cpu_pair: tuple[int, int] = (8, 32)) -> dict:
+    """Same KG job, same input, fresh processes at N and 4N CPUs (sandbox
+    substitute for N vs 4N nodes). Efficiency = (tput_4N / tput_N) / 4.
+
+    Caveat recorded in BASELINE.md: both configs share ONE node's memory
+    bandwidth and object store, which a real 4x-node cluster would not —
+    the 8 vs 32 pairing understates true multi-node scaling (8 CPUs already
+    run at ~96% CPU utilization; 32 saturate the box)."""
+    lo, hi = cpu_pair
     results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_CONVS_PER_DOC=str(SCALING_CONVS_PER_DOC))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--kg-only"],
             env=env, capture_output=True, text=True, timeout=3600)
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["kg_turns_per_sec"]
-    t32 = results[32]["kg_turns_per_sec"]
-    eff = round((t32 / t8) / 4.0, 3)
+    t_lo = results[lo]["kg_turns_per_sec"]
+    t_hi = results[hi]["kg_turns_per_sec"]
+    eff = round((t_hi / t_lo) / (hi / lo), 3)
     return {
         "metric": "scaling_efficiency",
         "value": eff,
         "unit": "ratio",
         "queries": {
-            "kg_extract_cpus8": results[8]["queries"]["kg_extract"],
-            "kg_extract_cpus32": results[32]["queries"]["kg_extract"],
+            f"kg_extract_cpus{lo}": results[lo]["queries"]["kg_extract"],
+            f"kg_extract_cpus{hi}": results[hi]["queries"]["kg_extract"],
         },
         "sf": sf_dir,
-        "num_cpus": 32,
-        "turns_per_sec_cpus8": t8,
-        "turns_per_sec_cpus32": t32,
-        "kg_turns": results[32]["kg_turns"],
+        "num_cpus": hi,
+        f"turns_per_sec_cpus{lo}": t_lo,
+        f"turns_per_sec_cpus{hi}": t_hi,
+        "kg_turns": results[hi]["kg_turns"],
     }
 
 
@@ -135,9 +147,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--kg-only", action="store_true")
+    ap.add_argument("--cpus", default="8,32",
+                    help="comma pair for --scaling, e.g. 2,8")
     args = ap.parse_args()
     if args.scaling:
-        result = run_scaling(SF_DIR)
+        lo, hi = (int(x) for x in args.cpus.split(","))
+        result = run_scaling(SF_DIR, (lo, hi))
     else:
         result = run_benchmarks(SF_DIR, NUM_CPUS, kg_only=args.kg_only)
     print(json.dumps(result))
