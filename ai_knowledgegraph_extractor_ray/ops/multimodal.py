@@ -155,6 +155,49 @@ class FrameSampler:
         })
 
 
+class AudioFeaturizer:
+    """Audio feature-extraction stage: payload -> frame-energy vector.
+    Real path would decode PCM (torchaudio/soundfile — absent here); the
+    seam is ``_pcm_of``. Emits fixed-size energy features per audio item."""
+
+    def __init__(self, n_frames: int = 16, fake_ok: bool = True):
+        self.n_frames = n_frames
+        self.fake_ok = fake_ok
+
+    def _pcm_of(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        if not self.fake_ok:
+            raise NotImplementedError("audio codec not available")
+        rng = np.random.RandomState(zlib.crc32(payload) % (2**31))
+        return rng.standard_normal(sample_rate).astype(np.float32)  # 1s fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats, durs = [], [], []
+        for item, kind, payload, sr in zip(batch["item_id"].to_pylist(),
+                                           batch["media_type"].to_pylist(),
+                                           batch["payload"].to_pylist(),
+                                           batch["meta_sample_rate"].to_pylist()):
+            if kind != "audio" or not sr:
+                continue
+            pcm = self._pcm_of(payload, sr)
+            frames = np.array_split(pcm, self.n_frames)
+            ids.append(item)
+            feats.append([float(np.sqrt((f ** 2).mean())) for f in frames])
+            durs.append(len(pcm) / sr)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "energy": pa.array(feats, pa.list_(pa.float32())),
+            "duration_s": pa.array(durs, pa.float64()),
+        })
+
+
+def featurize_audio(ds: rd.Dataset, *, concurrency: int = 2,
+                    batch_size: int = 8, fake_ok: bool = True) -> rd.Dataset:
+    return ds.map_batches(AudioFeaturizer,
+                          fn_constructor_kwargs={"fake_ok": fake_ok},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
 def decode_images(ds: rd.Dataset, *, concurrency: int = 2,
                   batch_size: int = 16, fake_ok: bool = True) -> rd.Dataset:
     """Small batch_size: payload x batch x concurrency bounds actor heap."""
