@@ -116,6 +116,36 @@ FROM ranked WHERE rnk <= 15
 """
 
 
+def _lang_id_sql() -> str:
+    """Replicates ops/text.py lang_id: per-language summed marker counts over
+    lowercased text, argmax in LANG_MARKERS order, all-zero -> 'und'.
+    count_substring and SQL replace() share non-overlapping semantics."""
+    from ai_knowledgegraph_extractor_ray.ops.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(lower(text)) - length(replace(lower(text), '{m}', '')))"
+            f" / {len(m)}"
+            for m in LANG_MARKERS[lang])
+        score_cols.append(f"({terms}) AS {lang}_s")
+    # argmax with first-in-list tie-break == chained >= comparisons
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang}_s >= {o}_s" for o in langs[i + 1:])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    greatest = ", ".join(f"{lang}_s" for lang in langs)
+    return f"""
+        WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest({greatest}) = 0 THEN 'und'
+                    {' '.join(branches)}
+                    ELSE '{langs[-1]}' END AS lang_guess
+        FROM s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "assemble": f"""
@@ -210,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY sim DESC, vec_id) - 1 AS BIGINT) AS rank
             FROM s QUALIFY rank < 10
         """,
+        "lang_id": _lang_id_sql(),
         "entities": _ENTITIES_SQL,
         "alias_exact": f"""
             WITH ents AS ({_ENTITIES_SQL}),
