@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
         "minhash_pairs": q.q_minhash_pairs,
+        "near_dedup": q.q_near_dedup,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_pairs": q.q_embedding_near_pairs,
         # windowed aggregate

@@ -180,6 +180,13 @@ def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
 
+def q_near_dedup(sf_dir: str) -> rd.Dataset:
+    """End-to-end near-dedup: drop MinHash-cluster non-survivors."""
+    return dedup.near_dedup_minhash(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.5)
+
+
 def q_embedding_near_pairs(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_pairs(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9)

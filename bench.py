@@ -80,13 +80,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
         others = {
             "assemble": lambda: q.q_assemble(sf_dir).count(),
             "token_stats": lambda: q.q_token_stats(sf_dir).count(),
+            "quality": lambda: q.q_quality(sf_dir).count(),
+            "lang_id": lambda: q.q_lang_id(sf_dir).count(),
+            "fingerprint": lambda: q.q_fingerprint(sf_dir).count(),
             "exact_dedup": lambda: q.q_exact_dedup(sf_dir).count(),
             "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
             "simhash_pairs": lambda: q.q_simhash_pairs(sf_dir).count(),
+            "embedding_near_pairs":
+                lambda: q.q_embedding_near_pairs(sf_dir).count(),
             "events_hourly": lambda: q.q_events_hourly(sf_dir).count(),
             "knn": lambda: q.q_knn(sf_dir).count(),
+            "ivf_knn": lambda: q.q_ivf_knn(sf_dir).count(),
             "entities": lambda: q.q_entities(sf_dir).count(),
             "alias_exact": lambda: q.q_alias_exact(sf_dir).count(),
+            "media_decode": lambda: q.q_media_decode(sf_dir).count(),
         }
         for name, fn in others.items():
             t0 = time.perf_counter()
