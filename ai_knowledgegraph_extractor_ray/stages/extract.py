@@ -177,10 +177,24 @@ class Extractor:
 
         for cid, wid, text, ver, pid, fp, nt in zip(
                 conv_ids, win_ids, texts, versions, pids, fps, n_turns):
-            g = self.backend.extract(text)
+            try:
+                g = self.backend.extract(text)
+                status = bname
+            except Exception:
+                # a poisoned row must never fail its partition (SURVEY §4.2):
+                # degrade to the deterministic backend, else to an empty
+                # graph, and mark the unit's lineage row
+                try:
+                    g = extract_rule_graph(text)
+                    status = "rules_fallback"
+                except Exception:
+                    g = RuleGraph()
+                    status = "error"
             # marker row per text unit: lineage counts + guarantees every
             # input partition commits even when extraction yields no graph
             emit("conv", cid, wid, ver, pid, fp, nt=nt)
+            if status != bname:
+                cols["backend"][-1] = status
             label_of = dict(zip(g.node_ids, g.labels))
             for nid, label, typ in zip(g.node_ids, g.labels, g.types):
                 emit("node", cid, wid, ver, pid, fp,

@@ -133,3 +133,33 @@ def test_audio_featurizer():
     assert len(feats) == 4                       # every 3rd+1 item is audio
     assert all(len(e) == 16 for e in feats["energy"])
     assert (feats["duration_s"] == 1.0).all()
+
+
+# --- extractor error resilience ----------------------------------------------
+
+def test_poisoned_backend_degrades_not_fails(tmp_path):
+    """A backend that raises must produce a rules-fallback graph and a
+    marked lineage row, never a failed partition."""
+    from ai_knowledgegraph_extractor_ray.stages.extract import (
+        Extractor, LLMBackend)
+
+    class Exploding(LLMBackend):
+        def extract(self, text):
+            raise RuntimeError("boom")
+
+    cfg = KGConfig(backend="llm", extra={})
+    ex = Extractor(cfg)
+    ex.backend = Exploding(cfg)
+    import pyarrow as pa
+    batch = pa.table({
+        "conv_id": ["c1"], "window_id": pa.array([0], pa.int32()),
+        "text": ["John Smith works at Vertex Labs."],
+        "version": pa.array([1], pa.int32()),
+        "partition_id": pa.array([0], pa.int32()),
+        "conv_fp": pa.array([0], pa.uint64()),
+        "n_turns": pa.array([1], pa.int32()),
+    })
+    out = ex(batch).to_pandas()
+    conv_rows = out[out["kind"] == "conv"]
+    assert (conv_rows["backend"] == "rules_fallback").all()
+    assert (out["kind"] == "node").sum() > 0   # rules fallback extracted
