@@ -66,8 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup": q.q_near_dedup,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_pairs": q.q_embedding_near_pairs,
-        # windowed aggregate
+        # windowed aggregate + sessionization (streaming-window operator)
         "events_hourly": q.q_events_hourly,
+        "events_sessions": q.q_events_sessions,
         # similarity search
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
@@ -228,6 +229,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS value_cents
             FROM events GROUP BY user_id, hour
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events),
+            m AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev IS NULL
+                               OR ts - prev > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM o),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM m)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM s GROUP BY user_id, session_idx
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

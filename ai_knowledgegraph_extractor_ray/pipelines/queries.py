@@ -215,6 +215,33 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
         sum_merge(["user_id", "hour"], ["n_events", "value_cents"]))
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessions(sf_dir: str) -> rd.Dataset:
+    """Gap-based sessionization (the streaming-window custom operator): a
+    new session starts when a user is idle > 30 minutes. One bucketed
+    shuffle on user_id; session assignment is a vectorized diff+cumsum over
+    each bucket's users."""
+    from ..ops.agg import bucketed_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = df.groupby("user_id", sort=False)["ts"].diff()
+        new_session = gap.isna() | (gap > pd.Timedelta(minutes=SESSION_GAP_MIN))
+        df = df.assign(session_idx=new_session.groupby(
+            df["user_id"], sort=False).cumsum().astype("int64"))
+        out = df.groupby(["user_id", "session_idx"], as_index=False).agg(
+            n_events=("ts", "size"), session_start=("ts", "min"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return out
+
+    return bucketed_groupby(ds, ["user_id"], sessionize)
+
+
 # --- similarity --------------------------------------------------------------
 
 N_KNN_QUERIES = 8
