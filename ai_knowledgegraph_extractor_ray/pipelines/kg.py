@@ -238,13 +238,20 @@ def cleanup_versions(out_dir: str, keep_versions: int) -> list[int]:
     return doomed
 
 
-def get_conversation_graph(out_dir: str, version: int, conv_id: str,
+def get_conversation_graph(out_dir: str, version: int | None, conv_id: str,
                            num_partitions: int) -> dict:
     """Point lookup of one conversation's graph — the analogue of the
     reference's GET /documents/{id}/graph (reference: main.py:155-177,
     database_service.py:175-235). Partition pruning via the lineage layout:
-    only the conversation's own partition directory is read."""
+    only the conversation's own partition directory is read.
+    ``version=None`` resolves to the latest committed version (reference
+    latest-version read, database_service.py:198-200)."""
     from ..stages.conversation import partition_of
+    if version is None:
+        versions = list_versions(out_dir)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {out_dir}")
+        version = versions[0]["version"]
     pid = partition_of(conv_id, num_partitions)
     pdir = lineage.partition_dir(out_dir, version, pid)
     nodes = pd.read_parquet(pdir / "nodes.parquet")
