@@ -56,6 +56,22 @@ def bucketed_groupby(partials: rd.Dataset, key_cols: list[str],
             .groupby("_bkey").map_groups(m, batch_format="pandas"))
 
 
+def per_group_apply(key_cols: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame]):
+    """merge callback: apply ``fn`` to each distinct-key sub-frame inside the
+    coarse bucket. The inner split is pandas' C-path groupby, so a million
+    tiny key groups cost one task per COARSE bucket plus an in-process loop —
+    not a million Ray tasks (measured: 363k LSH buckets took ~55 s as
+    map_groups tasks vs ~2 s inside bucketed merges)."""
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
+        outs = [fn(g) for _, g in df.groupby(key, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return fn(df.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+    return merge
+
+
 def sum_merge(key_cols: list[str], value_cols: list[str]):
     """merge callback: vectorized groupby-sum of ``value_cols``."""
     def merge(df: pd.DataFrame) -> pd.DataFrame:

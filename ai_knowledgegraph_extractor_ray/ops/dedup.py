@@ -116,18 +116,49 @@ def word_ngrams(text: str, n: int = 3) -> set[int]:
             for i in range(len(toks) - n + 1)}
 
 
-_MERSENNE = np.uint64(2**61 - 1)
+# Wraparound multiply-add hash family: an ODD multiplier is a bijection of
+# Z_2^64, so min over (a*x + b) mod 2^64 is a valid minwise hash — and the
+# implicit mod-2^64 is free, unlike the % (2^61-1) reduction it replaces
+# (the uint64 modulo was the single hottest kernel in the dedup stack).
 _rng = np.random.RandomState(0x5EED)
-_PERM_A = _rng.randint(1, 2**31 - 1, size=256).astype(np.uint64)
-_PERM_B = _rng.randint(0, 2**31 - 1, size=256).astype(np.uint64)
+_PERM_A = (_rng.randint(1, 2**62, size=256).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+_PERM_B = _rng.randint(0, 2**62, size=256).astype(np.uint64)
 
 
 def minhash_sig(sh: set[int], num_perm: int) -> np.ndarray:
     if not sh:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     vals = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-    prod = (_PERM_A[:num_perm, None] * vals[None, :] + _PERM_B[:num_perm, None]) % _MERSENNE
+    with np.errstate(over="ignore"):
+        prod = _PERM_A[:num_perm, None] * vals[None, :] + _PERM_B[:num_perm, None]
     return prod.min(axis=1)
+
+
+def minhash_sigs_batch(shingle_sets: list[set[int]], num_perm: int) -> np.ndarray:
+    """Signatures for a whole batch in one shot: concatenate every doc's
+    shingles, one (num_perm x total_shingles) vectorized hash, then
+    per-document segment minima via np.minimum.reduceat. Bit-identical to
+    per-doc minhash_sig, ~10x less Python overhead."""
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n)
+    nonempty = np.nonzero(lens > 0)[0]
+    if len(nonempty) == 0:
+        return out
+    total = int(lens[nonempty].sum())
+    vals = np.empty(total, dtype=np.uint64)
+    pos = 0
+    for i in nonempty:
+        s = shingle_sets[i]
+        vals[pos:pos + len(s)] = np.fromiter(s, dtype=np.uint64, count=len(s))
+        pos += len(s)
+    with np.errstate(over="ignore"):
+        prod = (_PERM_A[:num_perm, None] * vals[None, :]
+                + _PERM_B[:num_perm, None])
+    offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+    mins = np.minimum.reduceat(prod, offsets, axis=1)   # (num_perm, n_nonempty)
+    out[nonempty] = mins.T
+    return out
 
 
 def jaccard_of(a: set[int], b: set[int]) -> float:
@@ -167,15 +198,17 @@ def minhash_candidate_pairs(
 
     r = num_perm // bands
 
-    def band_keys_of(s: str) -> list[str]:
-        sig = minhash_sig(word_ngrams(s or "", ngram), num_perm)
-        return [f"{b}:{zlib.crc32(sig[b*r:(b+1)*r].tobytes()):08x}"
-                for b in range(bands)]
+    def band_keys_batch(texts: list) -> list[list[str]]:
+        sigs = minhash_sigs_batch(
+            [word_ngrams(s or "", ngram) for s in texts], num_perm)
+        return [[f"{b}:{zlib.crc32(sig[b*r:(b+1)*r].tobytes()):08x}"
+                 for b in range(bands)] for sig in sigs]
 
     def to_bands_slim(t: pa.Table) -> pa.Table:
         ids, keys = [], []
-        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            for bk in band_keys_of(s):
+        texts = t[text_col].to_pylist()
+        for i, bks in zip(t[id_col].to_pylist(), band_keys_batch(texts)):
+            for bk in bks:
                 ids.append(i)
                 keys.append(bk)
         return pa.table({"bucket": pa.array(keys, pa.string()),
@@ -194,8 +227,10 @@ def minhash_candidate_pairs(
     def to_bands_hot(t: pa.Table) -> pa.Table:
         hot_set = ray.get(hot_ref)
         ids, keys, texts = [], [], []
-        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            for bk in band_keys_of(s):
+        all_texts = t[text_col].to_pylist()
+        for i, s, bks in zip(t[id_col].to_pylist(), all_texts,
+                             band_keys_batch(all_texts)):
+            for bk in bks:
                 if bk in hot_set:
                     ids.append(i)
                     keys.append(bk)
@@ -218,8 +253,11 @@ def minhash_candidate_pairs(
                              "id_b": pd.Series(b_out, dtype="int64"),
                              "jaccard": pd.Series(jac, dtype="float64")})
 
-    pairs = (ds.map_batches(to_bands_hot, batch_format="pyarrow")
-             .groupby("bucket").map_groups(verify, batch_format="pandas"))
+    from .agg import per_group_apply
+
+    pairs = bucketed_groupby(
+        ds.map_batches(to_bands_hot, batch_format="pyarrow"),
+        ["bucket"], per_group_apply(["bucket"], verify))
     # same pair can surface from several bands -> bucketed uniform-key dedup
     return bucketed_groupby(pairs, ["id_a", "id_b"], _dedup_pair_merge)
 
@@ -331,10 +369,12 @@ def simhash_near_pairs(ds: rd.Dataset, *, id_col: str = "doc_id",
                              "id_b": pd.Series(b_out, dtype="int64"),
                              "hamming": pd.Series(ham, dtype="int64")})
 
+    from .agg import bucketed_groupby, per_group_apply
+
     banded = keep_nonsingleton_buckets(
         hashed.map_batches(to_bands, batch_format="pyarrow"))
-    pairs = banded.groupby("bucket").map_groups(verify, batch_format="pandas")
-    from .agg import bucketed_groupby
+    pairs = bucketed_groupby(banded, ["bucket"],
+                             per_group_apply(["bucket"], verify))
     return bucketed_groupby(pairs, ["id_a", "id_b"], _dedup_pair_merge)
 
 
@@ -386,8 +426,10 @@ def embedding_near_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
                              "id_b": pd.Series(b_out, dtype="int64"),
                              "cosine": pd.Series(cos, dtype="float64")})
 
+    from .agg import bucketed_groupby, per_group_apply
+
     bucketed = keep_nonsingleton_buckets(
         ds.map_batches(to_buckets, batch_format="pyarrow"))
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    from .agg import bucketed_groupby
+    pairs = bucketed_groupby(bucketed, ["bucket"],
+                             per_group_apply(["bucket"], verify))
     return bucketed_groupby(pairs, ["id_a", "id_b"], _dedup_pair_merge)

@@ -221,13 +221,14 @@ def _candidate_pairs(surfaces: rd.Dataset, p: LinkParams) -> pd.DataFrame:
                              "norm_b": pd.Series(b_out, dtype="string"),
                              "jaccard": pd.Series(jac, dtype="float64")})
 
+    from ..ops.agg import bucketed_groupby, per_group_apply
     from ..ops.dedup import keep_nonsingleton_buckets
 
     bucketed = keep_nonsingleton_buckets(
         surfaces.select_columns(["norm"])
         .map_batches(to_buckets, batch_format="pyarrow"))
-    pairs = bucketed.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    pairs = bucketed_groupby(bucketed, ["bucket"],
+                             per_group_apply(["bucket"], pairs_in_bucket))
     df = pairs.to_pandas()  # verified pairs only: tiny vs mention volume
     if "norm_a" not in df.columns:  # every bucket empty -> schemaless frame
         return pd.DataFrame(columns=["norm_a", "norm_b", "jaccard"])
