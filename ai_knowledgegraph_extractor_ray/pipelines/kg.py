@@ -215,6 +215,8 @@ def list_versions(out_dir: str) -> list[dict]:
 def list_conversations(out_dir: str, version: int) -> rd.Dataset:
     """Distinct conversations of a version with turn counts (reference
     list_documents, database_service.py:260-278)."""
+    from ..ops.agg import bucketed_groupby
+
     convs = rd.read_parquet(
         [str(p / "convs.parquet")
          for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
@@ -223,7 +225,7 @@ def list_conversations(out_dir: str, version: int) -> rd.Dataset:
         return (df.groupby("conv_id", as_index=False)
                 .agg(n_turns=("n_turns", "max"), n_windows=("window_id", "count")))
 
-    return convs.groupby("conv_id").map_groups(dedup, batch_format="pandas")
+    return bucketed_groupby(convs, ["conv_id"], dedup)
 
 
 def cleanup_versions(out_dir: str, keep_versions: int) -> list[int]:
