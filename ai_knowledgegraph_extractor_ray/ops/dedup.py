@@ -273,17 +273,36 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5,
 
 def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.8,
-                       **kw) -> rd.Dataset:
-    """Drop near-duplicates: cluster verified pairs (driver-side union-find
-    over the sparse pair list), keep the smallest id per cluster.
+                       cluster_mode: str = "driver", **kw) -> rd.Dataset:
+    """Drop near-duplicates: cluster verified pairs, keep the smallest id
+    per cluster.
 
-    Partitioning assumption: verified near-dup PAIRS fit on the driver (they
-    are duplicates — a corpus that is mostly duplicates should be exact-
-    deduped first). Survivor filtering is a broadcast anti-join."""
+    ``cluster_mode="driver"`` (default): union-find over the pair list on
+    the driver — assumes verified near-dup PAIRS fit in driver memory (they
+    are duplicates; a corpus that is mostly duplicates should be exact-
+    deduped first). ``cluster_mode="distributed"``: min-label-propagation
+    connected components as Dataset transforms (ops/cc.py) — the 100 TB
+    path when the pair list itself is large. Survivor filtering is a
+    broadcast anti-join either way (the drop list is duplicate-sized)."""
     import ray
 
-    pairs = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
-                                    threshold=threshold, **kw).to_pandas()
+    pairs_ds = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
+                                       threshold=threshold, **kw)
+    if cluster_mode == "distributed":
+        from .cc import connected_components
+        comp = connected_components(pairs_ds).to_pandas()
+        drop = (set(comp.loc[comp["node"] != comp["component"], "node"]
+                    .astype(int)) if len(comp) else set())
+        drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+
+        def keep(t: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            mask = ~np.isin(t[id_col].to_numpy(zero_copy_only=False), d)
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    pairs = pairs_ds.to_pandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -190,3 +190,48 @@ def test_decode_deterministic():
     fa = [list(map(float, f)) for f in a[a["decoded"]].sort_values("item_id")["features"]]
     fb = [list(map(float, f)) for f in b[b["decoded"]].sort_values("item_id")["features"]]
     assert fa == fb
+
+
+# --- distributed connected components ----------------------------------------
+
+def _uf_reference(pairs):
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x]); x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for p in pairs for x in p}
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find():
+    """One compact graph exercising a 6-node chain (pointer-jump path), a
+    triangle, an isolated pair, and label-chain resolution; verified against
+    a reference union-find. (Kept small: each propagation round is a
+    multi-shuffle Ray plan — correctness, not throughput, is under test; the
+    4-CPU pytest session pays ~2-3s of fixed plan latency per round.)"""
+    from ai_knowledgegraph_extractor_ray.ops.cc import connected_components
+    pairs = ([(i, i + 1) for i in range(10, 16)]      # chain 10..16
+             + [(0, 1), (1, 2), (0, 2)]               # triangle
+             + [(30, 41)]                             # pair
+             + [(16, 2)])                             # merges chain+triangle
+    want = _uf_reference(pairs)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"id_a": [a for a, _ in pairs], "id_b": [b for _, b in pairs]}))
+    got = connected_components(ds).to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
+    assert got_map == want
+
+
+def test_near_dedup_distributed_equals_driver():
+    near = BASE.replace("customer", "client")
+    far = " ".join(reversed(BASE.split()))
+    ds = docs_ds([BASE, near, far, BASE + " tail"], ids=[0, 1, 2, 3])
+    a = dedup.near_dedup_minhash(ds, threshold=0.5).to_pandas()
+    b = dedup.near_dedup_minhash(ds, threshold=0.5,
+                                 cluster_mode="distributed").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
