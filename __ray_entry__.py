@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_groups": q.q_dup_groups,
         "minhash_pairs": q.q_minhash_pairs,
         "near_dedup": q.q_near_dedup,
+        "corpus_clean": q.q_corpus_clean,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_pairs": q.q_embedding_near_pairs,
         # windowed aggregate + sessionization (streaming-window operator)

@@ -187,6 +187,15 @@ def q_near_dedup(sf_dir: str) -> rd.Dataset:
         threshold=0.5)
 
 
+def q_corpus_clean(sf_dir: str) -> rd.Dataset:
+    """Composed cleaning pipeline over the sf documents (validate -> exact
+    dedup -> near dedup -> quality/lang filter)."""
+    from .corpus_clean import clean_corpus
+    cleaned, _ = clean_corpus(_documents(sf_dir), near_threshold=0.5,
+                              min_quality=0.2)
+    return cleaned.select_columns(["doc_id", "lang_guess", "quality"])
+
+
 def q_embedding_near_pairs(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_pairs(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9)

@@ -235,3 +235,26 @@ def test_near_dedup_distributed_equals_driver():
     b = dedup.near_dedup_minhash(ds, threshold=0.5,
                                  cluster_mode="distributed").to_pandas()
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+# --- composed corpus-cleaning pipeline ----------------------------------------
+
+def test_clean_corpus_pipeline():
+    from ai_knowledgegraph_extractor_ray.pipelines.corpus_clean import clean_corpus
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river where the water is cold and the sun is warm today again")
+    texts = [good, good,                        # exact dup
+             good.replace("today", "tonight"),  # near dup
+             "", "short",                       # validation / quality drops
+             good.replace("the", "le").replace("and", "et")
+                 .replace("is", "est") + " le la les dans"]  # french-ish: kept
+    ds = docs_ds(texts, ids=[0, 1, 2, 3, 4, 5])
+    cleaned, report = clean_corpus(ds, near_threshold=0.5, min_quality=0.3)
+    assert report["input"] == 6
+    assert report["after_validate"] == 5        # "" dropped
+    assert report["after_exact_dedup"] == 4     # one exact dup gone
+    assert report["after_near_dedup"] == 3      # near dup gone
+    out = cleaned.to_pandas()
+    assert 0 in set(out["doc_id"])              # survivor of the dup cluster
+    assert report["after_quality_lang"] <= report["after_near_dedup"]
+    assert 4 not in set(out["doc_id"])          # low-quality "short" dropped
