@@ -127,20 +127,36 @@ def _person_context(entity: str, context: str, context_low: str) -> bool:
     return False
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _keyword_type(low: str) -> str | None:
+    """Context-free part of the type heuristic — pure in the surface form,
+    so repeated entities across a corpus hit this cache."""
+    for k in _ORG_KW:
+        if k in low:
+            return "Organization"
+    for k in _LOC_KW:
+        if k in low:
+            return "Location"
+    for k in _TECH_KW:
+        if k in low:
+            return "Technology"
+    for k in _TITLE_KW:
+        if k in low:
+            return "JobTitle"
+    return None
+
+
 def guess_entity_type(entity: str, context: str,
                       context_low: str | None = None) -> str:
     """Ordered first-match type heuristic over the entity and its full-text
     context (reference: services.py:507-547). Keyword tests are substring
     matches on the lowercased surface form."""
-    low = entity.lower()
-    if any(k in low for k in _ORG_KW):
-        return "Organization"
-    if any(k in low for k in _LOC_KW):
-        return "Location"
-    if any(k in low for k in _TECH_KW):
-        return "Technology"
-    if any(k in low for k in _TITLE_KW):
-        return "JobTitle"
+    kw = _keyword_type(entity.lower())
+    if kw is not None:
+        return kw
     if _person_context(entity, context,
                        context_low if context_low is not None else context.lower()):
         return "Person"
@@ -225,7 +241,10 @@ def extract_rule_graph(text: str) -> RuleGraph:
             continue
         sent_low = sentence.lower()
         for pattern, rel, literals in RELATION_PATTERNS:
-            if not any(lit in sent_low for lit in literals):
+            for lit in literals:
+                if lit in sent_low:
+                    break
+            else:
                 continue
             for match in pattern.findall(sentence):
                 if len(match) == 3:
