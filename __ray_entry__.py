@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed aggregate + sessionization (streaming-window operator)
         "events_hourly": q.q_events_hourly,
         "events_sessions": q.q_events_sessions,
+        "events_asof": q.q_events_asof,
         # similarity search
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
@@ -251,6 +252,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
             FROM s GROUP BY user_id, session_idx
+        """,
+        "events_asof": """
+            SELECT c.event_id, c.user_id,
+                   CAST(coalesce(round(e.value * 100), -1) AS BIGINT)
+                     AS last_error_cents
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,57 @@
+"""Distributed as-of join — the canonical "operator Ray Data lacks",
+expressed as a keyed bucketed shuffle + vectorized in-bucket merge_asof.
+
+Semantics: for every left row, attach the most recent right row with
+``right.on <= left.on`` within the same ``by`` key (backward as-of, exact
+matches allowed) — e.g. "for each click, the user's last preceding error".
+
+Scale shape: ONE shuffle. Left and right streams are tagged and co-bucketed
+on ``crc32(by) % buckets`` (all rows of a key land in one bucket), then each
+bucket runs a single vectorized ``pandas.merge_asof(..., by=...)`` over all
+its keys at once — the pandas C path, no per-key Python. Skew note: a hot
+``by`` key concentrates its rows in one bucket; as-of joins are
+order-dependent within the key, so that co-location is REQUIRED, not an
+accident — the mitigation for a pathologically hot key is range-splitting
+on ``on`` with boundary carry, not hashing it apart.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .agg import bucketed_groupby
+
+
+def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
+                       on: str, by: str, value_cols: list[str],
+                       buckets: int = 64) -> rd.Dataset:
+    """Backward as-of join. Returns the left rows with ``value_cols`` from
+    the matched right row appended (NaN/None where no right row precedes)."""
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_side=np.int8(side))
+        return fn
+
+    both = (left.map_batches(tag(0), batch_format="pandas")
+            .union(right.map_batches(tag(1), batch_format="pandas")))
+
+    left_cols = [c for c in left.schema().names]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][left_cols].sort_values(on, kind="mergesort")
+        r = (df[df["_side"] == 1][[by, on, *value_cols]]
+             .sort_values(on, kind="mergesort"))
+        if len(l) == 0:
+            return l
+        if len(r) == 0:
+            out = l.copy()
+            for c in value_cols:
+                out[c] = pd.Series([None] * len(out), dtype="object")
+            return out
+        return pd.merge_asof(l, r, on=on, by=by, direction="backward",
+                             allow_exact_matches=True)
+
+    return bucketed_groupby(both, [by], merge, buckets=buckets)

@@ -251,6 +251,40 @@ def q_events_sessions(sf_dir: str) -> rd.Dataset:
     return bucketed_groupby(ds, ["user_id"], sessionize)
 
 
+def q_events_asof(sf_dir: str) -> rd.Dataset:
+    """As-of join: each click event picks up the user's most recent
+    preceding error event's value (backward, exact ts allowed)."""
+    from ..ops.joins import asof_join_backward
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts", "value"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"])
+
+    def prep_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "error"]
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "ts": df["ts"],
+            "last_error_cents": np.round(df["value"].to_numpy() * 100)
+            .astype(np.int64),
+        })
+
+    errors = ev.map_batches(prep_right, batch_format="pandas")
+    joined = asof_join_backward(clicks, errors, on="ts", by="user_id",
+                                value_cols=["last_error_cents"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id"]].copy()
+        out["last_error_cents"] = (
+            pd.to_numeric(df["last_error_cents"], errors="coerce")
+            .fillna(-1).astype(np.int64))
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # --- similarity --------------------------------------------------------------
 
 N_KNN_QUERIES = 8

@@ -258,3 +258,24 @@ def test_clean_corpus_pipeline():
     assert 0 in set(out["doc_id"])              # survivor of the dup cluster
     assert report["after_quality_lang"] <= report["after_near_dedup"]
     assert 4 not in set(out["doc_id"])          # low-quality "short" dropped
+
+
+# --- as-of join ---------------------------------------------------------------
+
+def test_asof_join_backward():
+    from ai_knowledgegraph_extractor_ray.ops.joins import asof_join_backward
+    left = rd.from_pandas(pd.DataFrame({
+        "eid": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "u": pd.Series([7, 7, 7, 9], dtype="int64"),
+        "t": pd.Series([10, 20, 30, 15], dtype="int64"),
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "u": pd.Series([7, 7, 9], dtype="int64"),
+        "t": pd.Series([5, 20, 50], dtype="int64"),
+        "v": pd.Series([100, 200, 300], dtype="int64"),
+    }))
+    out = (asof_join_backward(left, right, on="t", by="u", value_cols=["v"])
+           .to_pandas().sort_values("eid"))
+    got = [None if pd.isna(x) else int(x) for x in out["v"]]
+    # t=10 -> v@5; t=20 -> exact match v@20; t=30 -> v@20; u=9 t=15 -> none
+    assert got == [100, 200, 200, None]
