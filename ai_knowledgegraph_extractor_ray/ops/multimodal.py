@@ -121,6 +121,53 @@ class ImageDecoder:
         })
 
 
+class ImageResizer:
+    """Actor-pool resize stage: decode -> nearest-neighbor resample to
+    (target_w, target_h) -> re-emit raw RGB bytes + updated metadata. Real
+    path would use PIL's resampling kernels; the decode seam is shared with
+    ImageDecoder, the resample itself is real numpy."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 24,
+                 fake_ok: bool = True):
+        self.tw, self.th = target_w, target_h
+        self.decoder = ImageDecoder(fake_ok=fake_ok)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads, ws, hs = [], [], [], []
+        for item, kind, payload, w, h in zip(batch["item_id"].to_pylist(),
+                                             batch["media_type"].to_pylist(),
+                                             batch["payload"].to_pylist(),
+                                             batch["meta_width"].to_pylist(),
+                                             batch["meta_height"].to_pylist()):
+            if kind != "image":
+                continue
+            px = self.decoder._decode(payload, w, h)
+            ys = (np.arange(self.th) * px.shape[0] // self.th)
+            xs = (np.arange(self.tw) * px.shape[1] // self.tw)
+            resized = px[ys][:, xs]
+            ids.append(item)
+            payloads.append(resized.tobytes())
+            ws.append(self.tw)
+            hs.append(self.th)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(ws, pa.int32()),
+            "meta_height": pa.array(hs, pa.int32()),
+        })
+
+
+def resize_images(ds: rd.Dataset, *, target_w: int = 32, target_h: int = 24,
+                  concurrency: int = 2, batch_size: int = 16,
+                  fake_ok: bool = True) -> rd.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h,
+                               "fake_ok": fake_ok},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
 class FrameSampler:
     """Video frame-sampling stage: emits one row per sampled frame index
     (every ``stride``-th frame) with the frame's fake feature. Real path

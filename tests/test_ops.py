@@ -279,3 +279,18 @@ def test_asof_join_backward():
     got = [None if pd.isna(x) else int(x) for x in out["v"]]
     # t=10 -> v@5; t=20 -> exact match v@20; t=30 -> v@20; u=9 t=15 -> none
     assert got == [100, 200, 200, None]
+
+
+def test_image_resize_stage():
+    media = multimodal.synthetic_media(n_items=9)
+    out = multimodal.resize_images(media, target_w=16, target_h=12,
+                                   concurrency=1).to_pandas()
+    assert len(out) == 3                      # images only
+    assert (out["meta_width"] == 16).all() and (out["meta_height"] == 12).all()
+    assert all(len(p) == 16 * 12 * 3 for p in out["payload"])
+    # deterministic across runs
+    again = multimodal.resize_images(multimodal.synthetic_media(n_items=9),
+                                     target_w=16, target_h=12,
+                                     concurrency=1).to_pandas()
+    assert list(out.sort_values("item_id")["payload"]) == \
+        list(again.sort_values("item_id")["payload"])
