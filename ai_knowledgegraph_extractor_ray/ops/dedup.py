@@ -271,53 +271,45 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5,
                                    num_perm=kw.pop("num_perm", 128), **kw)
 
 
-def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
-                       id_col: str = "doc_id", threshold: float = 0.8,
-                       cluster_mode: str = "driver", **kw) -> rd.Dataset:
-    """Drop near-duplicates: cluster verified pairs, keep the smallest id
-    per cluster.
+def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
+                       id_col: str = "doc_id",
+                       cluster_mode: str = "driver") -> rd.Dataset:
+    """Shared cluster-resolution + survivor filter behind every near-dedup
+    flavor: cluster the (id_a, id_b) pair Dataset, keep the smallest id per
+    cluster, drop the rest with a broadcast anti-join.
 
-    ``cluster_mode="driver"`` (default): union-find over the pair list on
-    the driver — assumes verified near-dup PAIRS fit in driver memory (they
-    are duplicates; a corpus that is mostly duplicates should be exact-
-    deduped first). ``cluster_mode="distributed"``: min-label-propagation
-    connected components as Dataset transforms (ops/cc.py) — the 100 TB
-    path when the pair list itself is large. Survivor filtering is a
-    broadcast anti-join either way (the drop list is duplicate-sized)."""
+    ``cluster_mode="driver"`` (default): union-find over the collected pair
+    list — assumes verified near-dup PAIRS fit in driver memory (they are
+    duplicates; a corpus that is mostly duplicates should be exact-deduped
+    first). ``cluster_mode="distributed"``: min-label-propagation connected
+    components with the pair stream kept distributed (ops/cc.py) — the
+    100 TB path when the pair list itself is large. The drop list is
+    duplicate-sized either way."""
     import ray
 
-    pairs_ds = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
-                                       threshold=threshold, **kw)
     if cluster_mode == "distributed":
         from .cc import connected_components
         comp = connected_components(pairs_ds).to_pandas()
         drop = (set(comp.loc[comp["node"] != comp["component"], "node"]
                     .astype(int)) if len(comp) else set())
-        drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
+    else:
+        pairs = pairs_ds.to_pandas()
+        parent: dict[int, int] = {}
 
-        def keep(t: pa.Table) -> pa.Table:
-            d = ray.get(drop_ref)
-            mask = ~np.isin(t[id_col].to_numpy(zero_copy_only=False), d)
-            return t.filter(pa.array(mask))
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-        return ds.map_batches(keep, batch_format="pyarrow")
+        if len(pairs):
+            for a, b in zip(pairs["id_a"], pairs["id_b"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+        drop = {x for x in parent if find(x) != x}
 
-    pairs = pairs_ds.to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    if len(pairs):
-        for a, b in zip(pairs["id_a"], pairs["id_b"]):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                lo, hi = min(ra, rb), max(ra, rb)
-                parent[hi] = lo
-    drop = {x for x in parent if find(x) != x}
     drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
 
     def keep(t: pa.Table) -> pa.Table:
@@ -326,6 +318,36 @@ def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.8,
+                       cluster_mode: str = "driver", **kw) -> rd.Dataset:
+    """Drop MinHash-near-duplicates (see drop_pair_clusters)."""
+    pairs_ds = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
+                                       threshold=threshold, **kw)
+    return drop_pair_clusters(ds, pairs_ds, id_col=id_col,
+                              cluster_mode=cluster_mode)
+
+
+def near_dedup_simhash(ds: rd.Dataset, *, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       cluster_mode: str = "driver", **kw) -> rd.Dataset:
+    """Drop SimHash-near-duplicates (Hamming <= max_hamming)."""
+    pairs_ds = simhash_near_pairs(ds, text_col=text_col, id_col=id_col,
+                                  max_hamming=max_hamming, **kw)
+    return drop_pair_clusters(ds, pairs_ds, id_col=id_col,
+                              cluster_mode=cluster_mode)
+
+
+def near_dedup_embedding(ds: rd.Dataset, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.9,
+                         cluster_mode: str = "driver", **kw) -> rd.Dataset:
+    """Drop embedding-cosine near-duplicates (cosine >= threshold)."""
+    pairs_ds = embedding_near_pairs(ds, id_col=id_col, vec_col=vec_col,
+                                    threshold=threshold, **kw)
+    return drop_pair_clusters(ds, pairs_ds, id_col=id_col,
+                              cluster_mode=cluster_mode)
 
 
 # --- SimHash -----------------------------------------------------------------

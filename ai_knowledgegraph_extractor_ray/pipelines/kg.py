@@ -137,7 +137,8 @@ def read_edges(out_dir: str, version: int) -> rd.Dataset:
 
 
 def run_canonicalize_job(out_dir: str, cfg: KGConfig,
-                         link=None, use_embed_scorer: bool = True) -> dict:
+                         link=None, use_embed_scorer: bool = True,
+                         resume: bool = True) -> dict:
     """Phase 2: per-conversation graphs -> global canonical graph.
 
     Reads the committed node/edge partitions of a version, builds the alias
@@ -146,7 +147,29 @@ def run_canonicalize_job(out_dir: str, cfg: KGConfig,
     tables under ``version=K/canonical/``. The alias table is vocabulary-sized
     (distinct entity names), so materializing/broadcasting it is the cheap
     side; the mention/edge stream never collects on the driver."""
+    import json
+
     from ..stages import canonicalize as cz
+
+    # phase-2 commit point: a manifest fingerprinting phase 1's committed
+    # partitions. A resume with unchanged inputs skips the whole phase; a
+    # changed phase-1 output invalidates rather than silently reusing.
+    import hashlib
+
+    phase1 = lineage.committed_partitions(out_dir, cfg.version)
+    fp = hashlib.sha256("\n".join(
+        f"{pid}:{m['input_fingerprint']}:{m['n_edges']}:{m['n_nodes']}"
+        for pid, m in sorted(phase1.items())).encode()).hexdigest()[:16]
+    cdir = lineage.version_dir(out_dir, cfg.version) / "canonical"
+    cmanifest = cdir / "_manifest.json"
+    if resume and cmanifest.exists():
+        try:
+            prev = json.loads(cmanifest.read_text())
+            if prev.get("input_fp") == fp:
+                prev["resumed"] = True
+                return prev
+        except json.JSONDecodeError:
+            pass  # torn manifest == uncommitted
 
     nodes = read_nodes(out_dir, cfg.version)
     edges = read_edges(out_dir, cfg.version)
@@ -154,7 +177,6 @@ def run_canonicalize_job(out_dir: str, cfg: KGConfig,
                                  use_embed_scorer=use_embed_scorer)
     canon_edges = cz.canonicalize_edges(edges, alias, cfg)
 
-    cdir = lineage.version_dir(out_dir, cfg.version) / "canonical"
     cdir.mkdir(parents=True, exist_ok=True)
     alias.to_parquet(cdir / "aliases.parquet", index=False)
     cz.canonical_nodes_table(alias).to_parquet(
@@ -162,12 +184,17 @@ def run_canonicalize_job(out_dir: str, cfg: KGConfig,
     canon_edges.write_parquet(str(cdir / "canonical_edges"))
 
     n_edges = rd.read_parquet(str(cdir / "canonical_edges")).count()
-    return {
+    summary = {
         "version": cfg.version,
         "n_aliases": int(len(alias)),
         "n_canonical_entities": int(alias["canonical_id"].nunique()),
         "n_canonical_edges": int(n_edges),
+        "input_fp": fp,
     }
+    tmp = cmanifest.with_suffix(".json.tmp")   # manifest written LAST = commit
+    tmp.write_text(json.dumps(summary))
+    tmp.replace(cmanifest)
+    return summary
 
 
 def read_canonical_edges(out_dir: str, version: int) -> rd.Dataset:

@@ -294,3 +294,21 @@ def test_image_resize_stage():
                                      concurrency=1).to_pandas()
     assert list(out.sort_values("item_id")["payload"]) == \
         list(again.sort_values("item_id")["payload"])
+
+
+def test_near_dedup_simhash_and_embedding():
+    near = BASE.replace("customer", "client")
+    ds = docs_ds([BASE, near, "utterly different words entirely here"],
+                 ids=[0, 1, 2])
+    kept = dedup.near_dedup_simhash(ds, max_hamming=6).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2]
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = [base, base + 0.01 * rng.standard_normal(32).astype(np.float32),
+            rng.standard_normal(32).astype(np.float32)]
+    eds = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series([0, 1, 2], dtype="int64"),
+        "embedding": [r.tolist() for r in rows]}))
+    ekept = dedup.near_dedup_embedding(eds, threshold=0.95).to_pandas()
+    assert sorted(ekept["vec_id"]) == [0, 2]

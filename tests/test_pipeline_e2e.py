@@ -172,3 +172,15 @@ def test_deterministic_across_partitioning(corpus_path, tmp_path):
         e = kg.read_edges(out, cfg.version).to_pandas()
         outs.append(sorted(map(tuple, e[["conv_id", "subj", "pred", "obj"]].values)))
     assert outs[0] == outs[1]
+
+
+def test_canonicalize_resume(job):
+    """Phase-2 resume: rerun with unchanged phase-1 output is a no-op; a
+    changed phase 1 invalidates the canonical manifest."""
+    cfg, out, _ = job
+    first = kg.run_canonicalize_job(out, cfg)
+    again = kg.run_canonicalize_job(out, cfg)
+    assert again.get("resumed") is True
+    assert again["n_canonical_edges"] == first["n_canonical_edges"]
+    forced = kg.run_canonicalize_job(out, cfg, resume=False)
+    assert "resumed" not in forced
