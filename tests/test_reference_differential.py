@@ -1,0 +1,121 @@
+"""Live differential test: our extractor vs the ACTUAL reference extractor,
+executed from /root/reference (not just the stored golden fixtures).
+
+Skipped when the reference checkout is absent (end-user machines). The
+reference module's unavailable deps (PyPDF2, docx, requests, config) are
+stubbed; only the pure rule-extraction path (services.py:379-547) runs.
+"""
+
+import importlib.util
+import random
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+from ai_knowledgegraph_extractor_ray.functions.rules import (
+    extract_rule_graph,
+    graph_to_dict,
+)
+
+REF = Path("/root/reference/services.py")
+
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference checkout not present")
+
+
+@pytest.fixture(scope="module")
+def reference_extract():
+    for name in ("PyPDF2", "docx", "requests"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    cfg = types.ModuleType("config")
+    cfg.settings = types.SimpleNamespace(
+        OLLAMA_BASE_URL="http://unused", OLLAMA_MODEL="unused",
+        USE_OPENAI=False, OPENAI_API_KEY=None)
+    sys.modules["config"] = cfg
+    spec = importlib.util.spec_from_file_location("ref_services", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    extractor = mod.KnowledgeGraphExtractor()
+
+    def run(text: str) -> dict:
+        return extractor._extract_with_rules(text)
+
+    return run
+
+
+PROBES = [
+    "John Doe is the CEO of Acme Corporation, headquartered in New York City.",
+    "Jane Smith founded TechStart in San Francisco in 2020.",
+    "Acme Corporation acquired TechStart for $50 million!",
+    "Sarah Johnson works as a Senior Engineer at Acme Corporation.",
+    "Dr. Emily Watson leads the Research Division. She joined in 2019.",
+    "Microsoft developed a platform called Azure. Azure is used by Contoso.",
+    "He now serves as CTO of Initech Systems. Initech Systems is located in the Bay Area.",
+    "Nested (Parens Inc) and quotes \"Quoted Corp\" and hyphen-Names here.",
+    "ALLCAPS WORDS and MixedCase and lowercase only.",
+    "The The The In In Is Was... Acme founded Beta.",
+    "A. B. C. Initials and Mr. Tall Person walked.",
+    "Ümlaut Städt and Ñandú Pampa are places.",
+    "Multi  spaced   Words And\nNewline Separated Things happened.",
+    "X founded Y in Z in 1999. W bought V.",
+    "Alpha Beta manages the Gamma Delta and oversees Epsilon.",
+    "",
+    "   ",
+    "no capitals at all in this sentence.",
+    "Trailing entity at the end is Acme",
+]
+
+
+def _canon(graph: dict) -> dict:
+    return {
+        "nodes": [{"id": n["id"], "label": n["label"], "type": n["type"]}
+                  for n in graph["nodes"]],
+        "edges": [{"source": e["source"], "target": e["target"],
+                   "relationship": e["relationship"]}
+                  for e in graph["edges"]],
+    }
+
+
+@pytest.mark.parametrize("idx", range(len(PROBES)))
+def test_probe_parity(reference_extract, idx):
+    text = PROBES[idx]
+    assert graph_to_dict(extract_rule_graph(text)) == _canon(
+        reference_extract(text))
+
+
+# template fuzzing: sentences drawn from the relation-pattern vocabulary with
+# randomized entities/casings — deterministic seed, several hundred cases
+_TEMPLATES = [
+    "{a} is the CEO of {b}.", "{a} is the CTO of {b}.",
+    "{a} works as a {w} engineer at {b}.", "{a} worked for {b}.",
+    "{a} founded {b} in {c}.", "{a} founded {b} in {c} in {yr}.",
+    "{a} established {b}.", "{a} created {b} and {c}.",
+    "{a} in {b} in {yr}.", "{a}, headquartered in {b}, grew.",
+    "{a} is located in the {b}.", "{a} acquired {b} for money.",
+    "{a} bought {b}. {b} purchased {c}!", "{a} manages the {b}.",
+    "{a} oversees {b}? {a} leads {c}.", "{a} serves as head of {b}.",
+    "{a} now serves as chief of {b}.", "{a} developed a platform called {b}.",
+    "{a} built {b}. {c} designed {a}.", "{a} is used by {b}.",
+    "{a} met {b} near {c}.",
+]
+_NAMES = ["Acme", "Acme Corp", "Beta Industries", "John Doe", "Jane", "MixedCase",
+          "ALLCAP", "lowercase", "San Francisco", "New York City", "The Board",
+          "Data Systems Inc", "Ön Güler", "X", "Ab", "Big Data Platform"]
+_WORDS = ["senior", "staff", "Lead", "principal"]
+
+
+def test_template_fuzz_parity(reference_extract):
+    rng = random.Random(0xFEED)
+    for case in range(300):
+        n_sent = rng.randint(1, 4)
+        text = " ".join(
+            rng.choice(_TEMPLATES).format(
+                a=rng.choice(_NAMES), b=rng.choice(_NAMES),
+                c=rng.choice(_NAMES), w=rng.choice(_WORDS),
+                yr=rng.randint(1900, 2030))
+            for _ in range(n_sent))
+        ours = graph_to_dict(extract_rule_graph(text))
+        theirs = _canon(reference_extract(text))
+        assert ours == theirs, f"case {case}: {text!r}"
