@@ -37,6 +37,7 @@ def reference_extract():
     spec = importlib.util.spec_from_file_location("ref_services", REF)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    sys.modules["ref_services"] = mod
     extractor = mod.KnowledgeGraphExtractor()
 
     def run(text: str) -> dict:
@@ -119,3 +120,54 @@ def test_template_fuzz_parity(reference_extract):
         ours = graph_to_dict(extract_rule_graph(text))
         theirs = _canon(reference_extract(text))
         assert ours == theirs, f"case {case}: {text!r}"
+
+
+# --- JSON rescue path parity (M3-M5, services.py:233-320, 549-580) ----------
+
+GOOD_GRAPH = ('{"nodes": [{"id": "n1", "label": "Acme", "type": "Org"},'
+              ' {"id": "n2", "label": "Bob"}],'
+              ' "edges": [{"source": "n1", "target": "n2"},'
+              ' {"source": "n1", "target": "nX", "relationship": "r"}]}')
+
+JSON_PROBES = [
+    GOOD_GRAPH,
+    f"```json\n{GOOD_GRAPH}\n```",
+    f"```\n{GOOD_GRAPH}\n```",
+    f"`{GOOD_GRAPH}`",
+    f"Sure, here you go: {GOOD_GRAPH} hope it helps!",
+    '{"nodes": [], "edges": [],}',
+    '{"nodes": [{"id": "n1", "label": "A", "type": "T"},], "edges": []}',
+    "no json here at all",
+    "",
+    '{"nodes": "not a list", "edges": []}',
+    '{broken: [}',
+]
+
+
+@pytest.mark.parametrize("idx", range(len(JSON_PROBES)))
+def test_json_rescue_parity(reference_extract, idx):
+    """Compare the full parse->format path outcome with the reference's
+    _parse_llm_response + _validate_and_format_graph."""
+    import sys as _sys
+    from ai_knowledgegraph_extractor_ray.functions import json_repair as jr
+
+    mod = _sys.modules["ref_services"]
+    extractor = mod.KnowledgeGraphExtractor()
+    raw = JSON_PROBES[idx]
+
+    try:
+        theirs = extractor._validate_and_format_graph(
+            extractor._parse_llm_response(raw))
+        their_err = None
+    except Exception as e:  # noqa: BLE001
+        theirs, their_err = None, type(e).__name__
+
+    try:
+        ours = jr.validate_and_format_graph(jr.parse_llm_json(raw))
+        our_err = None
+    except Exception as e:  # noqa: BLE001
+        ours, our_err = None, type(e).__name__
+
+    assert (theirs is None) == (ours is None), (raw, their_err, our_err)
+    if theirs is not None:
+        assert ours == theirs, raw
