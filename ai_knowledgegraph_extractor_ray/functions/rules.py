@@ -239,7 +239,14 @@ def extract_rule_graph(text: str) -> RuleGraph:
         sentence = sentence.strip()
         if not sentence:
             continue
-        sent_low = sentence.lower()
+        # Literals are checked against a whitespace-NORMALIZED lowercase
+        # sentence: the regexes separate words with \s+ (tabs/newlines/nbsp
+        # all match — turns join with "\n", so cross-turn sentences contain
+        # newlines), so a space-containing literal like " in " must never
+        # under-admit on a non-space separator. Collapsing whitespace runs to
+        # single spaces makes the literal check separator-agnostic; it can
+        # only over-admit (the regex still decides), never skip a true match.
+        sent_low = " ".join(sentence.lower().split())
         for pattern, rel, literals in RELATION_PATTERNS:
             for lit in literals:
                 if lit in sent_low:

@@ -38,20 +38,34 @@ def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
     both = (left.map_batches(tag(0), batch_format="pandas")
             .union(right.map_batches(tag(1), batch_format="pandas")))
 
-    left_cols = [c for c in left.schema().names]
+    # Capture the left schema's pandas dtypes at the driver: the tagged union
+    # NaN-fills columns missing on one side, upcasting e.g. int64 -> float64
+    # inside the per-bucket concat. Left rows keep exact values, so casting
+    # back after the merge is lossless and restores the left schema.
+    import pyarrow as pa
+    lsch = left.schema()
+    left_cols = list(lsch.names)
+    left_dtypes = (pa.schema(zip(lsch.names, lsch.types))
+                   .empty_table().to_pandas().dtypes.to_dict())
+
+    def restore(out: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in left_dtypes.items():
+            if out[c].dtype != dt:
+                out[c] = out[c].astype(dt)
+        return out
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == 0][left_cols].sort_values(on, kind="mergesort")
         r = (df[df["_side"] == 1][[by, on, *value_cols]]
              .sort_values(on, kind="mergesort"))
         if len(l) == 0:
-            return l
+            return restore(l)
         if len(r) == 0:
             out = l.copy()
             for c in value_cols:
                 out[c] = pd.Series([None] * len(out), dtype="object")
-            return out
-        return pd.merge_asof(l, r, on=on, by=by, direction="backward",
-                             allow_exact_matches=True)
+            return restore(out)
+        return restore(pd.merge_asof(l, r, on=on, by=by, direction="backward",
+                                     allow_exact_matches=True))
 
     return bucketed_groupby(both, [by], merge, buckets=buckets)

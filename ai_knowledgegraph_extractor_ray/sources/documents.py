@@ -35,7 +35,9 @@ def _txt_to_text(data: bytes) -> str:
 
 def _csv_to_text(data: bytes) -> str:
     rows = csv.reader(io.StringIO(data.decode("utf-8", errors="replace")))
-    return "\n".join(", ".join(cell for cell in row) for row in rows if row)
+    # Row-for-row join, empty rows included — matches the reference
+    # (services.py:55-62), which appends an empty line for blank CSV rows.
+    return "\n".join(", ".join(cell for cell in row) for row in rows)
 
 
 def _pdf_to_text(data: bytes) -> str:

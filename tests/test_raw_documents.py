@@ -35,6 +35,11 @@ def test_extract_text_dispatch():
         "Jane Smith, CTO, Globex",
     ]
     assert err == ""
+    # blank CSV rows become empty lines, row-for-row (reference
+    # services.py:55-62 appends "" for them; ADVICE round-1 fix)
+    blank = b"a,b\n\nc,d\n"
+    assert rawdocs.extract_text("x.csv", blank)[1].splitlines() == [
+        "a, b", "", "c, d"]
     assert rawdocs.extract_text("x.pdf", b"junk")[2] == "codec_unavailable"
     assert rawdocs.extract_text("x.weird", b"junk")[2] == "unsupported_extension"
 

@@ -66,6 +66,15 @@ PROBES = [
     "   ",
     "no capitals at all in this sentence.",
     "Trailing entity at the end is Acme",
+    # whitespace-separator probes: \s+ in the relation regexes matches tabs /
+    # newlines / nbsp, so space-containing prefilter literals must not skip
+    # these (round-1 divergence: located_in edges silently dropped)
+    "Acme\tin\tParis\tin\t1990",
+    "Acme\nin\nParis\nin\n1990",
+    "Acme in Paris in 1990",
+    "Jane founded\nAcme in\nParis in 2001",
+    "Bob is\nthe CEO\tof Acme",
+    "Acme is\nlocated in\tthe Bay Area",
 ]
 
 
@@ -117,6 +126,25 @@ def test_template_fuzz_parity(reference_extract):
                 c=rng.choice(_NAMES), w=rng.choice(_WORDS),
                 yr=rng.randint(1900, 2030))
             for _ in range(n_sent))
+        ours = graph_to_dict(extract_rule_graph(text))
+        theirs = _canon(reference_extract(text))
+        assert ours == theirs, f"case {case}: {text!r}"
+
+
+def test_whitespace_fuzz_parity(reference_extract):
+    """Same templates, but word separators randomized over the \\s alphabet
+    (space, tab, newline, nbsp, runs) — pins the prefilter's
+    separator-agnostic literal check against the reference's \\s+ regexes."""
+    rng = random.Random(0xBEEF)
+    seps = [" ", "\t", "\n", "\xa0", "  ", " \n", "\t\t"]
+    for case in range(300):
+        base = rng.choice(_TEMPLATES).format(
+            a=rng.choice(_NAMES), b=rng.choice(_NAMES),
+            c=rng.choice(_NAMES), w=rng.choice(_WORDS),
+            yr=rng.randint(1900, 2030))
+        text = "".join(
+            tok if i == 0 else rng.choice(seps) + tok
+            for i, tok in enumerate(base.split(" ")))
         ours = graph_to_dict(extract_rule_graph(text))
         theirs = _canon(reference_extract(text))
         assert ours == theirs, f"case {case}: {text!r}"

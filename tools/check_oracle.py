@@ -40,6 +40,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # Dtype-exact like the driver: a float column on one side and an
+        # integer column on the other hash-mismatches even if values agree
+        # (this is how the round-1 events_asof float64 leak slipped through).
+        if av.dtype.kind != bv.dtype.kind and {av.dtype.kind, bv.dtype.kind} <= {"f", "i", "u"}:
+            return f"DTYPE col={c}: ray={av.dtype} sql={bv.dtype}"
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
         else:
