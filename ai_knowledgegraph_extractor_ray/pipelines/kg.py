@@ -57,7 +57,7 @@ def build_graph_rows(transcripts: rd.Dataset, cfg: KGConfig,
 
 
 def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
-               resume: bool = True) -> dict:
+               resume: bool = True, validate_input: bool = True) -> dict:
     """Execute the pipeline with per-partition commit; returns the job
     summary (aggregated manifest counts).
 
@@ -67,8 +67,26 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
     shuffle, over the raw turns, and no second barrier over graph rows
     (measured: the staged variant spent ~40% of wall in the second sort).
     Stateful backends (LLM actor pool) take the staged path, where the actor
-    pool sits between the two shuffles."""
+    pool sits between the two shuffles.
+
+    Resume: trusts only partitions whose manifest exists AND (when
+    ``validate_input``) whose recorded input fingerprint matches a freshly
+    computed one — a cheap streaming crc pass over the committed partitions'
+    turns (no shuffle, no extraction). Stale partitions are uncommitted
+    (manifest deleted first, so a crash mid-rerun can't resurrect them) and
+    recomputed. ``validate_input=False`` skips the extra read pass for
+    immutable inputs."""
     committed = lineage.committed_partitions(out_dir, cfg.version) if resume else {}
+    if committed and validate_input:
+        from ..stages.conversation import partition_fingerprints
+        current = partition_fingerprints(
+            add_partition_id(transcripts, cfg.num_partitions),
+            version_cutoff=cfg.version_cutoff, only=set(committed))
+        stale = [pid for pid, m in committed.items()
+                 if not lineage.validate_manifest(m, current.get(pid, ""))]
+        for pid in stale:
+            lineage.uncommit_partition(out_dir, cfg.version, pid)
+            del committed[pid]
 
     if cfg.backend == "rules":
         ds = add_partition_id(transcripts, cfg.num_partitions)
@@ -124,16 +142,21 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
     return summary
 
 
+def _committed_files(out_dir: str, version: int, name: str) -> list[str]:
+    """Parquet paths for one table across COMMITTED partitions only — built
+    from the lineage manifests, never a filesystem glob, so orphaned data
+    from a crash mid-partition or stale part dirs from a previous run with a
+    different num_partitions are never read."""
+    return [str(lineage.partition_dir(out_dir, version, pid) / name)
+            for pid in sorted(lineage.committed_partitions(out_dir, version))]
+
+
 def read_nodes(out_dir: str, version: int) -> rd.Dataset:
-    return rd.read_parquet(
-        [str(p / "nodes.parquet")
-         for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
+    return rd.read_parquet(_committed_files(out_dir, version, "nodes.parquet"))
 
 
 def read_edges(out_dir: str, version: int) -> rd.Dataset:
-    return rd.read_parquet(
-        [str(p / "edges.parquet")
-         for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
+    return rd.read_parquet(_committed_files(out_dir, version, "edges.parquet"))
 
 
 def run_canonicalize_job(out_dir: str, cfg: KGConfig,
@@ -244,9 +267,7 @@ def list_conversations(out_dir: str, version: int) -> rd.Dataset:
     list_documents, database_service.py:260-278)."""
     from ..ops.agg import bucketed_groupby
 
-    convs = rd.read_parquet(
-        [str(p / "convs.parquet")
-         for p in sorted(lineage.version_dir(out_dir, version).glob("part-*"))])
+    convs = rd.read_parquet(_committed_files(out_dir, version, "convs.parquet"))
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby("conv_id", as_index=False)
@@ -282,6 +303,9 @@ def get_conversation_graph(out_dir: str, version: int | None, conv_id: str,
             raise FileNotFoundError(f"no committed versions under {out_dir}")
         version = versions[0]["version"]
     pid = partition_of(conv_id, num_partitions)
+    if not lineage.manifest_path(out_dir, version, pid).exists():
+        raise FileNotFoundError(
+            f"partition {pid} of version {version} is not committed")
     pdir = lineage.partition_dir(out_dir, version, pid)
     nodes = pd.read_parquet(pdir / "nodes.parquet")
     edges = pd.read_parquet(pdir / "edges.parquet")

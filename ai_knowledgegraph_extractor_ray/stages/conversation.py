@@ -54,6 +54,44 @@ def _conv_fingerprints(df: pd.DataFrame) -> pd.Series:
     return h.groupby(df["conv_id"], sort=False).agg(lambda s: np.bitwise_xor.reduce(s.values))
 
 
+def partition_fingerprints(ds: rd.Dataset, *, version_cutoff: int | None = None,
+                           only: set[int] | None = None) -> dict[int, str]:
+    """Current per-partition input fingerprints, computed as a streaming
+    map_batches pass (per-block xor partials per partition_id) + a tiny
+    driver-side merge — xor is associative/commutative, so the per-block
+    partials combine to exactly the xor-of-conv_fp value that
+    ``lineage.write_partition`` records. No text shuffle: only
+    (partition_id, partial) pairs leave each block.
+
+    ``ds`` must already carry partition_id (``add_partition_id``). ``only``
+    restricts the hash work to the named partitions (resume validation only
+    cares about committed ones)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if version_cutoff is not None:
+            df = df[df["turn_idx"] <= version_cutoff]
+        if only is not None and len(df):
+            df = df[df["partition_id"].isin(only)]
+        if len(df) == 0:
+            return pd.DataFrame({"partition_id": pd.Series([], dtype="int32"),
+                                 "fp": pd.Series([], dtype="uint64")})
+        h = (
+            df["conv_id"].astype("string").str.len().astype("uint64") * 1000003
+            ^ df["turn_idx"].astype("uint64") * 8191
+            ^ df["text"].map(lambda s: zlib.crc32(s.encode())).astype("uint64")
+        )
+        g = h.groupby(df["partition_id"], sort=False).agg(
+            lambda s: np.bitwise_xor.reduce(s.values))
+        return pd.DataFrame({"partition_id": g.index.astype("int32"),
+                             "fp": g.values.astype("uint64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out: dict[int, int] = {}
+    for pid, fp in zip(parts["partition_id"], parts["fp"]):
+        out[int(pid)] = out.get(int(pid), 0) ^ int(fp)
+    return {pid: f"{v:016x}" for pid, v in out.items()}
+
+
 def assemble_partition(df: pd.DataFrame, *, window_chars: int = 0,
                        version_cutoff: int | None = None,
                        version: int = 1) -> pd.DataFrame:

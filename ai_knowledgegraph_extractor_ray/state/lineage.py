@@ -115,3 +115,13 @@ def validate_manifest(manifest: dict, fingerprint: str) -> bool:
     """True iff a committed partition's recorded input fingerprint matches a
     freshly computed one (resume-on-changed-input detection)."""
     return manifest.get("input_fingerprint") == fingerprint
+
+
+def uncommit_partition(out_dir: str, version: int, pid: int) -> None:
+    """Invalidate a committed partition: delete the manifest FIRST (the
+    commit point), then the data files — the inverse write order of
+    ``write_partition``, so no crash window leaves data trusted without a
+    matching manifest."""
+    import shutil
+    manifest_path(out_dir, version, pid).unlink(missing_ok=True)
+    shutil.rmtree(partition_dir(out_dir, version, pid), ignore_errors=True)

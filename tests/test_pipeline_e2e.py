@@ -122,6 +122,66 @@ def test_partial_resume(corpus_path, tmp_path):
     assert sorted(map(tuple, ea[key].values)) == sorted(map(tuple, eb[key].values))
 
 
+def test_resume_invalidates_changed_input(corpus_path, tmp_path):
+    """Resume over CHANGED input must re-run the affected partition, not
+    silently reuse its stale output (lineage fingerprint validation)."""
+    out = str(tmp_path / "out")
+    cfg = KGConfig(num_partitions=4, extract_concurrency=2)
+    kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out, resume=False)
+
+    # mutate one conversation's text and rerun with resume
+    df = pd.read_parquet(corpus_path)
+    victim = df["conv_id"].iloc[0]
+    df.loc[df["conv_id"] == victim, "text"] = (
+        "Mutant Corp acquired Stale Cache for cash.")
+    changed = str(tmp_path / "changed.parquet")
+    df.to_parquet(changed, index=False)
+
+    from ai_knowledgegraph_extractor_ray.stages.conversation import partition_of
+    victim_pid = partition_of(victim, cfg.num_partitions)
+
+    resumed = kg.run_kg_job(src.read_transcripts(changed), cfg, out)
+    assert resumed["partitions_computed"] >= 1          # stale one re-ran
+    assert resumed["partitions_resumed"] == resumed["partitions_total"] - 1
+
+    # the re-extracted graph reflects the new text
+    nodes = kg.read_nodes(out, cfg.version).to_pandas()
+    assert "Mutant Corp" in set(nodes[nodes["conv_id"] == victim]["label"])
+
+    # unchanged input + validation on -> clean full resume
+    again = kg.run_kg_job(src.read_transcripts(changed), cfg, out)
+    assert again["partitions_computed"] == 0
+
+    # validate_input=False trusts manifests blindly (documented fast path)
+    blind = kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out,
+                          validate_input=False)
+    assert blind["partitions_computed"] == 0
+    assert victim_pid in {
+        int(p) for p in range(cfg.num_partitions)}  # sanity: pid valid
+
+
+def test_reads_skip_uncommitted_partitions(corpus_path, tmp_path):
+    """Orphaned part dirs (crash mid-partition, or stale dirs from an older
+    num_partitions run) must not be read: paths come from committed
+    manifests, not a glob."""
+    out = str(tmp_path / "out")
+    cfg = KGConfig(num_partitions=4, extract_concurrency=2)
+    kg.run_kg_job(src.read_transcripts(corpus_path), cfg, out, resume=False)
+    before = kg.read_nodes(out, cfg.version).to_pandas()
+
+    # plant an orphan part dir with valid parquet but NO manifest
+    from ai_knowledgegraph_extractor_ray.state import lineage
+    orphan = lineage.partition_dir(out, cfg.version, 99)
+    orphan.mkdir(parents=True)
+    fake = before.head(5).copy()
+    fake["label"] = "Orphan Ghost"
+    fake.to_parquet(orphan / "nodes.parquet", index=False)
+
+    after = kg.read_nodes(out, cfg.version).to_pandas()
+    assert "Orphan Ghost" not in set(after["label"])
+    assert len(after) == len(before)
+
+
 def test_version_cutoff_prefix_semantics(corpus_path, tmp_path):
     """Version K = extraction over the turn prefix (reference update
     semantics, main.py:231-259): cutoff at turn_idx<=1 must equal running
