@@ -198,7 +198,8 @@ def q_corpus_clean(sf_dir: str) -> rd.Dataset:
 
 def q_embedding_near_pairs(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_pairs(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9)
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]), threshold=0.9)
 
 
 # --- events: windowed aggregate ---------------------------------------------

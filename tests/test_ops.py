@@ -113,6 +113,27 @@ def test_embedding_near_pairs():
     assert (0, 1) in got and (0, 2) not in got
 
 
+def test_embedding_near_pairs_planted_recall():
+    """Banded SRP-LSH recall pin: 400 base vectors + 60 planted near-dups
+    (cos ~0.97); all planted pairs found, no random pair passes the exact
+    cosine verify."""
+    rng = np.random.RandomState(17)
+    n, d, p = 400, 32, 60
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    planted = base[:p] + 0.12 * rng.standard_normal((p, d)).astype(np.float32)
+    allv = np.vstack([base, planted])
+    unit = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+    cos = (unit[:p] * unit[n:n + p]).sum(axis=1)
+    truth = {(i, n + i) for i in range(p) if cos[i] >= 0.9}
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n + p, dtype=np.int64),
+        "embedding": [v.tolist() for v in allv]}))
+    pairs = dedup.embedding_near_pairs(ds, threshold=0.9).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert truth and got >= truth        # full recall on planted pairs
+    assert got - truth == set()          # exact verify: no random extras
+
+
 # --- similarity --------------------------------------------------------------
 
 @pytest.fixture(scope="module")
