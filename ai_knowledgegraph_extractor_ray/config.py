@@ -34,6 +34,8 @@ class KGConfig:
     extract_concurrency: int | tuple = 8   # extractor actor pool size
     alias_salt_buckets: int = 16      # salted partial-agg fan-out for hot keys
     link_scorer_concurrency: int = 2  # embedding-scorer actor pool size
+    broadcast_vocab_cap: int = 1_000_000  # max unclustered norms in the
+    # rewrite broadcast; the long tail uses identity canonical hashing
     max_nodes_per_unit: int = 1000    # validation caps, reference services.py:143-149
     max_edges_per_unit: int = 2000
 

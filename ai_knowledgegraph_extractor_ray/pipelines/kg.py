@@ -196,21 +196,35 @@ def run_canonicalize_job(out_dir: str, cfg: KGConfig,
 
     nodes = read_nodes(out_dir, cfg.version)
     edges = read_edges(out_dir, cfg.version)
+    # alias build stays distributed; materialized (object store, not driver)
+    # because it feeds three consumers: parquet sink, canonical nodes, and
+    # the frequency-thresholded rewrite broadcast
     alias = cz.build_alias_table(nodes, cfg, link=link,
-                                 use_embed_scorer=use_embed_scorer)
+                                 use_embed_scorer=use_embed_scorer).materialize()
     canon_edges = cz.canonicalize_edges(edges, alias, cfg)
 
+    # clear any uncommitted/stale phase-2 output first: write_parquet APPENDS
+    # into an existing directory, so a rerun over changed input would
+    # otherwise double-count (manifest deleted first = uncommit order)
+    import shutil
+    cmanifest.unlink(missing_ok=True)
+    for sub in ("aliases", "canonical_nodes", "canonical_edges"):
+        shutil.rmtree(cdir / sub, ignore_errors=True)
+    (cdir / "aliases.parquet").unlink(missing_ok=True)          # pre-r2 layout
+    (cdir / "canonical_nodes.parquet").unlink(missing_ok=True)
+
     cdir.mkdir(parents=True, exist_ok=True)
-    alias.to_parquet(cdir / "aliases.parquet", index=False)
-    cz.canonical_nodes_table(alias).to_parquet(
-        cdir / "canonical_nodes.parquet", index=False)
+    alias.write_parquet(str(cdir / "aliases"))
+    cz.canonical_nodes_table(alias).write_parquet(str(cdir / "canonical_nodes"))
     canon_edges.write_parquet(str(cdir / "canonical_edges"))
 
     n_edges = rd.read_parquet(str(cdir / "canonical_edges")).count()
+    n_aliases = alias.count()
+    n_entities = rd.read_parquet(str(cdir / "canonical_nodes")).count()
     summary = {
         "version": cfg.version,
-        "n_aliases": int(len(alias)),
-        "n_canonical_entities": int(alias["canonical_id"].nunique()),
+        "n_aliases": int(n_aliases),
+        "n_canonical_entities": int(n_entities),
         "n_canonical_edges": int(n_edges),
         "input_fp": fp,
     }

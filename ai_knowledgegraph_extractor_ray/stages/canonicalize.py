@@ -21,10 +21,15 @@ Scale design (SURVEY.md §7.2, shuffles #2/#3/#4):
   scorer actor pool). Buckets are size-capped: a degenerate bucket (e.g. all
   empty-shingle norms) degrades to "no link" instead of an O(n^2) blowup.
 * **Cluster merge is driver-side union-find over candidate PAIRS** (tiny:
-  bounded by sum of bucket-pair counts), never over mentions. The alias table
-  itself is broadcast via ``ray.put`` and read inside ``map_batches`` — a
-  shuffle join on surface form would move the (large) edge table for the
-  benefit of the (small) alias side.
+  bounded by sum of bucket-pair counts), never over mentions or the full
+  vocabulary. The alias table itself stays a Dataset end-to-end (root
+  assignment + per-root reduce are distributed; it streams to parquet);
+  only a FREQUENCY-THRESHOLDED slice — clustered norms plus the
+  ``broadcast_vocab_cap`` hottest — is broadcast via ``ray.put`` into the
+  rewrite stage, the long tail falling back to identity hashing (which
+  yields the identical canonical id for unclustered norms). A shuffle join
+  on surface form would move the (large) edge table for the benefit of the
+  (small) alias side.
 * **Canonical edge dedup** is the same partial-count trick keyed on the
   canonical (src, pred, dst) triple; ``weight`` = number of supporting
   extractions, matching the north star's "deduplicated edge IDs".
@@ -254,23 +259,32 @@ def _union_find_clusters(pairs: pd.DataFrame) -> dict[str, str]:
     return {x: find(x) for x in parent}
 
 
+ALIAS_COLS = ["norm", "canonical_id", "canonical_label", "cluster_mentions",
+              "is_clustered"]
+
+
 def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
                       link: LinkParams | None = None,
-                      use_embed_scorer: bool = True) -> pd.DataFrame:
+                      use_embed_scorer: bool = True) -> rd.Dataset:
     """Full linking pass: mention partials -> surface table -> LSH candidate
     pairs -> (optional) embedding-cosine verification -> union-find clusters
-    -> alias table (norm, canonical_id, canonical_label, n_mentions).
+    -> alias DATASET (norm, canonical_id, canonical_label, cluster_mentions,
+    is_clustered), one row per distinct norm.
 
-    The returned table has one row per distinct norm — small enough to
-    broadcast (it is the *vocabulary* of entity names, not the mention
-    stream); callers ship it with ``ray.put`` into the rewrite stage."""
+    The surface vocabulary is never fully collected on the driver: only the
+    VERIFIED candidate pairs (duplicate-volume-sized) come back for the
+    union-find, their root map is broadcast, and the per-root reduce
+    (representative label, total mentions) runs as a bucketed distributed
+    groupby over the surface Dataset. ``is_clustered`` marks norms that are
+    members of a multi-norm cluster — the rewrite stage must always have
+    those in its broadcast map; everything else can fall back to identity
+    hashing."""
     link = link or LinkParams()
-    surfaces = build_surface_table(nodes, cfg)
-    surf_df = surfaces.to_pandas()  # distinct norms only
+    # materialize: consumed twice (candidate blocking + root assignment);
+    # vocabulary-sized but stays distributed in the object store
+    surfaces = build_surface_table(nodes, cfg).materialize()
 
-    pairs = _candidate_pairs(
-        rd.from_pandas(surf_df[["norm"]]) if len(surf_df) else rd.from_items([]),
-        link) if len(surf_df) else pd.DataFrame(columns=["norm_a", "norm_b", "jaccard"])
+    pairs = _candidate_pairs(surfaces, link)
 
     if use_embed_scorer and len(pairs):
         scored = rd.from_pandas(pairs).map_batches(
@@ -280,32 +294,76 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
         pairs = scored[scored["cos_sim"] >= link.cosine_threshold]
 
     root_of = _union_find_clusters(pairs)
+    clustered = frozenset(pairs["norm_a"]) | frozenset(pairs["norm_b"])
+    root_ref = ray.put((root_of, clustered))
 
-    norms = surf_df["norm"].tolist()
-    roots = [root_of.get(n, n) for n in norms]
-    surf_df = surf_df.assign(root=roots)
-    # canonical label of a cluster = variant of its most-mentioned member
-    rep = (surf_df.sort_values(["n_mentions", "norm"], ascending=[False, True],
-                               kind="mergesort")
-           .groupby("root", sort=False)
-           .agg(canonical_label=("canonical_label", "first")))
-    total = surf_df.groupby("root", sort=False)["n_mentions"].sum()
-    out = surf_df[["norm", "root"]].merge(rep, on="root").merge(
-        total.rename("cluster_mentions"), on="root")
-    out["canonical_id"] = out["root"].map(canonical_id_of)
-    return out[["norm", "canonical_id", "canonical_label", "cluster_mentions"]]
+    def assign_root(df: pd.DataFrame) -> pd.DataFrame:
+        rmap, members = ray.get(root_ref)
+        return df.assign(
+            root=pd.Series([rmap.get(n, n) for n in df["norm"]],
+                           index=df.index, dtype="string"),
+            is_clustered=pd.Series([n in members for n in df["norm"]],
+                                   index=df.index, dtype="bool"))
+
+    rooted = surfaces.map_batches(assign_root, batch_format="pandas")
+
+    def per_root(df: pd.DataFrame) -> pd.DataFrame:
+        # whole clusters land in one bucket (keyed on root); vectorized pick
+        df = df.sort_values(["n_mentions", "norm"], ascending=[False, True],
+                            kind="mergesort")
+        rep = df.groupby("root", sort=False)["canonical_label"].first()
+        tot = df.groupby("root", sort=False)["n_mentions"].sum()
+        out = (df[["norm", "root", "is_clustered"]]
+               .merge(rep.rename("canonical_label"), on="root")
+               .merge(tot.rename("cluster_mentions"), on="root"))
+        out["canonical_id"] = out["root"].map(canonical_id_of).astype("string")
+        return out[ALIAS_COLS]
+
+    from ..ops.agg import bucketed_groupby
+    return bucketed_groupby(rooted, ["root"], per_root,
+                            buckets=cfg.alias_salt_buckets)
+
+
+def hot_alias_frame(alias: rd.Dataset, cap: int) -> pd.DataFrame:
+    """The broadcast slice of the alias Dataset: ALL clustered norms (their
+    mapping is semantic — identity fallback would break cluster unification)
+    plus the ``cap`` most-mentioned unclustered norms (the hot vocabulary;
+    broadcasting them keeps the overwhelmingly common surfaces off the
+    fallback path). Per-block top-``cap`` partials bound the driver collect
+    to clustered + cap x num_blocks rows, never the full vocabulary."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["is_clustered"]]
+        top = df.nlargest(min(cap, len(df)), "cluster_mentions")
+        return (pd.concat([keep, top]).drop_duplicates("norm")[ALIAS_COLS])
+
+    parts = alias.map_batches(partial, batch_format="pandas").to_pandas()
+    if "norm" not in parts.columns:
+        return pd.DataFrame(columns=ALIAS_COLS)
+    parts = parts.drop_duplicates("norm")
+    clustered = parts[parts["is_clustered"]]
+    hot = parts[~parts["is_clustered"]].nlargest(cap, "cluster_mentions")
+    return pd.concat([clustered, hot], ignore_index=True)
 
 
 # --- phase 3: rewrite edges onto canonical ids + global dedup ---------------
 
-def canonicalize_edges(edges: rd.Dataset, alias: pd.DataFrame,
+def canonicalize_edges(edges: rd.Dataset, alias: rd.Dataset | pd.DataFrame,
                        cfg: KGConfig) -> rd.Dataset:
     """Rewrite (subj, pred, obj) surface triples onto canonical entities and
     aggregate to deduplicated weighted canonical edges.
 
-    The alias table rides the object store once (``ray.put``) and is read by
-    every map task — a broadcast join. Partial counting inside map_batches
-    again bounds the final shuffle to distinct canonical triples per block."""
+    Broadcast is FREQUENCY-THRESHOLDED: only the clustered norms (mandatory
+    for unification) plus the ``cfg.broadcast_vocab_cap`` hottest unclustered
+    norms ride the object store (``ray.put`` once, read per task). The long
+    tail falls back to identity hashing — ``canonical_id_of(norm)`` is
+    EXACTLY the id the alias table assigns an unclustered norm (root = the
+    norm itself), so canonical ids never diverge; only the display label of
+    a below-cap norm uses the edge's own surface casing instead of the
+    corpus-majority variant. Partial counting inside map_batches again
+    bounds the final shuffle to distinct canonical triples per block."""
+    if isinstance(alias, rd.Dataset):
+        alias = hot_alias_frame(alias, cfg.broadcast_vocab_cap)
     alias_ref = ray.put({
         n: (cid, clab) for n, cid, clab in zip(
             alias["norm"], alias["canonical_id"], alias["canonical_label"])
@@ -342,9 +400,18 @@ def canonicalize_edges(edges: rd.Dataset, alias: pd.DataFrame,
     return bucketed_groupby(partials, keys, sum_merge(keys, ["weight"]))
 
 
-def canonical_nodes_table(alias: pd.DataFrame) -> pd.DataFrame:
-    """Distinct canonical entities (id, label, total mentions, n_aliases)."""
-    g = alias.groupby(["canonical_id", "canonical_label"], sort=False)
+def _canonical_nodes_merge(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby(["canonical_id", "canonical_label"], sort=False)
     out = g.agg(n_mentions=("cluster_mentions", "max"),
                 n_aliases=("norm", "nunique")).reset_index()
     return out.sort_values("canonical_id", kind="mergesort").reset_index(drop=True)
+
+
+def canonical_nodes_table(alias: rd.Dataset | pd.DataFrame):
+    """Distinct canonical entities (id, label, total mentions, n_aliases).
+    Dataset in -> Dataset out (bucketed distributed reduce keyed on
+    canonical_id — whole clusters colocate); DataFrame in -> DataFrame out."""
+    if isinstance(alias, pd.DataFrame):
+        return _canonical_nodes_merge(alias)
+    from ..ops.agg import bucketed_groupby
+    return bucketed_groupby(alias, ["canonical_id"], _canonical_nodes_merge)

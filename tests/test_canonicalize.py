@@ -41,7 +41,7 @@ def test_surface_table_counts_and_variant_pick():
 def test_alias_links_near_duplicates():
     labels = (["Acme Corporation"] * 5 + ["Acme Corporatio"] * 2  # typo variant
               + ["Globex Industries"] * 3)
-    alias = cz.build_alias_table(nodes_ds(labels), CFG)
+    alias = cz.build_alias_table(nodes_ds(labels), CFG).to_pandas()
     by_norm = alias.set_index("norm")
     assert (by_norm.loc["acme corporation", "canonical_id"]
             == by_norm.loc["acme corporatio", "canonical_id"])
@@ -54,7 +54,8 @@ def test_alias_links_near_duplicates():
 
 def test_alias_does_not_link_distinct():
     alias = cz.build_alias_table(
-        nodes_ds(["Acme Corporation", "Meridian Capital", "John Doe"]), CFG)
+        nodes_ds(["Acme Corporation", "Meridian Capital", "John Doe"]),
+        CFG).to_pandas()
     assert alias["canonical_id"].nunique() == 3
 
 
@@ -100,10 +101,46 @@ def test_canonicalize_unknown_surface_falls_back():
 def test_canonical_nodes_table():
     alias = cz.build_alias_table(
         nodes_ds(["Acme Corporation"] * 3 + ["Acme Corporatio"]), CFG)
-    nodes = cz.canonical_nodes_table(alias)
+    nodes = cz.canonical_nodes_table(alias).to_pandas()
     assert len(nodes) == 1
     assert int(nodes.iloc[0]["n_aliases"]) == 2
     assert int(nodes.iloc[0]["n_mentions"]) == 4
+
+
+def test_broadcast_cap_identity_fallback():
+    """With a broadcast cap of 1, below-cap unclustered norms resolve via
+    identity hashing to EXACTLY the canonical id the alias table assigns
+    them, and clustered norms still unify (always broadcast)."""
+    from dataclasses import replace
+    labels = (["Acme Corporation"] * 5 + ["Acme Corporatio"] * 2
+              + ["Rare Solo Co"])
+    alias = cz.build_alias_table(nodes_ds(labels), CFG)
+    edges = rd.from_pandas(pd.DataFrame({
+        "subj": ["Acme Corporatio", "Rare Solo Co"],
+        "pred": ["acquired", "acquired"],
+        "obj": ["Rare Solo Co", "Acme Corporation"]}))
+    capped = replace(CFG, broadcast_vocab_cap=1)
+    out = cz.canonicalize_edges(edges, alias, capped).to_pandas()
+    full = cz.canonicalize_edges(edges, alias, CFG).to_pandas()
+    cols = ["canonical_src", "pred", "canonical_dst", "weight"]
+    assert (out[cols].sort_values(cols).reset_index(drop=True)
+            .equals(full[cols].sort_values(cols).reset_index(drop=True)))
+    # typo variant still rewrites onto the cluster id despite the cap
+    cluster_id = (alias.to_pandas().set_index("norm")
+                  .loc["acme corporation", "canonical_id"])
+    assert cluster_id in set(out["canonical_src"])
+
+
+def test_hot_alias_frame_is_capped():
+    import hashlib
+    # mutually dissimilar labels (hash-derived) so LSH links nothing
+    labels = ["Zz" + hashlib.sha256(str(i).encode()).hexdigest()[:12]
+              for i in range(50)]
+    alias = cz.build_alias_table(nodes_ds(labels), CFG)
+    assert not alias.to_pandas()["is_clustered"].any()
+    hot = cz.hot_alias_frame(alias, cap=5)
+    assert len(hot) == 5            # no clusters -> exactly the cap
+    assert not hot["norm"].duplicated().any()
 
 
 def test_hot_key_skew_partials_bounded():

@@ -217,7 +217,7 @@ def test_canonicalize_job(job):
     assert not ce.duplicated(["canonical_src", "pred", "canonical_dst"]).any()
     # alias table is a function: each norm maps to exactly one canonical id
     aliases = pd.read_parquet(
-        f"{out}/version={cfg.version}/canonical/aliases.parquet")
+        f"{out}/version={cfg.version}/canonical/aliases")  # partitioned dir
     assert not aliases["norm"].duplicated().any()
     assert aliases["canonical_id"].notna().all()
 
@@ -244,3 +244,9 @@ def test_canonicalize_resume(job):
     assert again["n_canonical_edges"] == first["n_canonical_edges"]
     forced = kg.run_canonicalize_job(out, cfg, resume=False)
     assert "resumed" not in forced
+    # forced rerun must OVERWRITE, not append: write_parquet appends into an
+    # existing dir, so the job clears stale output first (round-2 fix)
+    assert forced["n_canonical_edges"] == first["n_canonical_edges"]
+    assert forced["n_aliases"] == first["n_aliases"]
+    ce = kg.read_canonical_edges(out, cfg.version).to_pandas()
+    assert len(ce) == first["n_canonical_edges"]
