@@ -108,9 +108,12 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                 version_cutoff=cfg.version_cutoff, version=cfg.version)
             if len(conv) == 0:      # cutoff filtered the whole partition
                 return lineage.empty_manifest_frame()
-            rows = extractor(pa.Table.from_pandas(conv, preserve_index=False))
-            return lineage.write_partition(
-                rows.to_pandas(), out_dir, cfg.version)
+            rows = extractor(pa.Table.from_pandas(conv, preserve_index=False)
+                             ).to_pandas()
+            if cfg.window_chars > 0:
+                from ..stages.extract import renumber_conversation_windows
+                rows = renumber_conversation_windows(rows)
+            return lineage.write_partition(rows, out_dir, cfg.version)
 
         manifests = ds.groupby("partition_id").map_groups(
             process, batch_format="pandas")
@@ -119,6 +122,9 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                                       skip_partitions=set(committed))
 
         def write(df: pd.DataFrame) -> pd.DataFrame:
+            if cfg.window_chars > 0:
+                from ..stages.extract import renumber_conversation_windows
+                df = renumber_conversation_windows(df)
             return lineage.write_partition(df, out_dir, cfg.version)
 
         manifests = graph_rows.groupby("partition_id").map_groups(

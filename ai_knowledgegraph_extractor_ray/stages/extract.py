@@ -211,6 +211,49 @@ class Extractor:
         )
 
 
+def renumber_conversation_windows(df) -> "pd.DataFrame":
+    """Conversation-level node ids for windowed extraction (SURVEY §7.3):
+    first-appearance numbering ACROSS a conversation's ordered windows, not
+    per window. Runs on one partition's graph-rows frame inside the fused
+    partition task — all windows of a conversation are colocated there.
+
+    Node identity is the exact surface label (mirroring the reference's
+    per-document node_map keyed on label, services.py:410-419): the first
+    window in which a label appears fixes its id n<rank> and its type guess;
+    later windows' re-extractions of the same label collapse into it. Edge
+    endpoints are remapped via their surface forms and cross-window
+    duplicate (src, pred, dst) triples are suppressed, extending the
+    reference's per-document dedup to the conversation. Identity for
+    single-window conversations (window_chars=0)."""
+    import pandas as pd
+
+    nodes = df[df["kind"] == "node"]
+    if not len(nodes):
+        return df
+    nodes = nodes.assign(_ord=nodes["node_id"].str.slice(1).astype(int))
+    nodes = nodes.sort_values(["conv_id", "window_id", "_ord"],
+                              kind="mergesort")
+    firsts = nodes.drop_duplicates(["conv_id", "label"]).copy()
+    firsts["node_id"] = "n" + (
+        firsts.groupby("conv_id", sort=False).cumcount() + 1).astype(str)
+    gid = firsts.set_index(["conv_id", "label"])["node_id"]
+
+    edges = df[df["kind"] == "edge"]
+    if len(edges):
+        edges = edges.sort_values(["conv_id", "window_id"], kind="mergesort")
+        edges = edges.assign(
+            src_node_id=gid.reindex(pd.MultiIndex.from_arrays(
+                [edges["conv_id"], edges["subj"]])).to_numpy(),
+            dst_node_id=gid.reindex(pd.MultiIndex.from_arrays(
+                [edges["conv_id"], edges["obj"]])).to_numpy())
+        edges = edges.drop_duplicates(
+            ["conv_id", "src_node_id", "pred", "dst_node_id"])
+
+    convs = df[df["kind"] == "conv"]
+    return pd.concat([convs, firsts.drop(columns="_ord"), edges],
+                     ignore_index=True)[df.columns]
+
+
 def extract_graphs(conversations: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
     """Attach the extractor stage.
 

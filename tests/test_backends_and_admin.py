@@ -119,9 +119,57 @@ def test_windowed_graphs_match_per_window_oracle(tmp_path):
         lab = dict(zip(rg.node_ids, rg.labels))
         for s, d, rel in zip(rg.edge_src, rg.edge_dst, rg.edge_rel):
             want.add((r.conv_id, int(r.window_id), lab[s], rel, lab[d]))
+    # conversation-level dedup keeps the FIRST window of a repeated triple
+    first_win: dict = {}
+    for cid, wid, s, rel, d in sorted(want):
+        first_win.setdefault((cid, s, rel, d), wid)
+    want_deduped = {(cid, wid, s, rel, d)
+                    for (cid, s, rel, d), wid in first_win.items()}
     got = {(r.conv_id, int(r.window_id), r.subj, r.pred, r.obj)
            for r in edges.itertuples()}
-    assert got == want
+    assert got == want_deduped
+
+
+def test_windowed_cross_window_node_numbering(tmp_path):
+    """SURVEY §7.3: node ids are conversation-level, assigned by first
+    appearance ACROSS ordered windows — contiguous n1..nK, no duplicate
+    labels per conversation, edges reference conversation-level ids, and
+    conversations whose entity set matches the whole-text extraction get the
+    identical label->id mapping."""
+    table = src.synthetic_transcripts_table(n_convs=10, seed=13)
+    p = tmp_path / "t.parquet"
+    pq.write_table(table, p)
+    out = str(tmp_path / "out")
+    cfg = KGConfig(num_partitions=3, window_chars=150, extract_concurrency=2)
+    kg.run_kg_job(src.read_transcripts(str(p)), cfg, out, resume=False)
+    nodes = kg.read_nodes(out, 1).to_pandas()
+    edges = kg.read_edges(out, 1).to_pandas()
+
+    for cid, g in nodes.groupby("conv_id"):
+        assert not g["label"].duplicated().any()
+        ranks = sorted(int(n[1:]) for n in g["node_id"])
+        assert ranks == list(range(1, len(g) + 1))     # contiguous n1..nK
+        # ids follow (window_id, in-window order) first appearance
+        ordered = g.assign(_r=g["node_id"].str.slice(1).astype(int)) \
+            .sort_values("_r")
+        assert list(ordered["window_id"]) == sorted(ordered["window_id"])
+    by_conv = nodes.groupby("conv_id")
+    id_sets = {c: set(g["node_id"]) for c, g in by_conv}
+    for r in edges.itertuples():
+        assert r.src_node_id in id_sets[r.conv_id]
+        assert r.dst_node_id in id_sets[r.conv_id]
+    assert not edges.duplicated(
+        ["conv_id", "src_node_id", "pred", "dst_node_id"]).any()
+
+    # whole-text comparison where entity sets agree
+    df = table.to_pandas()
+    for cid, g in df.groupby("conv_id"):
+        full = extract_rule_graph("\n".join(g.sort_values("turn_idx")["text"]))
+        want = dict(zip(full.labels, full.node_ids))
+        got_g = nodes[nodes["conv_id"] == cid]
+        got = dict(zip(got_g["label"], got_g["node_id"]))
+        if set(want) == set(got):
+            assert want == got, cid
 
 
 # --- admin surface -----------------------------------------------------------
