@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": q.q_ivf_knn,
         # entity extraction + canonicalization
         "entities": q.q_entities,
+        "edges_sql": q.q_edges_sql,
         "alias_exact": q.q_alias_exact,
         # full KG pipeline (not SQL-expressible)
         "kg_nodes": q.q_kg_nodes,
@@ -275,6 +276,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "entities": _ENTITIES_SQL,
+        # edge-path oracle: predicts the rule extractor's output over the
+        # constructed sentences "A is the CEO of B. B is located in the C."
+        # (A/B/C = the doc's first three entity candidates). The Ray side
+        # runs the REAL extractor (IGNORECASE patterns, endpoint resolution,
+        # dedup) on those sentences; first-appearance entity ranking makes
+        # A/B/C distinct, so no self-loops arise and exactly two edges emit.
+        "edges_sql": f"""
+            WITH tc AS ({_TITLECASED}),
+            spans AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(t, '{_ENTITY_RE}')) AS label,
+                     unnest(range(1, len(regexp_extract_all(t, '{_ENTITY_RE}')) + 1)) AS ord
+              FROM tc),
+            firsts AS (
+              SELECT doc_id, label, min(ord) AS first_ord
+              FROM spans WHERE label NOT IN {_STOPS}
+              GROUP BY doc_id, label),
+            ranked AS (
+              SELECT doc_id, label,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY first_ord) AS rnk
+              FROM firsts),
+            trip AS (
+              SELECT doc_id,
+                     max(CASE WHEN rnk = 1 THEN label END) AS a,
+                     max(CASE WHEN rnk = 2 THEN label END) AS b,
+                     max(CASE WHEN rnk = 3 THEN label END) AS c
+              FROM ranked WHERE rnk <= 3
+              GROUP BY doc_id HAVING count(*) = 3)
+            SELECT doc_id, a AS subj, 'ceo_of' AS pred, b AS obj FROM trip
+            UNION ALL
+            SELECT doc_id, b AS subj, 'located_in' AS pred, c AS obj FROM trip
+        """,
         "alias_exact": f"""
             WITH ents AS ({_ENTITIES_SQL}),
             counts AS (

@@ -343,6 +343,43 @@ def q_entities(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_edges_sql(sf_dir: str) -> rd.Dataset:
+    """SQL-checkable slice of the EDGE path: per document, build a
+    deterministic relation sentence pair from its first three entity
+    candidates ("A is the CEO of B. B is located in the C.") and run the
+    REAL rule extractor over it — pattern matching with the reference's
+    IGNORECASE quirks, endpoint resolution, self-loop/dup suppression all
+    exercised — emitting (doc_id, subj, pred, obj). The DuckDB oracle
+    predicts the same rows from the entity ranking alone, so any divergence
+    in the edge machinery shows up as a hash mismatch."""
+    from ..functions.rules import extract_rule_graph
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        dids, subjs, preds, objs = [], [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ents = extract_entities(src.titlecase_mod3(s or ""))
+            if len(ents) < 3:
+                continue
+            a, b, c = ents[:3]
+            g = extract_rule_graph(
+                f"{a} is the CEO of {b}. {b} is located in the {c}.")
+            lab = dict(zip(g.node_ids, g.labels))
+            for src_id, dst_id, rel in zip(g.edge_src, g.edge_dst, g.edge_rel):
+                dids.append(did)
+                subjs.append(lab[src_id])
+                preds.append(rel)
+                objs.append(lab[dst_id])
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "subj": pa.array(subjs, pa.string()),
+                         "pred": pa.array(preds, pa.string()),
+                         "obj": pa.array(objs, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_alias_exact(sf_dir: str) -> rd.Dataset:
     """Exact-normalization alias table over the extracted entity mentions
     (the SQL-checkable core of canonicalization: salted two-phase mention
