@@ -40,6 +40,8 @@ class KGConfig:
     max_edges_per_unit: int = 2000
 
     # --- llm backend knobs (mirrors reference config.py:13-25) -------------
+    llm_base_url: str = ""            # e.g. "http://localhost:11434"; empty
+    # = no HTTP client (deterministic fake / rules only)
     llm_model: str = "deterministic-fake"
     llm_timeout_s: float = 120.0
     llm_max_chars: int = 2000

@@ -86,13 +86,24 @@ class LLMBackend:
         self.cfg = cfg
         self.fallback = RuleBackend()
         self.fake_responses = fake_responses
+        self.client = None
+        if fake_responses is None and cfg.llm_base_url:
+            # real Ollama-protocol client, one per actor (connection reuse
+            # + one-shot health probe amortized over the actor's lifetime)
+            from ..functions.llm_client import OllamaClient
+            self.client = OllamaClient(cfg.llm_base_url, cfg.llm_model,
+                                       timeout_s=cfg.llm_timeout_s)
 
-    def _generate(self, prompt: str) -> str:
+    def _generate(self, text_chunk: str) -> str:
         if self.fake_responses is not None:
-            return self.fake_responses(prompt)
+            return self.fake_responses(text_chunk)
+        if self.client is not None:
+            from ..functions.llm_client import extraction_prompt
+            return self.client.generate(
+                extraction_prompt(text_chunk, self.cfg.llm_max_chars))
         raise NotImplementedError(
-            "no LLM runtime in this environment; inject fake_responses or "
-            "use backend='rules'")
+            "no LLM runtime configured; set llm_base_url, inject "
+            "fake_responses, or use backend='rules'")
 
     def extract(self, text: str) -> RuleGraph:
         if not text or not text.strip():

@@ -1,0 +1,167 @@
+"""Ollama-protocol client vs a local stub HTTP server: protocol shape,
+health gating, timeout/error handling, and the LLM->rules fallback chain
+through the full extraction pipeline (reference: services.py:85-115,
+178-231)."""
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from ai_knowledgegraph_extractor_ray.config import KGConfig
+from ai_knowledgegraph_extractor_ray.functions.llm_client import (
+    LLMUnavailable,
+    OllamaClient,
+    extraction_prompt,
+)
+from ai_knowledgegraph_extractor_ray.stages.extract import LLMBackend
+
+GOOD_GRAPH = json.dumps({
+    "nodes": [{"id": "n1", "label": "Acme", "type": "Organization"},
+              {"id": "n2", "label": "Bob", "type": "Person"}],
+    "edges": [{"source": "n2", "target": "n1", "relationship": "works_at"}],
+})
+
+
+class StubOllama(BaseHTTPRequestHandler):
+    """Configurable fake: class attrs drive behavior per test."""
+
+    healthy = True
+    response_text = GOOD_GRAPH
+    status = 200
+    delay_s = 0.0
+    requests_seen: list = []
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        if self.path == "/api/tags":
+            self.send_response(200 if type(self).healthy else 500)
+            self.end_headers()
+            self.wfile.write(b"{}")
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def do_POST(self):
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])))
+        type(self).requests_seen.append((self.path, body))
+        if type(self).delay_s:
+            time.sleep(type(self).delay_s)
+        self.send_response(type(self).status)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(json.dumps(
+            {"response": type(self).response_text}).encode())
+
+
+@pytest.fixture()
+def stub_server():
+    StubOllama.healthy = True
+    StubOllama.response_text = GOOD_GRAPH
+    StubOllama.status = 200
+    StubOllama.delay_s = 0.0
+    StubOllama.requests_seen = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), StubOllama)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_generate_protocol_shape(stub_server):
+    c = OllamaClient(stub_server, "tinyllama", timeout_s=5)
+    out = c.generate(extraction_prompt("Bob works at Acme."))
+    assert json.loads(out)["nodes"][0]["label"] == "Acme"
+    path, body = StubOllama.requests_seen[0]
+    assert path == "/api/generate"
+    # reference request shape (services.py:191-203)
+    assert body["model"] == "tinyllama"
+    assert body["stream"] is False and body["format"] == "json"
+    assert body["options"]["num_predict"] == 2000
+    assert "Bob works at Acme." in body["prompt"]
+    assert body["prompt"].startswith("Extract entities and relationships")
+
+
+def test_prompt_truncation():
+    p = extraction_prompt("x" * 5000, max_chars=2000)
+    assert "x" * 2000 in p and "x" * 2001 not in p
+
+
+def test_health_gate_blocks_generate(stub_server):
+    StubOllama.healthy = False
+    c = OllamaClient(stub_server, "m", timeout_s=5)
+    with pytest.raises(LLMUnavailable):
+        c.generate("p")
+    assert StubOllama.requests_seen == []     # never POSTed
+
+
+def test_health_probe_runs_once(stub_server):
+    c = OllamaClient(stub_server, "m", timeout_s=5)
+    c.generate("a")
+    c.generate("b")
+    posts = [p for p, _ in StubOllama.requests_seen]
+    assert posts == ["/api/generate", "/api/generate"]
+
+
+def test_non_200_raises(stub_server):
+    StubOllama.status = 500
+    c = OllamaClient(stub_server, "m", timeout_s=5)
+    with pytest.raises(RuntimeError):
+        c.generate("p")
+
+
+def test_empty_response_raises(stub_server):
+    StubOllama.response_text = "{}"
+    c = OllamaClient(stub_server, "m", timeout_s=5)
+    with pytest.raises(ValueError):
+        c.generate("p")
+
+
+def test_timeout_raises(stub_server):
+    StubOllama.delay_s = 1.0
+    c = OllamaClient(stub_server, "m", timeout_s=0.2)
+    with pytest.raises(TimeoutError):
+        c.generate("p")
+
+
+def test_connection_refused_is_unavailable():
+    c = OllamaClient("http://127.0.0.1:9", "m", timeout_s=1,
+                     health_timeout_s=0.5)
+    with pytest.raises(LLMUnavailable):
+        c.generate("p")
+
+
+# --- through the extraction backend -----------------------------------------
+
+def test_backend_uses_client_graph(stub_server):
+    cfg = KGConfig(backend="llm", llm_base_url=stub_server,
+                   llm_model="tinyllama")
+    b = LLMBackend(cfg)
+    g = b.extract("Bob works at Acme.")
+    assert g.labels == ["Acme", "Bob"]
+    assert list(zip(g.edge_src, g.edge_dst, g.edge_rel)) == [
+        ("n2", "n1", "works_at")]
+
+
+def test_backend_falls_back_to_rules_on_unavailable(stub_server):
+    StubOllama.healthy = False
+    cfg = KGConfig(backend="llm", llm_base_url=stub_server)
+    b = LLMBackend(cfg)
+    g = b.extract("John Doe is the CEO of Acme Corporation.")
+    # rules fallback produced the deterministic graph
+    assert "John Doe" in g.labels and "Acme Corporation" in g.labels
+    assert "ceo_of" in g.edge_rel
+
+
+def test_backend_falls_back_on_garbage_json(stub_server):
+    StubOllama.response_text = "utter { garbage ]["
+    cfg = KGConfig(backend="llm", llm_base_url=stub_server)
+    b = LLMBackend(cfg)
+    g = b.extract("Jane Smith founded TechStart in Boston in 2020.")
+    assert "Jane Smith" in g.labels     # rules fallback ran
