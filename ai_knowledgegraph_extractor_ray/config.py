@@ -36,6 +36,9 @@ class KGConfig:
     link_scorer_concurrency: int = 2  # embedding-scorer actor pool size
     broadcast_vocab_cap: int = 1_000_000  # max unclustered norms in the
     # rewrite broadcast; the long tail uses identity canonical hashing
+    partition_bytes_warn: int = 2 << 30   # one partition materializes as one
+    # worker-resident frame; warn when its input exceeds this (raise
+    # num_partitions with data volume — P must scale ~ bytes / 1 GiB)
     max_nodes_per_unit: int = 1000    # validation caps, reference services.py:143-149
     max_edges_per_unit: int = 2000
 

@@ -63,11 +63,14 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
 
     With the stateless rule backend the whole per-partition chain
     (sort-within-group -> concat -> extract -> write -> manifest) FUSES into
-    ONE ``groupby(partition_id).map_groups`` task — the job has exactly one
-    shuffle, over the raw turns, and no second barrier over graph rows
-    (measured: the staged variant spent ~40% of wall in the second sort).
-    Stateful backends (LLM actor pool) take the staged path, where the actor
-    pool sits between the two shuffles.
+    ONE reduce task per partition of a raw-Ray hash exchange
+    (``ops/exchange.py``) — the job has exactly one all-to-all, over the raw
+    turns, with no Ray-Data sort barrier (measured: the sort-based groupby
+    spent ~6 s of near-serial wall on ~3.6 CPU-s of shuffle bookkeeping at
+    32 CPUs; the exchange lifted 8->32 scaling efficiency from ~0.50 to
+    ~0.65 and absolute throughput by ~1.5x). Stateful backends (LLM actor
+    pool) take the staged Dataset path, where the actor pool sits between
+    two groupby shuffles.
 
     Resume: trusts only partitions whose manifest exists AND (when
     ``validate_input``) whose recorded input fingerprint matches a freshly
@@ -89,34 +92,29 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
             del committed[pid]
 
     if cfg.backend == "rules":
-        ds = add_partition_id(transcripts, cfg.num_partitions)
-        if committed:
-            skip = pa.array(sorted(committed), pa.int32())
-
-            def drop_committed(t: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-                return t.filter(
-                    pc.invert(pc.is_in(t["partition_id"], value_set=skip)))
-
-            ds = ds.map_batches(drop_committed, batch_format="pyarrow")
+        from ..ops.exchange import hash_exchange
 
         extractor = Extractor(cfg)
 
-        def process(df: pd.DataFrame) -> pd.DataFrame:
+        def reduce_fn(pid: int, tbl: pa.Table):
             conv = assemble_partition(
-                df, window_chars=cfg.window_chars,
+                tbl.to_pandas(), window_chars=cfg.window_chars,
                 version_cutoff=cfg.version_cutoff, version=cfg.version)
             if len(conv) == 0:      # cutoff filtered the whole partition
-                return lineage.empty_manifest_frame()
+                return None
             rows = extractor(pa.Table.from_pandas(conv, preserve_index=False)
                              ).to_pandas()
             if cfg.window_chars > 0:
                 from ..stages.extract import renumber_conversation_windows
                 rows = renumber_conversation_windows(rows)
-            return lineage.write_partition(rows, out_dir, cfg.version)
+            return lineage.write_partition(
+                rows, out_dir, cfg.version,
+                input_bytes=tbl.nbytes).to_dict("records")[0]
 
-        manifests = ds.groupby("partition_id").map_groups(
-            process, batch_format="pandas")
+        records = hash_exchange(transcripts, cfg.num_partitions, reduce_fn,
+                                skip=frozenset(committed))
+        fresh = (pd.DataFrame(records)[lineage.MANIFEST_COLS]
+                 if records else lineage.empty_manifest_frame())
     else:
         graph_rows = build_graph_rows(transcripts, cfg,
                                       skip_partitions=set(committed))
@@ -129,12 +127,28 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
 
         manifests = graph_rows.groupby("partition_id").map_groups(
             write, batch_format="pandas")
-
-    fresh = manifests.to_pandas()  # P rows at most — safe to materialize
-    if "partition_id" not in fresh.columns:
-        fresh = lineage.empty_manifest_frame()
+        fresh = manifests.to_pandas()  # P rows at most — safe to materialize
+        if "partition_id" not in fresh.columns:
+            fresh = lineage.empty_manifest_frame()
 
     all_manifests = list(committed.values()) + fresh.to_dict("records")
+
+    # partition-sizing guard: each partition materializes as ONE worker-
+    # resident frame inside its reduce task, so num_partitions must scale
+    # with data volume (P ~ input_bytes / ~1 GiB). Warn loudly when a
+    # partition blew past the configured bound instead of letting workers
+    # OOM silently at 100x the test scale.
+    big = [m for m in all_manifests
+           if int(m.get("input_bytes", 0) or 0) > cfg.partition_bytes_warn]
+    if big:
+        import warnings
+        worst = max(int(m["input_bytes"]) for m in big)
+        warnings.warn(
+            f"{len(big)} partition(s) exceeded partition_bytes_warn="
+            f"{cfg.partition_bytes_warn} (largest {worst} bytes); raise "
+            f"num_partitions (currently {cfg.num_partitions}) so one "
+            f"partition fits a worker heap", ResourceWarning, stacklevel=2)
+
     summary = {
         "version": cfg.version,
         "partitions_total": len(all_manifests),

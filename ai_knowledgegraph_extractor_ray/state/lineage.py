@@ -61,7 +61,8 @@ EDGE_COLS = ["conv_id", "edge_id", "src_node_id", "dst_node_id",
 CONV_COLS = ["conv_id", "window_id", "n_turns", "version", "backend"]
 
 
-def write_partition(group: pd.DataFrame, out_dir: str, version: int) -> pd.DataFrame:
+def write_partition(group: pd.DataFrame, out_dir: str, version: int,
+                    input_bytes: int = 0) -> pd.DataFrame:
     """Commit one partition's graph rows. Runs inside
     groupby(partition_id).map_groups — one task per partition, returning the
     manifest as a one-row DataFrame so the manifests themselves form a small
@@ -88,6 +89,7 @@ def write_partition(group: pd.DataFrame, out_dir: str, version: int) -> pd.DataF
         "n_turns": int(convs.drop_duplicates("conv_id")["n_turns"].sum()),
         "n_nodes": int(len(nodes)),
         "n_edges": int(len(edges)),
+        "input_bytes": int(input_bytes),
         "wall_time_s": round(time.perf_counter() - t0, 4),
     }
     mpath = manifest_path(out_dir, version, pid)
@@ -101,7 +103,7 @@ def write_partition(group: pd.DataFrame, out_dir: str, version: int) -> pd.DataF
 
 MANIFEST_COLS = ["partition_id", "version", "input_fingerprint",
                  "n_conversations", "n_turns", "n_nodes", "n_edges",
-                 "wall_time_s"]
+                 "input_bytes", "wall_time_s"]
 
 
 def empty_manifest_frame() -> pd.DataFrame:

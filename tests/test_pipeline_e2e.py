@@ -122,6 +122,16 @@ def test_partial_resume(corpus_path, tmp_path):
     assert sorted(map(tuple, ea[key].values)) == sorted(map(tuple, eb[key].values))
 
 
+def test_partition_size_guard_warns(corpus_path, tmp_path):
+    """Oversized partitions (num_partitions too low for the data volume)
+    raise a ResourceWarning naming the knob, instead of OOMing at scale."""
+    cfg = KGConfig(num_partitions=2, extract_concurrency=2,
+                   partition_bytes_warn=1000)
+    with pytest.warns(ResourceWarning, match="num_partitions"):
+        kg.run_kg_job(src.read_transcripts(corpus_path),
+                      cfg, str(tmp_path / "out"), resume=False)
+
+
 def test_resume_invalidates_changed_input(corpus_path, tmp_path):
     """Resume over CHANGED input must re-run the affected partition, not
     silently reuse its stale output (lineage fingerprint validation)."""
