@@ -287,25 +287,46 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
     pairs = _candidate_pairs(surfaces, link)
 
     if use_embed_scorer and len(pairs):
-        scored = rd.from_pandas(pairs).map_batches(
-            HashEmbedScorer, batch_format="pyarrow",
-            concurrency=cfg.link_scorer_concurrency, num_cpus=1,
-        ).to_pandas()
+        if len(pairs) < 10_000:
+            # actor-pool spawn (~1 s) dwarfs scoring a small pair list;
+            # the pool pays off only on duplicate-heavy corpora
+            scored = HashEmbedScorer()(
+                pa.Table.from_pandas(pairs, preserve_index=False)).to_pandas()
+        else:
+            scored = rd.from_pandas(pairs).map_batches(
+                HashEmbedScorer, batch_format="pyarrow",
+                concurrency=cfg.link_scorer_concurrency, num_cpus=1,
+            ).to_pandas()
         pairs = scored[scored["cos_sim"] >= link.cosine_threshold]
 
     root_of = _union_find_clusters(pairs)
     clustered = frozenset(pairs["norm_a"]) | frozenset(pairs["norm_b"])
     root_ref = ray.put((root_of, clustered))
 
-    def assign_root(df: pd.DataFrame) -> pd.DataFrame:
+    # Split streams: UNCLUSTERED norms (the overwhelming majority) are
+    # singleton clusters — root = self, representative label = own variant,
+    # totals = own mentions — a pure per-block map, NO shuffle. Only the
+    # CLUSTERED norms (duplicate-volume-sized) need a cross-row reduce, and
+    # only they ride the bucketed groupby. This removes a full-vocabulary
+    # shuffle from the alias build.
+    def unclustered_alias(df: pd.DataFrame) -> pd.DataFrame:
         rmap, members = ray.get(root_ref)
+        df = df[[n not in members for n in df["norm"]]]
+        out = pd.DataFrame({
+            "norm": df["norm"].astype("string"),
+            "canonical_id": df["norm"].map(canonical_id_of).astype("string"),
+            "canonical_label": df["canonical_label"],
+            "cluster_mentions": df["n_mentions"].astype("int64"),
+        })
+        out["is_clustered"] = False
+        return out[ALIAS_COLS]
+
+    def clustered_rooted(df: pd.DataFrame) -> pd.DataFrame:
+        rmap, members = ray.get(root_ref)
+        df = df[[n in members for n in df["norm"]]]
         return df.assign(
             root=pd.Series([rmap.get(n, n) for n in df["norm"]],
-                           index=df.index, dtype="string"),
-            is_clustered=pd.Series([n in members for n in df["norm"]],
-                                   index=df.index, dtype="bool"))
-
-    rooted = surfaces.map_batches(assign_root, batch_format="pandas")
+                           index=df.index, dtype="string"))
 
     def per_root(df: pd.DataFrame) -> pd.DataFrame:
         # whole clusters land in one bucket (keyed on root); vectorized pick
@@ -313,15 +334,23 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
                             kind="mergesort")
         rep = df.groupby("root", sort=False)["canonical_label"].first()
         tot = df.groupby("root", sort=False)["n_mentions"].sum()
-        out = (df[["norm", "root", "is_clustered"]]
+        out = (df[["norm", "root"]]
                .merge(rep.rename("canonical_label"), on="root")
                .merge(tot.rename("cluster_mentions"), on="root"))
         out["canonical_id"] = out["root"].map(canonical_id_of).astype("string")
+        out["is_clustered"] = True
         return out[ALIAS_COLS]
 
-    from ..ops.agg import bucketed_groupby
-    return bucketed_groupby(rooted, ["root"], per_root,
-                            buckets=cfg.alias_salt_buckets)
+    unclustered = surfaces.map_batches(unclustered_alias,
+                                       batch_format="pandas")
+    if not clustered:
+        return unclustered
+    # clustered rows are bounded by 2x|verified pairs| — already a driver-
+    # side quantity (the union-find ran on them) — so the per-root reduce is
+    # a driver groupby over a tiny frame, not a distributed shuffle
+    cl_df = surfaces.map_batches(clustered_rooted,
+                                 batch_format="pandas").to_pandas()
+    return unclustered.union(rd.from_pandas(per_root(cl_df)))
 
 
 def hot_alias_frame(alias: rd.Dataset, cap: int) -> pd.DataFrame:
@@ -409,9 +438,33 @@ def _canonical_nodes_merge(df: pd.DataFrame) -> pd.DataFrame:
 
 def canonical_nodes_table(alias: rd.Dataset | pd.DataFrame):
     """Distinct canonical entities (id, label, total mentions, n_aliases).
-    Dataset in -> Dataset out (bucketed distributed reduce keyed on
-    canonical_id — whole clusters colocate); DataFrame in -> DataFrame out."""
+    Dataset in -> Dataset out; DataFrame in -> DataFrame out. Same
+    split-stream shape as the alias build: unclustered aliases map 1:1 to
+    canonical nodes with no shuffle; only clustered aliases (pair-bounded)
+    need a cross-row reduce, done driver-side."""
     if isinstance(alias, pd.DataFrame):
-        return _canonical_nodes_merge(alias)
-    from ..ops.agg import bucketed_groupby
-    return bucketed_groupby(alias, ["canonical_id"], _canonical_nodes_merge)
+        return _canonical_nodes_merge(alias.drop(columns="is_clustered",
+                                                 errors="ignore"))
+    cols = ["canonical_id", "canonical_label", "n_mentions", "n_aliases"]
+
+    def unclustered_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df["is_clustered"]]
+        out = pd.DataFrame({
+            "canonical_id": df["canonical_id"],
+            "canonical_label": df["canonical_label"],
+            "n_mentions": df["cluster_mentions"].astype("int64"),
+        })
+        out["n_aliases"] = 1
+        return out[cols]
+
+    def clustered_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["is_clustered"]]
+
+    un = alias.map_batches(unclustered_nodes, batch_format="pandas")
+    cl_df = alias.map_batches(clustered_only,
+                              batch_format="pandas").to_pandas()
+    if len(cl_df) == 0:
+        return un
+    # pair-bounded, same driver-side justification as the alias build
+    return un.union(rd.from_pandas(
+        _canonical_nodes_merge(cl_df.drop(columns="is_clustered"))[cols]))
