@@ -9,11 +9,12 @@ extracts text per extension inside ``map_batches``:
   ", ", rows joined with "\n" — the reference feeds CSV to the same
   entity extractor as prose (services.py:55-62; the seed doc3 golden
   graph is CEO/HQ edges extracted from CSV-as-text)
-* ``.pdf`` / ``.docx`` — real decoders when PyPDF2 / python-docx are
-  importable (they are not in this container); otherwise the row is
-  emitted with ``error="codec_unavailable"`` rather than failing the
-  batch — the dispatch seam, schema and error routing are the real
-  production shape.
+* ``.pdf`` — PyPDF2 when importable, else a pure-stdlib extractor for
+  simple PDFs (Flate/raw content streams, Tj/TJ literal strings); a PDF
+  neither path can read is emitted with ``error="decode_error"`` rather
+  than failing the batch
+* ``.docx`` — python-docx when importable, else a pure-stdlib
+  zipfile+ElementTree extractor mirroring python-docx's paragraph join
 
 Output schema: (path, ext, text, error) — feed ``text`` to the KG
 pipeline as single-turn conversations or to the corpus operators.
@@ -40,20 +41,99 @@ def _csv_to_text(data: bytes) -> str:
     return "\n".join(", ".join(cell for cell in row) for row in rows)
 
 
+_PDF_TEXT_OPS = None  # compiled lazily (regexes used only on the pdf path)
+
+
+def _basic_pdf_text(data: bytes) -> str:
+    """Minimal pure-stdlib PDF text extraction for SIMPLE PDFs: inflates
+    FlateDecode (or raw) content streams with zlib and collects the literal
+    strings shown by Tj / ' / " / TJ operators, one line per text-showing
+    operation. Not a full PDF renderer — no font CMaps, hex strings, or
+    cross-reference validation — but it makes the ``.pdf`` route real for
+    the plain-text PDFs the reference's upload flow typically sees, instead
+    of error-routing every PDF when PyPDF2 is absent."""
+    global _PDF_TEXT_OPS
+    import re
+    import zlib
+    if _PDF_TEXT_OPS is None:
+        _PDF_TEXT_OPS = (
+            re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL),
+            # literal string followed by a text-showing operator
+            re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"),
+            re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ", re.DOTALL),
+            re.compile(rb"\(((?:[^()\\]|\\.)*)\)"),
+        )
+    stream_re, tj_re, tj_arr_re, lit_re = _PDF_TEXT_OPS
+
+    def unescape(b: bytes) -> str:
+        out = (b.replace(rb"\(", b"(").replace(rb"\)", b")")
+               .replace(rb"\n", b"\n").replace(rb"\t", b"\t")
+               .replace(rb"\r", b"\r").replace(rb"\\", b"\\"))
+        return out.decode("latin-1")
+
+    lines: list[str] = []
+    for m in stream_re.finditer(data):
+        raw = m.group(1)
+        try:
+            content = zlib.decompress(raw)
+        except zlib.error:
+            content = raw              # uncompressed content stream
+        for tm in tj_re.finditer(content):
+            lines.append(unescape(tm.group(1)))
+        for am in tj_arr_re.finditer(content):
+            # TJ arrays interleave strings with kerning numbers
+            lines.append("".join(unescape(s.group(1))
+                                 for s in lit_re.finditer(am.group(1))))
+    if not lines:
+        raise ValueError("no extractable text")
+    return "\n".join(lines).strip()
+
+
 def _pdf_to_text(data: bytes) -> str:
     try:
-        import PyPDF2  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError("codec_unavailable") from e
+        import PyPDF2
+    except ImportError:
+        return _basic_pdf_text(data)
     reader = PyPDF2.PdfReader(io.BytesIO(data))
     return "\n".join((page.extract_text() or "") for page in reader.pages).strip()
 
 
+_DOCX_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def _basic_docx_text(data: bytes) -> str:
+    """Pure-stdlib DOCX text extraction (zipfile + ElementTree), mirroring
+    python-docx's ``"\\n".join(p.text for p in d.paragraphs)``: body-level
+    ``w:p`` paragraphs in document order, each the concatenation of its
+    ``w:t`` runs with ``w:tab``/``w:br``/``w:cr`` as tab/newline."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    body = root.find(f"{_DOCX_NS}body")
+    if body is None:
+        return ""
+    paras = []
+    for p in body.findall(f"{_DOCX_NS}p"):
+        parts = []
+        for el in p.iter():
+            tag = el.tag
+            if tag == f"{_DOCX_NS}t":
+                parts.append(el.text or "")
+            elif tag == f"{_DOCX_NS}tab":
+                parts.append("\t")
+            elif tag in (f"{_DOCX_NS}br", f"{_DOCX_NS}cr"):
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras).strip()
+
+
 def _docx_to_text(data: bytes) -> str:
     try:
-        import docx  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError("codec_unavailable") from e
+        import docx
+    except ImportError:
+        return _basic_docx_text(data)
     d = docx.Document(io.BytesIO(data))
     return "\n".join(p.text for p in d.paragraphs).strip()
 
