@@ -5,12 +5,19 @@ Image/audio/video payloads are ``binary`` columns with sidecar metadata
 extraction run as actor-pool ``map_batches`` stages with SMALL batch sizes
 (payload bytes x batch_size x concurrency must fit a worker heap).
 
-The decode libraries (PIL, ffmpeg, torchaudio) are not in this container, so
-the codec seam is explicit: each stage try-imports the real library and
-otherwise uses ``DETERMINISTIC_FAKE`` decoding (seeded from the payload
-bytes) or raises NotImplementedError, per ``fake_ok``. Everything around the
-seam — schema, actor signature, batch sizing, output layout — is real and
-tested; swapping in the real codec changes one method.
+Codec reality, by format:
+
+* PNG images and WAV audio decode FOR REAL with pure-stdlib codecs
+  (``decode_png``: chunk parse + zlib inflate + all five scanline filters;
+  ``decode_wav``: the ``wave`` module, 8/16-bit PCM, channel mean-mix) —
+  no PIL/soundfile needed, round-trip tested against the matching
+  ``encode_png`` / ``encode_wav``.
+* Other formats (JPEG, MP4, ...) need libraries absent from this container
+  (PIL, ffmpeg, torchaudio); each stage try-imports the real library and
+  otherwise uses deterministic fake decoding (seeded from the payload
+  bytes) or raises NotImplementedError, per ``fake_ok``. The plumbing —
+  schema, actor signature, batch sizing, output layout — is identical
+  either way.
 """
 
 from __future__ import annotations
@@ -34,16 +41,29 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synthetic_media(n_items: int = 64, seed: int = 7,
-                    payload_bytes: int = 4096) -> rd.Dataset:
-    """Deterministic fake media corpus for plumbing tests: payload = seeded
-    byte stream, metadata consistent with media_type."""
+                    payload_bytes: int = 4096,
+                    real_payloads: bool = False) -> rd.Dataset:
+    """Deterministic media corpus for plumbing tests: payload = seeded byte
+    stream (or, with ``real_payloads``, actual encoded PNG / WAV bytes for
+    image/audio items — video payloads stay opaque), metadata consistent
+    with media_type."""
     def gen(batch: dict) -> pa.Table:
         ids = batch["id"].to_pylist()
         media, payloads, w, h, sr, nf = [], [], [], [], [], []
         for i in ids:
             kind = ("image", "audio", "video")[i % 3]
             rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
-            payloads.append(rng.bytes(payload_bytes))
+            if real_payloads and kind == "image":
+                px = rng.randint(0, 256, size=(48 + (i % 5) * 16,
+                                               64 + (i % 8) * 16, 3),
+                                 dtype=np.uint8)
+                payloads.append(encode_png(px))
+            elif real_payloads and kind == "audio":
+                payloads.append(encode_wav(
+                    rng.standard_normal(16000).astype(np.float32) * 0.3,
+                    16000))
+            else:
+                payloads.append(rng.bytes(payload_bytes))
             media.append(kind)
             w.append(64 + (i % 8) * 16 if kind != "audio" else 0)
             h.append(48 + (i % 5) * 16 if kind != "audio" else 0)
@@ -68,6 +88,125 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+# --- real stdlib codecs (PNG via zlib, WAV via the wave module) -------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode -> (h, w, 3) uint8. Supports 8-bit
+    grayscale/RGB/RGBA, non-interlaced, all five scanline filters — the
+    format PNG encoders emit by default. No PIL required."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a png")
+    pos, idat = 8, []
+    w = h = color = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w = int.from_bytes(chunk[0:4], "big")
+            h = int.from_bytes(chunk[4:8], "big")
+            bit, color, interlace = chunk[8], chunk[9], chunk[12]
+            if bit != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise ValueError("unsupported png variant")
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated png")
+    raw = zlib.decompress(b"".join(idat))
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos2 = 0
+    for y in range(h):
+        f = raw[pos2]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=pos2 + 1).copy()
+        pos2 += 1 + stride
+        if f == 2:                       # Up — vectorized
+            line += prev
+        elif f in (1, 3, 4):             # Sub/Average/Paeth — sequential in x
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                        (b if pb_ <= pc_ else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad png filter {f}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Pure-stdlib PNG encode of (h, w, 3) uint8 (filter 0 scanlines)."""
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (len(payload).to_bytes(4, "big") + typ + payload
+                + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib WAV decode -> (mono float32 pcm in [-1, 1], sample_rate)
+    via the ``wave`` module (8/16-bit PCM; channels mean-mixed)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wf:
+        sr, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 2:
+        pcm = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        pcm = (np.frombuffer(frames, dtype=np.uint8)
+               .astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm, sr
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """Pure-stdlib mono 16-bit WAV encode."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(
+            (np.clip(pcm, -1.0, 1.0) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 class ImageDecoder:
     """Actor-pool decode stage. Real path: PIL.Image.open over payload bytes.
     Sandbox path: deterministic fake pixels (or NotImplementedError when
@@ -87,9 +226,11 @@ class ImageDecoder:
             import io
             img = self._pil.open(io.BytesIO(payload)).convert("RGB")
             return np.asarray(img)
+        if payload.startswith(PNG_MAGIC):
+            return decode_png(payload)        # real stdlib path, no PIL
         if not self.fake_ok:
             raise NotImplementedError(
-                "image codec not available in this environment; "
+                "image codec not available for this format; "
                 "install pillow or pass fake_ok=True")
         return _fake_pixels(payload, w, h)
 
@@ -211,11 +352,13 @@ class AudioFeaturizer:
         self.n_frames = n_frames
         self.fake_ok = fake_ok
 
-    def _pcm_of(self, payload: bytes, sample_rate: int) -> np.ndarray:
+    def _pcm_of(self, payload: bytes, sample_rate: int) -> tuple[np.ndarray, int]:
+        if payload.startswith(b"RIFF"):
+            return decode_wav(payload)        # real stdlib path
         if not self.fake_ok:
             raise NotImplementedError("audio codec not available")
         rng = np.random.RandomState(zlib.crc32(payload) % (2**31))
-        return rng.standard_normal(sample_rate).astype(np.float32)  # 1s fake
+        return rng.standard_normal(sample_rate).astype(np.float32), sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, feats, durs = [], [], []
@@ -225,7 +368,7 @@ class AudioFeaturizer:
                                            batch["meta_sample_rate"].to_pylist()):
             if kind != "audio" or not sr:
                 continue
-            pcm = self._pcm_of(payload, sr)
+            pcm, sr = self._pcm_of(payload, sr)
             frames = np.array_split(pcm, self.n_frames)
             ids.append(item)
             feats.append([float(np.sqrt((f ** 2).mean())) for f in frames])

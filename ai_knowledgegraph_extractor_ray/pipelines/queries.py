@@ -428,7 +428,8 @@ def q_canonical_edges(sf_dir: str) -> rd.Dataset:
 
 
 def q_media_decode(sf_dir: str) -> rd.Dataset:
-    """Multimodal plumbing smoke (sf-independent synthetic payloads)."""
+    """Multimodal decode over REAL encoded payloads (stdlib PNG codec,
+    fake_ok=False — no deterministic-fake path; sf-independent)."""
     from ..ops import multimodal
-    media = multimodal.synthetic_media(n_items=48)
-    return multimodal.decode_images(media, concurrency=2)
+    media = multimodal.synthetic_media(n_items=48, real_payloads=True)
+    return multimodal.decode_images(media, concurrency=2, fake_ok=False)
