@@ -48,8 +48,11 @@ import ray.data as rd
 
 @ray.remote
 def _exchange_map(block_refs, key: str, num_partitions: int):
-    tbl = pa.concat_tables(ray.get(list(block_refs)),
-                           promote_options="permissive")
+    import pandas as pd
+    blocks = [pa.Table.from_pandas(b, preserve_index=False)
+              if isinstance(b, pd.DataFrame) else b
+              for b in ray.get(list(block_refs))]   # pandas-block datasets
+    tbl = pa.concat_tables(blocks, promote_options="permissive")
     pids = np.fromiter(
         (zlib.crc32(c) % num_partitions
          for c in tbl[key].cast(pa.binary()).to_pylist()),
@@ -57,6 +60,8 @@ def _exchange_map(block_refs, key: str, num_partitions: int):
     order = np.argsort(pids, kind="stable")
     tbl = tbl.append_column("partition_id", pa.array(pids)).take(order)
     cuts = np.searchsorted(pids[order], np.arange(num_partitions + 1))
+    if num_partitions == 1:      # num_returns=1 returns the bare value
+        return tbl
     return tuple(tbl.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
                  for i in range(num_partitions))
 

@@ -1,0 +1,80 @@
+"""ops/exchange.py: the raw-Ray hash exchange behind the fused KG job."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ai_knowledgegraph_extractor_ray.ops.exchange import hash_exchange
+from ai_knowledgegraph_extractor_ray.stages.conversation import partition_of
+
+
+def _corpus(n_keys: int, rows_per_key: int) -> rd.Dataset:
+    df = pd.DataFrame({
+        "conv_id": [f"k{i:04d}" for i in range(n_keys)
+                    for _ in range(rows_per_key)],
+        "val": list(range(n_keys * rows_per_key)),
+    })
+    return rd.from_pandas(df).repartition(6)
+
+
+def collect_rows(pid: int, tbl: pa.Table) -> dict:
+    return {"pid": pid,
+            "keys": sorted(set(tbl["conv_id"].to_pylist())),
+            "vals": sorted(tbl["val"].to_pylist()),
+            "stamped": sorted(set(tbl["partition_id"].to_pylist()))}
+
+
+def test_exchange_partitions_exactly():
+    """Every row lands in exactly the partition crc32(key)%P says; nothing
+    lost, nothing duplicated."""
+    P = 7
+    out = hash_exchange(_corpus(40, 3), P, collect_rows)
+    all_vals = sorted(v for r in out for v in r["vals"])
+    assert all_vals == list(range(40 * 3))
+    for r in out:
+        assert r["stamped"] == [r["pid"]]
+        for k in r["keys"]:
+            assert partition_of(k, P) == r["pid"]
+
+
+def test_exchange_skip_suppresses_reduces():
+    P = 5
+    ds = _corpus(25, 2)
+    full = {r["pid"]: r for r in hash_exchange(ds, P, collect_rows)}
+    skipped = hash_exchange(_corpus(25, 2), P, collect_rows, skip={0, 3})
+    pids = {r["pid"] for r in skipped}
+    assert pids == set(full) - {0, 3}
+    for r in skipped:
+        assert r["vals"] == full[r["pid"]]["vals"]
+
+
+def test_exchange_empty_partitions_yield_nothing():
+    # 2 keys into 64 partitions: most reduces see zero rows -> None filtered
+    out = hash_exchange(_corpus(2, 4), 64, collect_rows)
+    assert len(out) == len({partition_of(f"k{i:04d}", 64) for i in range(2)})
+
+
+def test_exchange_skewed_key_colocates():
+    """A hot key's rows all reach ONE reduce, intact."""
+    df = pd.DataFrame({"conv_id": ["hot"] * 5000 + ["cold"],
+                       "val": list(range(5001))})
+    out = hash_exchange(rd.from_pandas(df).repartition(8), 4, collect_rows)
+    hot = [r for r in out if "hot" in r["keys"]]
+    assert len(hot) == 1
+    assert len(hot[0]["vals"]) in (5000, 5001)  # cold may share the bucket
+
+
+def test_exchange_single_partition():
+    out = hash_exchange(_corpus(10, 2), 1, collect_rows)
+    assert len(out) == 1 and len(out[0]["vals"]) == 20
+
+
+def test_exchange_deterministic_across_block_layout():
+    """Same reduce inputs regardless of input block structure."""
+    a = hash_exchange(_corpus(30, 2), 8, collect_rows, blocks_per_map=1)
+    b = hash_exchange(_corpus(30, 2).repartition(2), 8, collect_rows,
+                      blocks_per_map=4)
+    da = {r["pid"]: r["vals"] for r in a}
+    db = {r["pid"]: r["vals"] for r in b}
+    assert da == db
