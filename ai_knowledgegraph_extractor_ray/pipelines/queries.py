@@ -321,6 +321,33 @@ def q_ivf_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
     return idx.search(queries, k=k, nprobe=4)
 
 
+def q_ivf_exact(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """IVF with exhaustive probing (nprobe = n_clusters): the full IVF
+    machinery — k-means training, distributed centroid assignment, probe
+    routing, per-block local top-k, per-query merge — under the EXACT
+    brute-force oracle, since probing every cluster scores every vector.
+    Puts the ANN infrastructure itself under the hash check; q_ivf_knn
+    stays the approximate (rows-only) production mode."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
+           .sort_values("vec_id"))
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    idx = similarity.IVFIndex.build(emb, n_clusters=16)
+    res = idx.search(queries, k=k, nprobe=16)
+
+    def to_bp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_id": df["query_id"].astype("int64"),
+            "vec_id": df["vec_id"].astype("int64"),
+            "score_bp": np.round(df["score"].to_numpy() * 10000)
+            .astype(np.int64),
+            "rank": df["rank"].astype("int64"),
+        })
+
+    return res.map_batches(to_bp, batch_format="pandas")
+
+
 # --- entity extraction + canonicalization (SQL-checkable slice) -------------
 
 def q_entities(sf_dir: str) -> rd.Dataset:

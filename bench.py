@@ -117,6 +117,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_asof": lambda: q.q_events_asof(sf_dir).count(),
             "knn": lambda: q.q_knn(sf_dir).count(),
             "ivf_knn": lambda: q.q_ivf_knn(sf_dir).count(),
+            "ivf_exact": lambda: q.q_ivf_exact(sf_dir).count(),
             "entities": lambda: q.q_entities(sf_dir).count(),
             "edges_sql": lambda: q.q_edges_sql(sf_dir).count(),
             "alias_exact": lambda: q.q_alias_exact(sf_dir).count(),
