@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entities": q.q_entities,
         "edges_sql": q.q_edges_sql,
         "alias_exact": q.q_alias_exact,
+        "canon_sql": q.q_canon_sql,
         # full KG pipeline (not SQL-expressible)
         "kg_nodes": q.q_kg_nodes,
         "kg_edges": q.q_kg_edges,
@@ -323,6 +324,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a AS subj, 'ceo_of' AS pred, b AS obj FROM trip
             UNION ALL
             SELECT doc_id, b AS subj, 'located_in' AS pred, c AS obj FROM trip
+        """,
+        # canon_sql: canonicalization rewrite with linking disabled — ids are
+        # hashes of the normalized surface, labels the corpus-majority
+        # variant, weight the count of identical canonical triples
+        "canon_sql": f"""
+            WITH ents AS ({_ENTITIES_SQL}),
+            alias AS (
+              SELECT norm, label AS canonical_label FROM (
+                SELECT lower(label) AS norm, label,
+                       row_number() OVER (PARTITION BY lower(label)
+                                          ORDER BY count(*) DESC, label) AS rn
+                FROM ents GROUP BY lower(label), label)
+              WHERE rn = 1),
+            trip AS (
+              SELECT doc_id,
+                     max(CASE WHEN node_id = 'n1' THEN label END) AS a,
+                     max(CASE WHEN node_id = 'n2' THEN label END) AS b,
+                     max(CASE WHEN node_id = 'n3' THEN label END) AS c
+              FROM ents WHERE node_id IN ('n1', 'n2', 'n3')
+              GROUP BY doc_id HAVING count(*) = 3),
+            raw_edges AS (
+              SELECT a AS subj, 'ceo_of' AS pred, b AS obj FROM trip
+              UNION ALL
+              SELECT b AS subj, 'located_in' AS pred, c AS obj FROM trip)
+            SELECT 'e_' || substr(sha256(lower(subj)), 1, 16) AS canonical_src,
+                   pred,
+                   'e_' || substr(sha256(lower(obj)), 1, 16) AS canonical_dst,
+                   als.canonical_label AS src_label,
+                   alo.canonical_label AS dst_label,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM raw_edges
+            JOIN alias als ON als.norm = lower(subj)
+            JOIN alias alo ON alo.norm = lower(obj)
+            GROUP BY ALL
         """,
         "alias_exact": f"""
             WITH ents AS ({_ENTITIES_SQL}),

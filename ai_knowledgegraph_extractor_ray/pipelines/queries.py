@@ -407,6 +407,35 @@ def q_edges_sql(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_canon_sql(sf_dir: str) -> rd.Dataset:
+    """SQL-checkable slice of the canonicalization REWRITE path: run the
+    real machinery — surface-table build, alias Dataset, frequency-
+    thresholded broadcast, triple rewrite + weighted dedup — over the
+    edges_sql triples with LSH linking disabled (jaccard threshold > 1 =>
+    no clusters), so every step is deterministic and the DuckDB oracle can
+    predict it: canonical ids are hashes of the normalized surface, labels
+    are the corpus-majority variants, weight counts identical canonical
+    triples."""
+    from ..stages.canonicalize import LinkParams
+
+    edges = q_edges_sql(sf_dir)
+    nodes = q_entities(sf_dir).select_columns(["label"])
+    alias = cz.build_alias_table(
+        nodes, QCFG, link=LinkParams(jaccard_threshold=1.01),
+        use_embed_scorer=False)
+    out = cz.canonicalize_edges(edges, alias, QCFG)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["weight"] = df["weight"].astype("int64")
+        for c in ("canonical_src", "pred", "canonical_dst",
+                  "src_label", "dst_label"):
+            df[c] = df[c].astype(str)
+        return df
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_alias_exact(sf_dir: str) -> rd.Dataset:
     """Exact-normalization alias table over the extracted entity mentions
     (the SQL-checkable core of canonicalization: salted two-phase mention
