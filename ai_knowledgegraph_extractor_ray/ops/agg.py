@@ -38,22 +38,37 @@ def bucketed_groupby(partials: rd.Dataset, key_cols: list[str],
     """Shuffle ``partials`` on a hash bucket of ``key_cols`` and apply
     ``merge`` (a vectorized whole-bucket pandas reduce; it must group by the
     key columns itself and must not depend on rows outside the bucket —
-    guaranteed because a key's rows all land in one bucket)."""
+    guaranteed because a key's rows all land in one bucket).
 
-    def stamp(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df.assign(_bkey=pd.Series([], dtype="int32"))
-        k = df[key_cols[0]].astype(str)
-        for c in key_cols[1:]:
-            k = k + "\x00" + df[c].astype(str)
-        return df.assign(
-            _bkey=k.map(lambda s: _crc_bucket(s, buckets)).astype("int32"))
+    The exchange is the raw-Ray map/reduce of ``ops/exchange.py`` (round 2)
+    rather than Ray Data's sort-based groupby: identical bucket assignment
+    (crc32 of the composite key string mod ``buckets``), without the sort
+    barrier's near-serial section. Note the exchange executes the upstream
+    Dataset when called — bucketed pipelines are eager at the exchange
+    point (results, schemas and downstream laziness are unchanged)."""
+    import pyarrow as pa
 
-    def m(df: pd.DataFrame) -> pd.DataFrame:
-        return merge(df.drop(columns="_bkey"))
+    from .exchange import hash_exchange_dataset
 
-    return (partials.map_batches(stamp, batch_format="pandas")
-            .groupby("_bkey").map_groups(m, batch_format="pandas"))
+    def stamp(t: pa.Table) -> pa.Table:
+        # arrow-native composite key: payload columns pass through zero-copy
+        # (a pandas round-trip would wrap list columns in tensor extensions)
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return t.append_column("_xkey", pa.array([], pa.string()))
+        parts = [pc.fill_null(pc.cast(t[c], pa.string()), "None")
+                 for c in key_cols]
+        k = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "\x00")
+        return t.append_column("_xkey", k)
+
+    def merge_tbl(tbl: pa.Table) -> pa.Table:
+        df = (tbl.drop_columns(["_xkey", "partition_id"])
+              .replace_schema_metadata(None).to_pandas())
+        return pa.Table.from_pandas(merge(df), preserve_index=False)
+
+    stamped = partials.map_batches(stamp, batch_format="pyarrow")
+    return hash_exchange_dataset(stamped, buckets, merge_tbl, key="_xkey")
 
 
 def per_group_apply(key_cols: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame]):

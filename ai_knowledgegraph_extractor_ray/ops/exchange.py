@@ -46,13 +46,15 @@ import ray
 import ray.data as rd
 
 
-@ray.remote
-def _exchange_map(block_refs, key: str, num_partitions: int):
+def _split_by_pid(block_refs, key: str, num_partitions: int):
     import pandas as pd
     blocks = [pa.Table.from_pandas(b, preserve_index=False)
               if isinstance(b, pd.DataFrame) else b
               for b in ray.get(list(block_refs))]   # pandas-block datasets
     tbl = pa.concat_tables(blocks, promote_options="permissive")
+    if tbl.num_rows == 0 or key not in tbl.column_names:
+        # schema-less empty blocks (e.g. an upstream filter emptied them)
+        return tbl.slice(0, 0), np.zeros(num_partitions + 1, dtype=np.int64)
     pids = np.fromiter(
         (zlib.crc32(c) % num_partitions
          for c in tbl[key].cast(pa.binary()).to_pylist()),
@@ -60,10 +62,27 @@ def _exchange_map(block_refs, key: str, num_partitions: int):
     order = np.argsort(pids, kind="stable")
     tbl = tbl.append_column("partition_id", pa.array(pids)).take(order)
     cuts = np.searchsorted(pids[order], np.arange(num_partitions + 1))
+    return tbl, cuts
+
+
+@ray.remote
+def _exchange_map(block_refs, key: str, num_partitions: int):
+    tbl, cuts = _split_by_pid(block_refs, key, num_partitions)
     if num_partitions == 1:      # num_returns=1 returns the bare value
         return tbl
     return tuple(tbl.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
                  for i in range(num_partitions))
+
+
+@ray.remote
+def _exchange_map_counted(block_refs, key: str, num_partitions: int):
+    """Like _exchange_map but with a per-partition row-count vector as the
+    LAST return — lets the driver skip reduces for empty partitions without
+    fetching any data."""
+    tbl, cuts = _split_by_pid(block_refs, key, num_partitions)
+    slices = tuple(tbl.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
+                   for i in range(num_partitions))
+    return (*slices, np.diff(cuts).astype(np.int64))
 
 
 @ray.remote
@@ -108,3 +127,53 @@ def hash_exchange(ds: rd.Dataset, num_partitions: int,
     futures = [_exchange_reduce.remote(reduce_fn, p, *refs_per_pid[p])
                for p in range(num_partitions) if p not in skip]
     return [r for r in ray.get(futures) if r is not None]
+
+
+@ray.remote
+def _exchange_merge(merge_fn, *parts) -> pa.Table:
+    parts = [p for p in parts if p.num_rows]
+    return merge_fn(pa.concat_tables(parts, promote_options="permissive"))
+
+
+def hash_exchange_dataset(ds: rd.Dataset, num_partitions: int,
+                          merge_fn: Callable[[pa.Table], pa.Table], *,
+                          key: str, blocks_per_map: int = 4) -> rd.Dataset:
+    """Dataset-to-Dataset hash exchange: ``merge_fn(table) -> table`` runs
+    once per non-empty partition and the outputs become a new Dataset
+    WITHOUT driver collection (``from_arrow_refs`` over the reduce task
+    refs — blocks stay in the object store). Empty partitions are skipped
+    using the map wave's per-partition row counts (a tiny vector per map
+    task, the only thing the driver fetches).
+
+    This is the exchange behind ``ops/agg.bucketed_groupby``: same
+    semantics as Ray Data's sort-based ``groupby().map_groups`` for
+    hash-bucketed keys, without the sort barrier's near-serial section."""
+    refs_per_pid: list[list] = [[] for _ in range(num_partitions)]
+    count_refs: list = []
+    pending: list = []
+
+    def launch(blocks) -> None:
+        outs = _exchange_map_counted.options(
+            num_returns=num_partitions + 1).remote(blocks, key,
+                                                   num_partitions)
+        for p in range(num_partitions):
+            refs_per_pid[p].append(outs[p])
+        count_refs.append(outs[num_partitions])
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk in bundle.block_refs:
+            pending.append(blk)
+            if len(pending) >= blocks_per_map:
+                launch(pending)
+                pending = []
+    if pending:
+        launch(pending)
+
+    if not count_refs:
+        return rd.from_items([])
+    totals = np.sum(ray.get(count_refs), axis=0)
+    out_refs = [_exchange_merge.remote(merge_fn, *refs_per_pid[p])
+                for p in range(num_partitions) if totals[p] > 0]
+    if not out_refs:
+        return rd.from_items([])
+    return rd.from_arrow_refs(out_refs)
