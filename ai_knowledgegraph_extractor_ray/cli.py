@@ -38,6 +38,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="print graph stats for the version and exit")
     args = ap.parse_args(argv)
 
+    from .functions.validation import (
+        ValidationError,
+        validate_non_negative,
+        validate_num_partitions,
+        validate_version_number,
+    )
+    try:
+        args.version = validate_version_number(args.version)
+        args.num_partitions = validate_num_partitions(args.num_partitions)
+        if args.version_cutoff is not None:
+            args.version_cutoff = validate_non_negative(
+                args.version_cutoff, "version-cutoff")
+        args.window_chars = validate_non_negative(
+            args.window_chars, "window-chars")
+    except ValidationError as e:
+        ap.error(str(e))
+
     import ray
     owns_session = not ray.is_initialized()
     if owns_session:

@@ -330,7 +330,14 @@ def get_conversation_graph(out_dir: str, version: int | None, conv_id: str,
     only the conversation's own partition directory is read.
     ``version=None`` resolves to the latest committed version (reference
     latest-version read, database_service.py:198-200)."""
+    from ..functions.validation import (
+        validate_conv_id,
+        validate_version_number,
+    )
     from ..stages.conversation import partition_of
+    conv_id = validate_conv_id(conv_id)
+    if version is not None:
+        version = validate_version_number(version)
     if version is None:
         versions = list_versions(out_dir)
         if not versions:

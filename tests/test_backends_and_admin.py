@@ -220,3 +220,42 @@ def test_validate_texts_filter():
         "text": pd.Series(["ok", "", "   ", "x" * 50, None], dtype="object")}))
     out = text_ops.validate_texts(ds, max_bytes=40).to_pandas()
     assert out["text"].tolist() == ["ok"]
+
+
+# --- parameter validation (reference M13, validators.py:355-411) -------------
+
+def test_parameter_validation_unit():
+    from ai_knowledgegraph_extractor_ray.functions import validation as v
+    assert v.validate_version_number("3") == 3
+    assert v.validate_conv_id("conv_01") == "conv_01"
+    assert v.validate_num_partitions(64) == 64
+    assert v.validate_version_number(2.5) == 2   # int() coercion, like the
+    # reference's validators.py:384
+    for bad in (0, -1, "x", None):
+        with pytest.raises(v.ValidationError):
+            v.validate_version_number(bad)
+    for bad in ("", "   ", "a/b", "a\\b", "x\x00y", None, 7, "c" * 256):
+        with pytest.raises(v.ValidationError):
+            v.validate_conv_id(bad)
+    for bad in (0, -5, "zz", 10_000_001):
+        with pytest.raises(v.ValidationError):
+            v.validate_num_partitions(bad)
+
+
+def test_cli_rejects_invalid_args():
+    from ai_knowledgegraph_extractor_ray import cli
+    base = ["--input", "/tmp/x", "--out", "/tmp/y"]
+    for extra in (["--version", "0"], ["--version", "-2"],
+                  ["--num-partitions", "0"], ["--window-chars", "-1"],
+                  ["--version-cutoff", "-3"]):
+        with pytest.raises(SystemExit) as ei:
+            cli.main(base + extra)
+        assert ei.value.code == 2      # argparse usage error, no Ray session
+
+
+def test_point_lookup_rejects_invalid(admin_out):
+    from ai_knowledgegraph_extractor_ray.functions.validation import ValidationError
+    with pytest.raises(ValidationError):
+        kg.get_conversation_graph(admin_out, 1, "../etc/passwd", 4)
+    with pytest.raises(ValidationError):
+        kg.get_conversation_graph(admin_out, 0, "conv_00000001", 4)
