@@ -59,9 +59,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "top_tokens": q.q_top_tokens,
+        "top_tokens_by_lang": q.q_top_tokens_by_lang,
         # dedup
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
+        "decontaminate": q.q_decontaminate,
         "minhash_pairs": q.q_minhash_pairs,
         "near_dedup": q.q_near_dedup,
         "corpus_clean": q.q_corpus_clean,
@@ -226,6 +228,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies,
                    CAST(min(doc_id) AS BIGINT) AS keep_id
             FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "top_tokens_by_lang": f"""
+            WITH l AS ({_lang_id_sql()}),
+            toks AS (
+              SELECT d.doc_id,
+                     unnest(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                        w -> w <> '')) AS token
+              FROM documents d),
+            counts AS (
+              SELECT l.lang_guess, t.token, count(*) AS cnt
+              FROM toks t JOIN l ON t.doc_id = l.doc_id
+              GROUP BY l.lang_guess, t.token)
+            SELECT lang_guess, token, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(row_number() OVER (PARTITION BY lang_guess
+                        ORDER BY cnt DESC, token) - 1 AS BIGINT) AS rank
+            FROM counts QUALIFY rank < 5
+        """,
+        # decontamination: word-3-gram overlap against the doc_id%97 slice
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [array_to_string(t, ' ')] END AS gs
+              FROM toks WHERE len(t) > 0),
+            test_g AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams
+              WHERE doc_id % 97 = 0),
+            contaminated AS (
+              SELECT DISTINCT tg.doc_id
+              FROM (SELECT doc_id, unnest(gs) AS g FROM grams
+                    WHERE doc_id % 97 <> 0) tg
+              JOIN test_g ON tg.g = test_g.g)
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id % 97 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "events_hourly": """
             SELECT user_id,

@@ -116,6 +116,65 @@ def word_ngrams(text: str, n: int = 3) -> set[int]:
             for i in range(len(toks) - n + 1)}
 
 
+def _gram64(g: str) -> int:
+    """64-bit gram hash (crc of gram + crc of its reverse): collision odds
+    for decontamination membership are ~|test grams| x |train grams| / 2^64
+    — negligible where crc32 alone would collide at corpus scale."""
+    b = g.encode()
+    return zlib.crc32(b) | (zlib.crc32(b[::-1]) << 32)
+
+
+def _gram64_set(text: str, n: int) -> set[int]:
+    toks = text.split()
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {_gram64(" ".join(toks))}
+    return {_gram64(" ".join(toks[i:i + n]))
+            for i in range(len(toks) - n + 1)}
+
+
+def decontaminate(corpus: rd.Dataset, test_ds: rd.Dataset, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ngram: int = 3, min_hits: int = 1) -> rd.Dataset:
+    """Drop training documents that share >= ``min_hits`` word-``ngram``
+    shingles with ANY test-set document — benchmark-decontamination as a
+    streaming pass.
+
+    Scale shape: the test side is benchmark-sized by definition (orders of
+    magnitude smaller than the corpus), so its gram set is built with a
+    per-block map + driver union and broadcast ONCE as a sorted uint64
+    array (``ray.put``); the corpus pass is a single ``map_batches`` doing
+    a vectorized ``np.isin`` per document — no shuffle at all. At extreme
+    test-set sizes swap the sorted array for a Bloom filter; the corpus
+    side is unchanged."""
+    import ray
+
+    def gram_block(t: pa.Table) -> pa.Table:
+        out: set[int] = set()
+        for s in t[text_col].to_pylist():
+            out |= _gram64_set(s or "", ngram)
+        return pa.table({"g": pa.array(
+            np.fromiter(out, dtype=np.uint64, count=len(out)).view(np.int64))})
+
+    parts = test_ds.map_batches(gram_block, batch_format="pyarrow").to_pandas()
+    grams = np.unique(parts["g"].to_numpy().view(np.uint64)) \
+        if len(parts) else np.empty(0, dtype=np.uint64)
+    grams_ref = ray.put(grams)
+
+    def keep(t: pa.Table) -> pa.Table:
+        gs = ray.get(grams_ref)
+        mask = np.empty(len(t), dtype=bool)
+        for i, s in enumerate(t[text_col].to_pylist()):
+            doc = np.fromiter(_gram64_set(s or "", ngram), dtype=np.uint64)
+            hits = int(np.isin(doc, gs, assume_unique=True).sum()) \
+                if len(doc) and len(gs) else 0
+            mask[i] = hits < min_hits
+        return t.filter(pa.array(mask))
+
+    return corpus.map_batches(keep, batch_format="pyarrow")
+
+
 # Wraparound multiply-add hash family: an ODD multiplier is a bijection of
 # Z_2^64, so min over (a*x + b) mod 2^64 is a valid minwise hash — and the
 # implicit mod-2^64 is free, unlike the % (2^61-1) reduction it replaces

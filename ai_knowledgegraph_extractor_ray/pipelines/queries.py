@@ -196,6 +196,61 @@ def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     return cleaned.select_columns(["doc_id", "lang_guess", "quality"])
 
 
+def q_top_tokens_by_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Grouped top-k: the 5 hottest tokens per detected language. Per-block
+    (lang, token) count partials -> one bucketed merge keyed on lang (the
+    key space is the language set, tiny) -> per-group vectorized rank."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = text_ops.lang_id(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for lang, s in zip(t["lang_guess"].to_pylist(),
+                           t["text"].to_pylist()):
+            for w in (s or "").split():
+                counts[(lang, w)] = counts.get((lang, w), 0) + 1
+        keys = list(counts)
+        return pa.table({
+            "lang_guess": pa.array([x[0] for x in keys], pa.string()),
+            "token": pa.array([x[1] for x in keys], pa.string()),
+            "cnt": pa.array(list(counts.values()), pa.int64())})
+
+    from ..ops.agg import bucketed_groupby
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang_guess", "token"], as_index=False,
+                       sort=False)["cnt"].sum()
+        g = g.sort_values(["lang_guess", "cnt", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("lang_guess", sort=False).cumcount()
+        return g[g["rank"] < k].reset_index(drop=True)
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang_guess"], merge, buckets=8)
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the test
+    set; surviving train docs share no word-3-gram with any of them."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+
+    def is_test(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    def is_train(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 != 0))
+
+    test = docs.map_batches(is_test, batch_format="pyarrow")
+    train = docs.map_batches(is_train, batch_format="pyarrow")
+    out = dedup.decontaminate(train, test, ngram=3, min_hits=1)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def q_embedding_near_pairs(sf_dir: str) -> rd.Dataset:
     return dedup.embedding_near_pairs(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",

@@ -108,6 +108,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "lang_id": lambda: q.q_lang_id(sf_dir).count(),
             "fingerprint": lambda: q.q_fingerprint(sf_dir).count(),
             "exact_dedup": lambda: q.q_exact_dedup(sf_dir).count(),
+            "decontaminate": lambda: q.q_decontaminate(sf_dir).count(),
+            "top_tokens_by_lang":
+                lambda: q.q_top_tokens_by_lang(sf_dir).count(),
             "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
             "simhash_pairs": lambda: q.q_simhash_pairs(sf_dir).count(),
             "embedding_near_pairs":

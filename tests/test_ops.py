@@ -402,3 +402,42 @@ def test_near_dedup_simhash_and_embedding():
         "embedding": [r.tolist() for r in rows]}))
     ekept = dedup.near_dedup_embedding(eds, threshold=0.95).to_pandas()
     assert sorted(ekept["vec_id"]) == [0, 2]
+
+
+# --- decontamination ---------------------------------------------------------
+
+def test_decontaminate_planted_overlap():
+    """Train docs sharing a word-3-gram with the test set are dropped;
+    clean docs and sub-3-token docs survive correctly."""
+    test = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([100, 101], dtype="int64"),
+        "text": ["the quick brown fox jumps", "short one"],
+    }))
+    train = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "text": [
+            "something about a speedy brown animal",    # no shared 3-gram
+            "totally unrelated text here now",
+            "prefix words then quick brown fox tail",   # shares "quick brown fox"
+            "short one",                                # whole-text gram match (<3 tokens)
+        ],
+    }))
+    out = dedup.decontaminate(train, test).to_pandas()
+    kept = set(out["doc_id"])
+    assert 3 not in kept          # 3-gram overlap
+    assert 4 not in kept          # sub-3-token whole-text overlap
+    assert 1 in kept and 2 in kept
+
+
+def test_decontaminate_min_hits_threshold():
+    test = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([9], dtype="int64"),
+        "text": ["alpha beta gamma delta epsilon"],
+    }))
+    train = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([1, 2], dtype="int64"),
+        "text": ["alpha beta gamma unrelated tail words",      # 1 shared gram
+                 "alpha beta gamma delta epsilon extra"],      # 3 shared grams
+    }))
+    out = dedup.decontaminate(train, test, min_hits=2).to_pandas()
+    assert set(out["doc_id"]) == {1}
