@@ -159,6 +159,32 @@ def test_backend_falls_back_to_rules_on_unavailable(stub_server):
     assert "ceo_of" in g.edge_rel
 
 
+def test_full_pipeline_actor_pool_over_http(stub_server, tmp_path):
+    """run_kg_job with backend='llm' + llm_base_url: the extractor ACTOR
+    POOL connects to the stub server from worker processes; every
+    conversation gets the server's graph."""
+    import pyarrow.parquet as pq
+
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(src.synthetic_transcripts_table(
+        n_convs=6, seed=21, include_golden=False), p)
+    cfg = KGConfig(backend="llm", llm_base_url=stub_server,
+                   llm_model="tinyllama", num_partitions=2,
+                   extract_concurrency=2)
+    out = str(tmp_path / "out")
+    summary = kg.run_kg_job(src.read_transcripts(str(p)), cfg, out,
+                            resume=False)
+    assert summary["n_conversations"] == 6
+    nodes = kg.read_nodes(out, 1).to_pandas()
+    # the stub's graph (Acme/Bob) was used for every conversation
+    assert set(nodes["label"]) == {"Acme", "Bob"}
+    edges = kg.read_edges(out, 1).to_pandas()
+    assert set(edges["pred"]) == {"works_at"}
+
+
 def test_backend_falls_back_on_garbage_json(stub_server):
     StubOllama.response_text = "utter { garbage ]["
     cfg = KGConfig(backend="llm", llm_base_url=stub_server)

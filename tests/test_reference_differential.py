@@ -150,6 +150,41 @@ def test_whitespace_fuzz_parity(reference_extract):
         assert ours == theirs, f"case {case}: {text!r}"
 
 
+# --- TXT/CSV extraction parity (S4/S5, services.py:50-62) -------------------
+
+CSV_PROBES = [
+    b"a,b,c\n1,2,3\n",
+    b"a,b\n\nc,d\n",                       # blank row -> empty line
+    b'x,"quoted, comma",y\nplain,,end\n',  # quoting + empty cell
+    b"single\n",
+    b"",
+    b"trail,comma,\n,lead\n",
+    b'multi,"line\nin quotes",z\n',
+]
+TXT_PROBES = [b"  padded  \n", b"", b"line1\nline2\n", b"\xf0\x9f\x98\x80 ok"]
+
+
+def test_txt_csv_extraction_parity(reference_extract, tmp_path):
+    import sys as _sys
+
+    from ai_knowledgegraph_extractor_ray.sources import documents as rawdocs
+
+    mod = _sys.modules["ref_services"]
+    extractor = mod.DocumentProcessor()
+    for i, data in enumerate(CSV_PROBES):
+        p = tmp_path / f"c{i}.csv"
+        p.write_bytes(data)
+        theirs = extractor._extract_from_csv(str(p))
+        ours = rawdocs.extract_text(str(p), data)[1]
+        assert ours == theirs, data
+    for i, data in enumerate(TXT_PROBES):
+        p = tmp_path / f"t{i}.txt"
+        p.write_bytes(data)
+        theirs = extractor._extract_from_txt(str(p))
+        ours = rawdocs.extract_text(str(p), data)[1]
+        assert ours == theirs, data
+
+
 # --- JSON rescue path parity (M3-M5, services.py:233-320, 549-580) ----------
 
 GOOD_GRAPH = ('{"nodes": [{"id": "n1", "label": "Acme", "type": "Org"},'
