@@ -77,3 +77,34 @@ def test_determinism():
     a = graph_to_dict(extract_rule_graph(text))
     b = graph_to_dict(extract_rule_graph(text))
     assert a == b
+
+
+def test_prefilter_never_underadmits():
+    """The lowercase-literal prefilter is a pure fast-path: disabling it
+    (empty-string literal admits every sentence) must never change the
+    extracted graph. Randomized texts over the relation vocabulary with
+    mixed whitespace separators."""
+    import random
+
+    from ai_knowledgegraph_extractor_ray.functions import rules
+
+    no_prefilter = [(p, rel, ("",)) for p, rel, _ in rules.RELATION_PATTERNS]
+    rng = random.Random(0xACE)
+    words = ["Acme", "Corp", "John", "Doe", "is", "the", "CEO", "CTO", "of",
+             "in", "at", "founded", "located", "acquired", "works", "serves",
+             "as", "head", "developed", "built", "used", "by", "1999", "Beta",
+             "Labs", "manages", "leads", ".", "!", "?"]
+    seps = [" ", "\t", "\n", "  ", "\xa0"]
+    original = rules.RELATION_PATTERNS
+    try:
+        for _ in range(200):
+            text = "".join(
+                rng.choice(words) + rng.choice(seps)
+                for _ in range(rng.randint(3, 40)))
+            with_pref = rules.graph_to_dict(rules.extract_rule_graph(text))
+            rules.RELATION_PATTERNS = no_prefilter
+            without = rules.graph_to_dict(rules.extract_rule_graph(text))
+            rules.RELATION_PATTERNS = original
+            assert with_pref == without, text
+    finally:
+        rules.RELATION_PATTERNS = original
