@@ -24,9 +24,10 @@ terms (median 198k -> 516k turns/s at 8 -> 32 CPUs).
 Scale notes for a real cluster:
 * driver holds W x P ObjectRefs (W = map tasks). ``blocks_per_map`` tunes W
   down; at 10^4+ nodes use a hierarchical exchange (maps -> per-node
-  combiners -> reducers) to keep the ref count at O(nodes x P), the same
-  shape Spark's shuffle-service aggregation takes. The single-level wave
-  here is the right shape up to W x P ~ 10^7.
+  combiners -> reducers) to keep the ref count at O(nodes x P) — the same
+  multi-stage-recursive shape as Hyper Dimension Shuffle (VLDB 2019) and
+  Spark's shuffle-service aggregation. The single-level wave here is the
+  right shape up to W x P ~ 10^7.
 * map outputs live in the object store until their reduce consumes them —
   normal shuffle footprint; Ray spills when it exceeds the store.
 * a reduce task starts only after every map finished (it may receive rows
@@ -127,6 +128,87 @@ def hash_exchange(ds: rd.Dataset, num_partitions: int,
     futures = [_exchange_reduce.remote(reduce_fn, p, *refs_per_pid[p])
                for p in range(num_partitions) if p not in skip]
     return [r for r in ray.get(futures) if r is not None]
+
+
+@ray.remote
+def _exchange_map_coarse(block_refs, key: str, num_partitions: int,
+                         coarse: int):
+    """Level-1 map for the hierarchical exchange: rows bucketed on the FINE
+    partition id but returned as ``coarse`` contiguous pid-range slices
+    (pids stay sorted inside each slice)."""
+    tbl, cuts = _split_by_pid(block_refs, key, num_partitions)
+    group = -(-num_partitions // coarse)          # pids per coarse slice
+    bounds = [cuts[min(c * group, num_partitions)] for c in range(coarse + 1)]
+    out = tuple(tbl.slice(int(bounds[c]), int(bounds[c + 1] - bounds[c]))
+                for c in range(coarse))
+    return out if coarse > 1 else out[0]
+
+
+@ray.remote
+def _exchange_reduce_coarse(reduce_fn, num_partitions: int, coarse_idx: int,
+                            coarse: int, skip, *parts):
+    """Level-2 task: all maps' slices for ONE coarse pid range — re-split by
+    fine pid (rows arrive pid-sorted per slice) and run ``reduce_fn`` for
+    each non-skipped fine partition in the range."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return []
+    tbl = pa.concat_tables(parts, promote_options="permissive")
+    pids = tbl["partition_id"].to_numpy()
+    order = np.argsort(pids, kind="stable")       # merge the sorted runs
+    tbl = tbl.take(order)
+    group = -(-num_partitions // coarse)
+    lo = coarse_idx * group
+    hi = min(lo + group, num_partitions)
+    cuts = np.searchsorted(pids[order], np.arange(lo, hi + 1))
+    out = []
+    for i, p in enumerate(range(lo, hi)):
+        if p in skip or cuts[i + 1] == cuts[i]:
+            continue
+        r = reduce_fn(p, tbl.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i])))
+        if r is not None:
+            out.append(r)
+    return out
+
+
+def hash_exchange_hierarchical(
+        ds: rd.Dataset, num_partitions: int,
+        reduce_fn: Callable[[int, pa.Table], object], *,
+        key: str = "conv_id", blocks_per_map: int = 4, coarse: int = 64,
+        skip: frozenset[int] | set[int] = frozenset()) -> list:
+    """Two-level exchange for very large P: maps return ``coarse`` pid-RANGE
+    slices instead of P fine slices, and one level-2 task per coarse range
+    merges its slices and runs every fine reduce in the range. Driver ref
+    count drops from W x P to W x coarse + coarse (the multi-stage shape of
+    Hyper Dimension Shuffle, VLDB 2019) — at P=10^5 and W=10^4 that is
+    ~10^6 refs instead of ~10^9. Results identical to ``hash_exchange``;
+    pick ``coarse`` >= cluster slots so the level-2 wave still fills the
+    cluster (each level-2 task runs P/coarse reduces sequentially)."""
+    coarse = min(coarse, num_partitions)
+    refs_per_coarse: list[list] = [[] for _ in range(coarse)]
+    pending: list = []
+
+    def launch(blocks) -> None:
+        outs = _exchange_map_coarse.options(num_returns=coarse).remote(
+            blocks, key, num_partitions, coarse)
+        if coarse == 1:
+            outs = [outs]
+        for c, r in enumerate(outs):
+            refs_per_coarse[c].append(r)
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk in bundle.block_refs:
+            pending.append(blk)
+            if len(pending) >= blocks_per_map:
+                launch(pending)
+                pending = []
+    if pending:
+        launch(pending)
+
+    futures = [_exchange_reduce_coarse.remote(
+        reduce_fn, num_partitions, c, coarse, frozenset(skip),
+        *refs_per_coarse[c]) for c in range(coarse)]
+    return [r for group in ray.get(futures) for r in group]
 
 
 @ray.remote

@@ -111,8 +111,16 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                 rows, out_dir, cfg.version,
                 input_bytes=tbl.nbytes).to_dict("records")[0]
 
-        records = hash_exchange(transcripts, cfg.num_partitions, reduce_fn,
-                                skip=frozenset(committed))
+        if cfg.num_partitions > 1024:
+            # very large P: two-level exchange keeps driver refs at
+            # W x coarse instead of W x P (ops/exchange.py scale notes)
+            from ..ops.exchange import hash_exchange_hierarchical
+            records = hash_exchange_hierarchical(
+                transcripts, cfg.num_partitions, reduce_fn,
+                coarse=256, skip=frozenset(committed))
+        else:
+            records = hash_exchange(transcripts, cfg.num_partitions,
+                                    reduce_fn, skip=frozenset(committed))
         fresh = (pd.DataFrame(records)[lineage.MANIFEST_COLS]
                  if records else lineage.empty_manifest_frame())
     else:

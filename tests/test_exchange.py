@@ -78,3 +78,21 @@ def test_exchange_deterministic_across_block_layout():
     da = {r["pid"]: r["vals"] for r in a}
     db = {r["pid"]: r["vals"] for r in b}
     assert da == db
+
+def test_hierarchical_exchange_matches_single_level():
+    """Two-level exchange: identical results to the single-level one for
+    several coarse factors, including skip sets and coarse == 1 / == P."""
+    from ai_knowledgegraph_extractor_ray.ops.exchange import (
+        hash_exchange_hierarchical,
+    )
+    P = 16
+    want = {r["pid"]: r["vals"]
+            for r in hash_exchange(_corpus(60, 2), P, collect_rows)}
+    for coarse in (1, 3, 8, 16, 64):
+        got = {r["pid"]: r["vals"]
+               for r in hash_exchange_hierarchical(
+                   _corpus(60, 2), P, collect_rows, coarse=coarse)}
+        assert got == want, coarse
+    skipped = hash_exchange_hierarchical(
+        _corpus(60, 2), P, collect_rows, coarse=4, skip={1, 5, 9})
+    assert {r["pid"] for r in skipped} == set(want) - {1, 5, 9}

@@ -260,3 +260,19 @@ def test_canonicalize_resume(job):
     assert forced["n_aliases"] == first["n_aliases"]
     ce = kg.read_canonical_edges(out, cfg.version).to_pandas()
     assert len(ce) == first["n_canonical_edges"]
+
+
+def test_kg_job_hierarchical_exchange_path(corpus_path, tmp_path):
+    """num_partitions > 1024 routes through the two-level exchange; the
+    graph equals a small-P run's."""
+    cfg_small = KGConfig(num_partitions=8, extract_concurrency=2)
+    cfg_large = KGConfig(num_partitions=2000, extract_concurrency=2)
+    out_s, out_l = str(tmp_path / "s"), str(tmp_path / "l")
+    kg.run_kg_job(src.read_transcripts(corpus_path), cfg_small, out_s,
+                  resume=False)
+    kg.run_kg_job(src.read_transcripts(corpus_path), cfg_large, out_l,
+                  resume=False)
+    key = ["conv_id", "subj", "pred", "obj"]
+    es = kg.read_edges(out_s, 1).to_pandas()[key]
+    el = kg.read_edges(out_l, 1).to_pandas()[key]
+    assert sorted(map(tuple, es.values)) == sorted(map(tuple, el.values))
