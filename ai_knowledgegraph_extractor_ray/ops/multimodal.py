@@ -82,6 +82,65 @@ def synthetic_media(n_items: int = 64, seed: int = 7,
     return rd.range(n_items).map_batches(gen, batch_format="pyarrow")
 
 
+_MEDIA_EXT = {".png": "image", ".jpg": "image", ".jpeg": "image",
+              ".bmp": "image", ".wav": "audio", ".mp3": "audio",
+              ".flac": "audio", ".mp4": "video", ".avi": "video",
+              ".mkv": "video", ".webm": "video"}
+
+
+def probe_media_meta(media_type: str, payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, sample_rate, n_frames) from container HEADERS only —
+    no payload decode. PNG: IHDR dims; WAV: fmt-chunk sample rate. Unknown
+    formats return zeros (decode stages still handle or fake them)."""
+    w = h = sr = nf = 0
+    if media_type == "image" and payload.startswith(PNG_MAGIC) \
+            and len(payload) >= 24:
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        nf = 1
+    elif media_type == "audio" and payload.startswith(b"RIFF"):
+        i = payload.find(b"fmt ")
+        if i != -1 and len(payload) >= i + 16:
+            sr = int.from_bytes(payload[i + 12:i + 16], "little")
+    return w, h, sr, nf
+
+
+def read_media_dir(path: str) -> rd.Dataset:
+    """Directory of media files -> MEDIA_SCHEMA Dataset: payloads stay
+    opaque binary columns; media_type from the extension; metadata probed
+    from headers inside ``map_batches``. item_id = crc32 of the file path
+    (stable across runs and cluster layouts)."""
+    import os
+
+    ds = rd.read_binary_files(path, include_paths=True)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, kinds, payloads, ws, hs, srs, nfs = [], [], [], [], [], [], []
+        for p, data in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            kind = _MEDIA_EXT.get(os.path.splitext(p)[1].lower())
+            if kind is None:
+                continue
+            w, h, sr, nf = probe_media_meta(kind, data)
+            ids.append(zlib.crc32(p.encode()))
+            kinds.append(kind)
+            payloads.append(data)
+            ws.append(w)
+            hs.append(h)
+            srs.append(sr)
+            nfs.append(nf)
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_width": pa.array(ws, pa.int32()),
+            "meta_height": pa.array(hs, pa.int32()),
+            "meta_sample_rate": pa.array(srs, pa.int32()),
+            "meta_n_frames": pa.array(nfs, pa.int32()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic fake decode: payload bytes -> (h, w, 3) uint8."""
     rng = np.random.RandomState(zlib.crc32(payload) % (2**31))

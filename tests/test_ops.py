@@ -441,3 +441,29 @@ def test_decontaminate_min_hits_threshold():
     }))
     out = dedup.decontaminate(train, test, min_hits=2).to_pandas()
     assert set(out["doc_id"]) == {1}
+
+
+def test_read_media_dir_end_to_end(tmp_path):
+    """Real files on disk -> read_media_dir (header-probed metadata) ->
+    decode/featurize stages with fakes disabled."""
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    (tmp_path / "a.png").write_bytes(multimodal.encode_png(px))
+    pcm = (rng.standard_normal(4000) * 0.2).astype(np.float32)
+    (tmp_path / "b.wav").write_bytes(multimodal.encode_wav(pcm, 8000))
+    (tmp_path / "notes.txt").write_bytes(b"ignored")
+
+    media = multimodal.read_media_dir(str(tmp_path)).to_pandas()
+    assert sorted(media["media_type"]) == ["audio", "image"]
+    img = media[media["media_type"] == "image"].iloc[0]
+    assert (img["meta_width"], img["meta_height"]) == (30, 20)
+    aud = media[media["media_type"] == "audio"].iloc[0]
+    assert aud["meta_sample_rate"] == 8000
+
+    ds = multimodal.read_media_dir(str(tmp_path))
+    dec = multimodal.decode_images(ds, concurrency=1, fake_ok=False).to_pandas()
+    assert dec["decoded"].sum() == 1
+    feats = multimodal.featurize_audio(ds, concurrency=1,
+                                       fake_ok=False).to_pandas()
+    assert len(feats) == 1
+    assert feats["duration_s"].iloc[0] == pytest.approx(0.5, abs=0.01)
