@@ -245,6 +245,37 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cnt DESC, token) - 1 AS BIGINT) AS rank
             FROM counts QUALIFY rank < 5
         """,
+        # minhash_pairs: the oracle is the BRUTE-FORCE word-3-gram Jaccard
+        # ground truth (all O(n^2) pairs >= threshold). The Ray side is
+        # LSH-blocked; with 32 bands x 4 rows the analytic miss probability
+        # at j=0.8 is (1-0.8^4)^32 ~ 5e-8 per pair, and on the deterministic
+        # sf corpora the outputs are verified identical — so this checks
+        # both the LSH recall and the exact verify path.
+        "minhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [array_to_string(t, ' ')] END) AS g
+              FROM toks WHERE len(t) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
         # decontamination: word-3-gram overlap against the doc_id%97 slice
         "decontaminate": r"""
             WITH toks AS (
