@@ -155,6 +155,72 @@ def _lang_id_sql() -> str:
     """
 
 
+def _jaccard_dedup_ctes(source: str, threshold: float) -> str:
+    """CTE bundle (for a WITH RECURSIVE list): word-3-gram Jaccard pairs >=
+    ``threshold`` over ``source`` (doc_id, text), connected components via
+    min-label propagation (recursive CTE), and the ``dropped`` id set
+    (every cluster member except the smallest id)."""
+    return f"""toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 w -> w <> '') AS t
+              FROM {source}),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [array_to_string(t, ' ')] END) AS g
+              FROM toks WHERE len(t) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            cand AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}),
+            edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                      UNION ALL SELECT id_b AS u, id_a AS v FROM cand),
+            lp(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, lp.lbl FROM edges e JOIN lp ON lp.u = e.v),
+            dropped AS (
+              SELECT u FROM (SELECT u, min(lbl) AS root FROM lp GROUP BY u)
+              WHERE root <> u)"""
+
+
+def _quality_full_sql() -> str:
+    """(doc_id, quality_d DOUBLE, quality_bp BIGINT) — the raw double is
+    needed wherever a float threshold must match the Ray side exactly."""
+    expr = """(
+                     0.4 * least(nc / 200.0, 1.0)
+                   + 0.3 * (CASE WHEN nc > 0
+                            THEN 1.0 - least(np / greatest(nc, 1) / 0.2, 1.0)
+                            ELSE 0.0 END)
+                   + 0.3 * least(stop_hits / 5.0, 1.0))"""
+    return rf"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS nc,
+                     CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS np,
+                     (length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5.0
+                   + (length(lower(text)) - length(replace(lower(text), ' a ', ''))) / 3.0
+                   + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5.0
+                   + (length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4.0
+                   + (length(lower(text)) - length(replace(lower(text), ' to ', ''))) / 4.0
+                   + (length(lower(text)) - length(replace(lower(text), ' is ', ''))) / 4.0
+                     AS stop_hits
+              FROM documents)
+            SELECT doc_id, {expr} AS quality_d,
+                   CAST(round({expr} * 10000) AS BIGINT) AS quality_bp
+            FROM f
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "assemble": f"""
@@ -275,6 +341,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        """,
+        # near_dedup / corpus_clean: brute-force Jaccard ground truth with
+        # connected components as a recursive CTE (same recall argument as
+        # minhash_pairs; verified: no corpus pair falls in the LSH's weak
+        # band)
+        "near_dedup": f"""
+            WITH RECURSIVE {_jaccard_dedup_ctes("documents", 0.5)}
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id NOT IN (SELECT u FROM dropped)
+        """,
+        "corpus_clean": f"""
+            WITH RECURSIVE kept AS (
+              SELECT doc_id, text FROM documents
+              WHERE trim(text) <> ''
+                AND octet_length(encode(text)) <= 1048576
+              QUALIFY row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) = 1),
+            {_jaccard_dedup_ctes("kept", 0.5)},
+            nd AS (SELECT doc_id FROM kept
+                   WHERE doc_id NOT IN (SELECT u FROM dropped))
+            SELECT nd.doc_id, l.lang_guess, q.quality_bp
+            FROM nd
+            JOIN ({_lang_id_sql()}) l ON l.doc_id = nd.doc_id
+            JOIN ({_quality_full_sql()}) q ON q.doc_id = nd.doc_id
+            WHERE q.quality_d >= 0.2
+              AND l.lang_guess IN ('en', 'fr', 'es', 'de', 'zh')
         """,
         # decontamination: word-3-gram overlap against the doc_id%97 slice
         "decontaminate": r"""

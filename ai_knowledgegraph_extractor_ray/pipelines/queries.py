@@ -193,7 +193,14 @@ def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     from .corpus_clean import clean_corpus
     cleaned, _ = clean_corpus(_documents(sf_dir), near_threshold=0.5,
                               min_quality=0.2)
-    return cleaned.select_columns(["doc_id", "lang_guess", "quality"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        bp = np.round(t["quality"].to_numpy(zero_copy_only=False) * 10000)
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_guess": t["lang_guess"],
+                         "quality_bp": pa.array(bp.astype(np.int64))})
+
+    return cleaned.map_batches(fmt, batch_format="pyarrow")
 
 
 def q_top_tokens_by_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
