@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": q.q_embedding_near_pairs,
         # windowed aggregate + sessionization (streaming-window operator)
         "events_hourly": q.q_events_hourly,
+        "events_sliding": q.q_events_sliding,
         "events_sessions": q.q_events_sessions,
         "events_asof": q.q_events_asof,
         # similarity search
@@ -401,6 +402,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS value_cents
             FROM events GROUP BY user_id, hour
+        """,
+        "events_sliding": """
+            WITH w AS (
+              SELECT user_id,
+                     date_trunc('minute', ts)
+                       - INTERVAL (CAST(minute(ts) AS INT) % 15) MINUTE
+                       - INTERVAL (15 * i) MINUTE AS ws
+              FROM events, unnest(range(0, 4)) AS t(i))
+            SELECT user_id,
+                   strftime(ws, '%Y-%m-%d %H:%M:00') AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id, ws
         """,
         "events_sessions": """
             WITH o AS (

@@ -287,6 +287,35 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
         sum_merge(["user_id", "hour"], ["n_events", "value_cents"]))
 
 
+def q_events_sliding(sf_dir: str) -> rd.Dataset:
+    """SLIDING-window aggregate: per user, event counts over 1-hour windows
+    advancing every 15 minutes (each event belongs to 4 windows). The
+    window fan-out happens inside the per-block partial (vectorized repeat
+    + floor), so the shuffle still moves only (user, window) count
+    partials — the sliding multiplicity never amplifies the exchange
+    beyond the distinct-window count."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor("15min")
+        frames = [pd.DataFrame({
+            "user_id": df["user_id"],
+            "window_start": (base - pd.Timedelta(minutes=15 * i))
+            .dt.strftime("%Y-%m-%d %H:%M:00")})
+            for i in range(4)]
+        allw = pd.concat(frames, ignore_index=True)
+        return allw.groupby(["user_id", "window_start"],
+                            as_index=False).agg(n_events=("user_id", "size"))
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "window_start"],
+        sum_merge(["user_id", "window_start"], ["n_events"]))
+
+
 SESSION_GAP_MIN = 30
 
 

@@ -116,6 +116,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "embedding_near_pairs":
                 lambda: q.q_embedding_near_pairs(sf_dir).count(),
             "events_hourly": lambda: q.q_events_hourly(sf_dir).count(),
+            "events_sliding": lambda: q.q_events_sliding(sf_dir).count(),
             "events_sessions": lambda: q.q_events_sessions(sf_dir).count(),
             "events_asof": lambda: q.q_events_asof(sf_dir).count(),
             "knn": lambda: q.q_knn(sf_dir).count(),
