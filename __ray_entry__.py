@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.q_events_sliding,
         "events_sessions": q.q_events_sessions,
         "events_asof": q.q_events_asof,
+        "events_range": q.q_events_range,
         # similarity search
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
@@ -458,6 +459,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, vec_id) - 1 AS BIGINT) AS rank
             FROM s QUALIFY rank < 10
+        """,
+        "events_range": """
+            SELECT c.event_id, c.user_id,
+                   CAST(count(e.ts) AS BIGINT) AS n_errors_10m
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'error') e
+              ON c.user_id = e.user_id
+             AND e.ts BETWEEN c.ts - INTERVAL 10 MINUTE
+                          AND c.ts + INTERVAL 10 MINUTE
+            GROUP BY c.event_id, c.user_id
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

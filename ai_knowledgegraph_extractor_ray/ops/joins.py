@@ -24,6 +24,23 @@ import ray.data as rd
 from .agg import bucketed_groupby
 
 
+def _pandas_dtypes_of(schema) -> dict:
+    """Column -> pandas dtype for a Dataset schema; handles both Arrow
+    schemas (parquet-backed) and PandasBlockSchema (from_pandas), whose
+    ``types`` are already numpy dtypes."""
+    import pyarrow as pa
+    out = {}
+    for n, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            out[n] = pa.schema([(n, t)]).empty_table().to_pandas().dtypes[n]
+        else:
+            try:
+                out[n] = np.dtype(t)
+            except TypeError:
+                out[n] = np.dtype(object)
+    return out
+
+
 def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
                        on: str, by: str, value_cols: list[str],
                        buckets: int = 64) -> rd.Dataset:
@@ -42,11 +59,9 @@ def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
     # NaN-fills columns missing on one side, upcasting e.g. int64 -> float64
     # inside the per-bucket concat. Left rows keep exact values, so casting
     # back after the merge is lossless and restores the left schema.
-    import pyarrow as pa
     lsch = left.schema()
     left_cols = list(lsch.names)
-    left_dtypes = (pa.schema(zip(lsch.names, lsch.types))
-                   .empty_table().to_pandas().dtypes.to_dict())
+    left_dtypes = _pandas_dtypes_of(lsch)
 
     def restore(out: pd.DataFrame) -> pd.DataFrame:
         for c, dt in left_dtypes.items():
@@ -67,5 +82,64 @@ def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
             return restore(out)
         return restore(pd.merge_asof(l, r, on=on, by=by, direction="backward",
                                      allow_exact_matches=True))
+
+    return bucketed_groupby(both, [by], merge, buckets=buckets)
+
+
+def range_join_count(left: rd.Dataset, right: rd.Dataset, *,
+                     on: str, by: str, lower, upper,
+                     out_col: str = "n_matches",
+                     buckets: int = 64) -> rd.Dataset:
+    """Range (interval) join, count-aggregated: for every left row, the
+    number of right rows with the same ``by`` key and ``right.on`` in
+    ``[left.on + lower, left.on + upper]``.
+
+    The count-aggregated form is the scale-safe range join: materializing
+    matched PAIRS can blow up quadratically on dense keys, while the count
+    ships exactly one output row per left row. Same single co-bucketed
+    shuffle as the as-of join; inside a bucket each key's right timestamps
+    are sorted once and every left row's interval is answered with two
+    ``np.searchsorted`` binary searches — no per-pair work at all."""
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_side=np.int8(side))
+        return fn
+
+    both = (left.map_batches(tag(0), batch_format="pandas")
+            .union(right.select_columns([by, on])
+                   .map_batches(tag(1), batch_format="pandas")))
+
+    lsch = left.schema()
+    left_cols = list(lsch.names)
+    left_dtypes = _pandas_dtypes_of(lsch)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][left_cols]
+        r = df[df["_side"] == 1][[by, on]]
+        if len(l) == 0:
+            out = l.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+        else:
+            r_by_key = {k: np.sort(g[on].to_numpy())
+                        for k, g in r.groupby(by, sort=False)}
+            outs = []
+            for k, g in l.groupby(by, sort=False):
+                ts = g[on].to_numpy()
+                rs = r_by_key.get(k)
+                g = g.copy()
+                if rs is not None and len(rs):
+                    g[out_col] = (
+                        np.searchsorted(rs, ts + upper, side="right")
+                        - np.searchsorted(rs, ts + lower, side="left")
+                    ).astype(np.int64)
+                else:
+                    g[out_col] = np.zeros(len(ts), dtype=np.int64)
+                outs.append(g)
+            out = pd.concat(outs)
+        for c, dt in left_dtypes.items():
+            if out[c].dtype != dt:
+                out[c] = out[c].astype(dt)
+        return out
 
     return bucketed_groupby(both, [by], merge, buckets=buckets)

@@ -382,6 +382,24 @@ def q_events_asof(sf_dir: str) -> rd.Dataset:
 N_KNN_QUERIES = 8
 
 
+def q_events_range(sf_dir: str) -> rd.Dataset:
+    """Range join: each click event counts the user's error events within
+    +/- 10 minutes (the interval-join custom operator, count-aggregated)."""
+    from ..ops.joins import range_join_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"])
+    errors = ev.filter(expr="event_type == 'error'").select_columns(
+        ["user_id", "ts"])
+    joined = range_join_count(
+        clicks, errors, on="ts", by="user_id",
+        lower=-np.timedelta64(10, "m"), upper=np.timedelta64(10, "m"),
+        out_col="n_errors_10m")
+    return joined.select_columns(["event_id", "user_id", "n_errors_10m"])
+
+
 def q_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Exact cosine top-k, queries = the first N_KNN_QUERIES embeddings.
     Scores reported as integer basis points for hash-stable comparison."""

@@ -119,6 +119,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_sliding": lambda: q.q_events_sliding(sf_dir).count(),
             "events_sessions": lambda: q.q_events_sessions(sf_dir).count(),
             "events_asof": lambda: q.q_events_asof(sf_dir).count(),
+            "events_range": lambda: q.q_events_range(sf_dir).count(),
             "knn": lambda: q.q_knn(sf_dir).count(),
             "ivf_knn": lambda: q.q_ivf_knn(sf_dir).count(),
             "ivf_exact": lambda: q.q_ivf_exact(sf_dir).count(),

@@ -467,3 +467,25 @@ def test_read_media_dir_end_to_end(tmp_path):
                                        fake_ok=False).to_pandas()
     assert len(feats) == 1
     assert feats["duration_s"].iloc[0] == pytest.approx(0.5, abs=0.01)
+
+
+# --- range join --------------------------------------------------------------
+
+def test_range_join_count():
+    from ai_knowledgegraph_extractor_ray.ops.joins import range_join_count
+    left = rd.from_pandas(pd.DataFrame({
+        "eid": pd.Series([1, 2, 3], dtype="int64"),
+        "k": ["a", "a", "b"],
+        "t": pd.Series([100, 200, 100], dtype="int64")}))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "a", "b", "c"],
+        "t": pd.Series([95, 111, 205, 50, 100], dtype="int64")}))
+    out = range_join_count(left, right, on="t", by="k", lower=-10, upper=10,
+                           out_col="n").to_pandas().sort_values("eid")
+    # eid1: right a@95,a@111 not (111>110) -> wait 111 > 100+10 -> only 95
+    assert out["n"].tolist() == [1, 1, 0]
+    assert out["eid"].dtype == np.int64       # left dtypes preserved
+    # boundary inclusivity: upper edge included
+    out2 = range_join_count(left, right, on="t", by="k", lower=-11,
+                            upper=11, out_col="n").to_pandas().sort_values("eid")
+    assert out2["n"].tolist() == [2, 1, 0]
