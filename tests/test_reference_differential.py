@@ -136,7 +136,8 @@ def test_whitespace_fuzz_parity(reference_extract):
     (space, tab, newline, nbsp, runs) — pins the prefilter's
     separator-agnostic literal check against the reference's \\s+ regexes."""
     rng = random.Random(0xBEEF)
-    seps = [" ", "\t", "\n", "\xa0", "  ", " \n", "\t\t"]
+    seps = [" ", "\t", "\n", "\xa0", "  ", " \n", "\t\t", "\r\n",
+            "\x0b", "\x0c"]
     for case in range(300):
         base = rng.choice(_TEMPLATES).format(
             a=rng.choice(_NAMES), b=rng.choice(_NAMES),
