@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import KGConfig
-from ..functions.rules import STOP_WORDS, extract_entities
+from ..functions.rules import extract_entities
 from ..ops import dedup, similarity, text as text_ops
 from ..sources import transcripts as src
 from ..stages import canonicalize as cz
