@@ -259,3 +259,33 @@ def test_point_lookup_rejects_invalid(admin_out):
         kg.get_conversation_graph(admin_out, 1, "../etc/passwd", 4)
     with pytest.raises(ValidationError):
         kg.get_conversation_graph(admin_out, 0, "conv_00000001", 4)
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """The `ray job submit` surface: run the CLI as its own process (own Ray
+    session), then canonicalize + stats through the same entry point."""
+    import subprocess
+    import sys
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(src.synthetic_transcripts_table(n_convs=8, seed=6), p)
+    out = tmp_path / "out"
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "ai_knowledgegraph_extractor_ray.cli",
+         "--input", str(p), "--out", str(out), "--num-partitions", "2",
+         "--canonicalize"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_conversations"] == 8
+    assert (out / "version=1" / "canonical").is_dir()
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "ai_knowledgegraph_extractor_ray.cli",
+         "--input", str(p), "--out", str(out), "--stats"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    stats = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats["total_conversations"] == 8
