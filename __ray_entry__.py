@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "top_tokens": q.q_top_tokens,
         "top_tokens_by_lang": q.q_top_tokens_by_lang,
+        "hash_sample": q.q_hash_sample,
+        "lang_balance": q.q_lang_balance,
         # dedup
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
@@ -296,6 +298,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_copies,
                    CAST(min(doc_id) AS BIGINT) AS keep_id
             FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        # deterministic sampling: 16-bit sha256 prefix < 0.1*65536 = 0x1999;
+        # fixed-width lowercase hex compares lexicographically == numerically
+        "hash_sample": """
+            SELECT doc_id FROM documents
+            WHERE substr(sha256(text), 1, 4) < '1999'
+        """,
+        "lang_balance": f"""
+            WITH l AS ({_lang_id_sql()})
+            SELECT doc_id, lang_guess FROM l
+            QUALIFY row_number() OVER (PARTITION BY lang_guess
+                                       ORDER BY doc_id) <= 50
         """,
         "top_tokens_by_lang": f"""
             WITH l AS ({_lang_id_sql()}),

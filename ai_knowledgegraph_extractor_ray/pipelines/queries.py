@@ -203,6 +203,26 @@ def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     return cleaned.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_hash_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic ~10% content-hash sample of the documents."""
+    from ..ops.sampling import hash_sample
+    return hash_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        key_col="text", rate=0.1).select_columns(["doc_id"])
+
+
+def q_lang_balance(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Corpus balancing: at most 50 docs per detected language (smallest
+    doc_id wins) — the downsample-hot-languages operator."""
+    from ..ops.sampling import cap_per_group
+    ds = text_ops.lang_id(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+    out = cap_per_group(ds, group_col="lang_guess", order_col="doc_id", k=k)
+    return out.select_columns(["doc_id", "lang_guess"])
+
+
 def q_top_tokens_by_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
     """Grouped top-k: the 5 hottest tokens per detected language. Per-block
     (lang, token) count partials -> one bucketed merge keyed on lang (the

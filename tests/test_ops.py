@@ -489,3 +489,31 @@ def test_range_join_count():
     out2 = range_join_count(left, right, on="t", by="k", lower=-11,
                             upper=11, out_col="n").to_pandas().sort_values("eid")
     assert out2["n"].tolist() == [2, 1, 0]
+
+
+# --- sampling / balancing ----------------------------------------------------
+
+def test_hash_sample_deterministic_and_partition_invariant():
+    from ai_knowledgegraph_extractor_ray.ops import sampling
+    texts = [f"document number {i} content" for i in range(500)]
+    a = sampling.hash_sample(docs_ds(texts), rate=0.2).to_pandas()
+    b = sampling.hash_sample(docs_ds(texts).repartition(7),
+                             rate=0.2).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert 40 <= len(a) <= 160            # ~20% of 500, loose bound
+    # supersetting: higher rate strictly contains the lower-rate sample
+    c = sampling.hash_sample(docs_ds(texts), rate=0.5).to_pandas()
+    assert set(a["doc_id"]) <= set(c["doc_id"])
+
+
+def test_cap_per_group():
+    from ai_knowledgegraph_extractor_ray.ops import sampling
+    df = pd.DataFrame({
+        "doc_id": pd.Series(range(100), dtype="int64"),
+        "grp": ["hot"] * 90 + ["cold"] * 10})
+    out = sampling.cap_per_group(
+        rd.from_pandas(df).repartition(8), group_col="grp",
+        order_col="doc_id", k=5).to_pandas()
+    by = out.groupby("grp")["doc_id"].apply(sorted).to_dict()
+    assert by["hot"] == [0, 1, 2, 3, 4]       # smallest ids win
+    assert by["cold"] == [90, 91, 92, 93, 94]
