@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_by_lang": q.q_top_tokens_by_lang,
         "hash_sample": q.q_hash_sample,
         "lang_balance": q.q_lang_balance,
+        "normalize": q.q_normalize,
+        "repetition": q.q_repetition,
         # dedup
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
@@ -304,6 +306,29 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id FROM documents
             WHERE substr(sha256(text), 1, 4) < '1999'
+        """,
+        "normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-zA-Z0-9_\s]', '', 'g'), '\s+', ' ', 'g'))
+                     AS norm_text
+            FROM documents
+        """,
+        "repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        w -> w <> '')) AS token
+              FROM documents),
+            counts AS (
+              SELECT doc_id, token, count(*) AS c FROM toks
+              GROUP BY doc_id, token),
+            per_doc AS (
+              SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS r
+              FROM counts GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(round(coalesce(p.r, 0) * 10000) AS BIGINT) AS rep_bp
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
         "lang_balance": f"""
             WITH l AS ({_lang_id_sql()})

@@ -115,6 +115,47 @@ _B = np.uint64(257)
 _BK = np.uint64(pow(257, _WINNOW_K - 1, 1 << 64))
 
 
+def normalize_text(ds: rd.Dataset, text_col: str = "text",
+                   out_col: str = "norm_text") -> rd.Dataset:
+    """Append a normalized text column: lowercase, ASCII punctuation
+    stripped, whitespace runs collapsed, trimmed — the canonical form
+    dedup/fingerprint pipelines key on. ASCII-explicit character classes so
+    the semantics are engine-portable (Python re and RE2 disagree on
+    unicode \\w)."""
+    import re
+    punct = re.compile(r"[^a-zA-Z0-9_\s]")
+    ws = re.compile(r"\s+")
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = [ws.sub(" ", punct.sub("", (s or "").lower())).strip()
+               for s in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_ratio(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Append ``top_token_ratio`` = count of the most frequent whitespace
+    token / total tokens (0 for empty docs) — the Gopher-style repetition
+    signal used to drop boilerplate/spam."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ratios = []
+        for s in t[text_col].to_pylist():
+            toks = (s or "").split()
+            if not toks:
+                ratios.append(0.0)
+                continue
+            counts: dict[str, int] = {}
+            for w in toks:
+                counts[w] = counts.get(w, 0) + 1
+            ratios.append(max(counts.values()) / len(toks))
+        return t.append_column("top_token_ratio",
+                               pa.array(ratios, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _rolling_hashes(data: bytes) -> np.ndarray:
     """All k-byte Rabin-Karp hashes of data, vectorized via cumulative
     polynomial trick in uint64 (wraparound arithmetic is part of the hash)."""

@@ -203,6 +203,32 @@ def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     return cleaned.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_normalize(sf_dir: str) -> rd.Dataset:
+    """Canonical text normalization (lowercase, ASCII punct strip,
+    whitespace collapse)."""
+    out = text_ops.normalize_text(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+def q_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signal, as basis points for hash stability."""
+    out = text_ops.repetition_ratio(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+
+    def to_bp(t: pa.Table) -> pa.Table:
+        # half-away-from-zero like SQL round() — token-count ratios hit
+        # exact .5 bp often, where numpy's round-half-even diverges
+        bp = np.floor(
+            t["top_token_ratio"].to_numpy(zero_copy_only=False) * 10000 + 0.5)
+        return pa.table({"doc_id": t["doc_id"],
+                         "rep_bp": pa.array(bp.astype(np.int64))})
+
+    return out.map_batches(to_bp, batch_format="pyarrow")
+
+
 def q_hash_sample(sf_dir: str) -> rd.Dataset:
     """Deterministic ~10% content-hash sample of the documents."""
     from ..ops.sampling import hash_sample

@@ -112,6 +112,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "top_tokens_by_lang":
                 lambda: q.q_top_tokens_by_lang(sf_dir).count(),
             "hash_sample": lambda: q.q_hash_sample(sf_dir).count(),
+            "normalize": lambda: q.q_normalize(sf_dir).count(),
+            "repetition": lambda: q.q_repetition(sf_dir).count(),
             "lang_balance": lambda: q.q_lang_balance(sf_dir).count(),
             "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
             "simhash_pairs": lambda: q.q_simhash_pairs(sf_dir).count(),

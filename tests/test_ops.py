@@ -517,3 +517,12 @@ def test_cap_per_group():
     by = out.groupby("grp")["doc_id"].apply(sorted).to_dict()
     assert by["hot"] == [0, 1, 2, 3, 4]       # smallest ids win
     assert by["cold"] == [90, 91, 92, 93, 94]
+
+
+def test_normalize_and_repetition():
+    out = text.normalize_text(docs_ds(
+        ["  Hello,   WORLD!! (ok) ", "", "a_b-c"])).to_pandas().sort_values("doc_id")
+    assert out["norm_text"].tolist() == ["hello world ok", "", "a_bc"]
+    rep = text.repetition_ratio(docs_ds(
+        ["a a a a b", "x y z", ""])).to_pandas().sort_values("doc_id")
+    assert rep["top_token_ratio"].tolist() == [0.8, 1/3, 0.0]
