@@ -96,3 +96,28 @@ def test_hierarchical_exchange_matches_single_level():
     skipped = hash_exchange_hierarchical(
         _corpus(60, 2), P, collect_rows, coarse=4, skip={1, 5, 9})
     assert {r["pid"] for r in skipped} == set(want) - {1, 5, 9}
+
+
+def test_exchange_property_random_layouts():
+    """Property test: for random corpora, partition counts, block layouts
+    and map grouping, the exchange's per-partition row multisets equal a
+    driver-side reference partitioning."""
+    import random
+    import zlib
+
+    rng = random.Random(0xE0)
+    for trial in range(5):
+        n = rng.randint(1, 400)
+        P = rng.choice([1, 2, 5, 16, 63])
+        keys = [f"key-{rng.randint(0, 50)}-{rng.choice('abc')}"
+                for _ in range(n)]
+        df = pd.DataFrame({"conv_id": keys,
+                           "val": list(range(n))})
+        want: dict[int, list] = {}
+        for k, v in zip(keys, df["val"]):
+            want.setdefault(zlib.crc32(k.encode()) % P, []).append(v)
+        ds = rd.from_pandas(df).repartition(rng.randint(1, 9))
+        got = {r["pid"]: r["vals"] for r in hash_exchange(
+            ds, P, collect_rows, blocks_per_map=rng.randint(1, 6))}
+        assert got == {p: sorted(v) for p, v in want.items()}, \
+            (trial, n, P)
