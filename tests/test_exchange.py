@@ -121,3 +121,38 @@ def test_exchange_property_random_layouts():
             ds, P, collect_rows, blocks_per_map=rng.randint(1, 6))}
         assert got == {p: sorted(v) for p, v in want.items()}, \
             (trial, n, P)
+
+
+def test_exchange_dataset_variant():
+    """hash_exchange_dataset: merge outputs become a Dataset without driver
+    collection; empty partitions are skipped via map-side counts."""
+    import pyarrow as pa
+
+    from ai_knowledgegraph_extractor_ray.ops.exchange import (
+        hash_exchange_dataset,
+    )
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        out = df.groupby("conv_id", as_index=False)["val"].sum()
+        return pa.Table.from_pandas(out.rename(columns={"val": "total"}),
+                                    preserve_index=False)
+
+    ds = hash_exchange_dataset(_corpus(20, 3), 64, merge, key="conv_id")
+    out = ds.to_pandas()
+    assert len(out) == 20                       # one row per key
+    want = {f"k{i:04d}": sum(range(i * 3, i * 3 + 3)) for i in range(20)}
+    got = dict(zip(out["conv_id"], out["total"]))
+    assert got == want
+
+
+def test_exchange_dataset_empty_input():
+    import pyarrow as pa
+
+    from ai_knowledgegraph_extractor_ray.ops.exchange import (
+        hash_exchange_dataset,
+    )
+    empty = rd.from_pandas(pd.DataFrame({"conv_id": pd.Series(dtype="string"),
+                                         "val": pd.Series(dtype="int64")}))
+    out = hash_exchange_dataset(empty, 8, lambda t: t, key="conv_id")
+    assert out.count() == 0
