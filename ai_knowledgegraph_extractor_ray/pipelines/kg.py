@@ -267,6 +267,19 @@ def read_canonical_edges(out_dir: str, version: int) -> rd.Dataset:
         str(lineage.version_dir(out_dir, version) / "canonical" / "canonical_edges"))
 
 
+def read_aliases(out_dir: str, version: int) -> rd.Dataset:
+    """The alias table (norm -> canonical id/label) of a committed phase 2."""
+    return rd.read_parquet(
+        str(lineage.version_dir(out_dir, version) / "canonical" / "aliases"))
+
+
+def read_canonical_nodes(out_dir: str, version: int) -> rd.Dataset:
+    """Distinct canonical entities of a committed phase 2."""
+    return rd.read_parquet(
+        str(lineage.version_dir(out_dir, version) / "canonical" /
+            "canonical_nodes"))
+
+
 def get_stats(out_dir: str, version: int) -> dict:
     """Corpus graph stats (reference get_database_stats,
     database_service.py:314-346): totals from the lineage manifests (no data

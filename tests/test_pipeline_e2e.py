@@ -276,3 +276,17 @@ def test_kg_job_hierarchical_exchange_path(corpus_path, tmp_path):
     es = kg.read_edges(out_s, 1).to_pandas()[key]
     el = kg.read_edges(out_l, 1).to_pandas()[key]
     assert sorted(map(tuple, es.values)) == sorted(map(tuple, el.values))
+
+
+def test_package_root_api_and_canonical_readers(job):
+    """Package-root convenience surface + canonical table readers."""
+    import ai_knowledgegraph_extractor_ray as pkg
+    cfg, out, _ = job
+    pkg.run_canonicalize_job(out, cfg)
+    aliases = pkg.read_aliases(out, cfg.version).to_pandas()
+    nodes = pkg.read_canonical_nodes(out, cfg.version).to_pandas()
+    edges = pkg.read_canonical_edges(out, cfg.version).to_pandas()
+    assert not aliases["norm"].duplicated().any()
+    assert set(nodes["canonical_id"]) >= set(edges["canonical_src"]) - set(
+        aliases["canonical_id"])  # edge endpoints resolve via aliases/fallback
+    assert pkg.get_stats(out, cfg.version)["total_conversations"] == 60
