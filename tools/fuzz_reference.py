@@ -52,7 +52,8 @@ SOUP = NAMES + WORDS + ["is", "the", "of", "in", "at", "for", "by", "and",
                         "1999", "2024", ".", "!", "?", ",", "(", ")", '"',
                         "CEO", "CTO", "founded", "acquired", "works", "built",
                         "located", "based", "serves", "used", "called"]
-rng = random.Random(0xD1FF)
+SEED = int(sys.argv[1], 0) if len(sys.argv) > 1 else 0xD1FF
+rng = random.Random(SEED)
 bad = 0
 for phase, n in (("template", 5000), ("ws", 2000), ("soup", 2000)):
     for case in range(n):
@@ -78,4 +79,4 @@ for phase, n in (("template", 5000), ("ws", 2000), ("soup", 2000)):
             print(f"DIVERGE [{phase} {case}]: {text!r}")
             if bad > 5:
                 sys.exit(1)
-print("all", 5000+2000+2000, "cases byte-equal" if bad == 0 else f"{bad} diverged")
+print("seed", hex(SEED), "all", 5000+2000+2000, "cases byte-equal" if bad == 0 else f"{bad} diverged")
