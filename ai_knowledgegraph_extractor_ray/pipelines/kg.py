@@ -166,6 +166,14 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
         "n_turns": int(sum(m["n_turns"] for m in all_manifests)),
         "n_nodes": int(sum(m["n_nodes"] for m in all_manifests)),
         "n_edges": int(sum(m["n_edges"] for m in all_manifests)),
+        # observability: straggler detection without reading any data —
+        # a max far above the mean says partitions are skewed (hot conv_id
+        # prefix or num_partitions too low)
+        "max_partition_wall_s": round(max(
+            (float(m.get("wall_time_s", 0) or 0) for m in all_manifests),
+            default=0.0), 4),
+        "sum_partition_wall_s": round(sum(
+            float(m.get("wall_time_s", 0) or 0) for m in all_manifests), 3),
     }
     return summary
 
