@@ -97,6 +97,8 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
         extractor = Extractor(cfg)
 
         def reduce_fn(pid: int, tbl: pa.Table):
+            import time as _time
+            t_start = _time.perf_counter()
             conv = assemble_partition(
                 tbl.to_pandas(), window_chars=cfg.window_chars,
                 version_cutoff=cfg.version_cutoff, version=cfg.version)
@@ -108,8 +110,8 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                 from ..stages.extract import renumber_conversation_windows
                 rows = renumber_conversation_windows(rows)
             return lineage.write_partition(
-                rows, out_dir, cfg.version,
-                input_bytes=tbl.nbytes).to_dict("records")[0]
+                rows, out_dir, cfg.version, input_bytes=tbl.nbytes,
+                started_at=t_start).to_dict("records")[0]
 
         if cfg.num_partitions > 1024:
             # very large P: two-level exchange keeps driver refs at

@@ -62,12 +62,15 @@ CONV_COLS = ["conv_id", "window_id", "n_turns", "version", "backend"]
 
 
 def write_partition(group: pd.DataFrame, out_dir: str, version: int,
-                    input_bytes: int = 0) -> pd.DataFrame:
-    """Commit one partition's graph rows. Runs inside
-    groupby(partition_id).map_groups — one task per partition, returning the
-    manifest as a one-row DataFrame so the manifests themselves form a small
-    Dataset the driver can aggregate."""
-    t0 = time.perf_counter()
+                    input_bytes: int = 0,
+                    started_at: float | None = None) -> pd.DataFrame:
+    """Commit one partition's graph rows. Runs inside the partition's
+    reduce task, returning the manifest as a one-row DataFrame so the
+    manifests themselves form a small Dataset the driver can aggregate.
+    ``started_at`` (a perf_counter value) lets the caller charge the whole
+    partition task (assemble+extract+write) to ``wall_time_s``; the
+    default times only the commit."""
+    t0 = started_at if started_at is not None else time.perf_counter()
     pid = int(group["partition_id"].iloc[0])
     pdir = partition_dir(out_dir, version, pid)
     pdir.mkdir(parents=True, exist_ok=True)
