@@ -24,7 +24,7 @@ from ..functions.rules import extract_entities
 from ..ops import dedup, similarity, text as text_ops
 from ..sources import transcripts as src
 from ..stages import canonicalize as cz
-from ..stages.conversation import add_partition_id, assemble_partition
+from ..stages.conversation import assemble_partition
 
 QCFG = KGConfig(num_partitions=16, extract_concurrency=4)
 
@@ -35,12 +35,15 @@ def _documents(sf_dir: str) -> rd.Dataset:
 
 def _assembled(sf_dir: str, version_cutoff: int | None = None) -> rd.Dataset:
     ds = src.transcripts_from_documents(sf_dir)
-    ds = add_partition_id(ds, QCFG.num_partitions)
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return assemble_partition(df, version_cutoff=version_cutoff)
+    def merge(tbl: pa.Table) -> pa.Table:
+        out = assemble_partition(tbl.to_pandas(),
+                                 version_cutoff=version_cutoff)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("partition_id").map_groups(fn, batch_format="pandas")
+    from ..ops.exchange import hash_exchange_dataset
+    return hash_exchange_dataset(ds, QCFG.num_partitions, merge,
+                                 key="conv_id")
 
 
 # --- conversation assembly / versioning (reference M14, S8, J3, G4) ---------
