@@ -32,13 +32,23 @@ def _crc_bucket(s: str, buckets: int) -> int:
     return zlib.crc32(s.encode()) % buckets
 
 
+XKEY = "__xkey"   # collision-proof composite-key stamp (ADVICE round 2)
+
+
 def bucketed_groupby(partials: rd.Dataset, key_cols: list[str],
                      merge: Callable[[pd.DataFrame], pd.DataFrame],
-                     buckets: int = 64) -> rd.Dataset:
+                     buckets: int | None = None) -> rd.Dataset:
     """Shuffle ``partials`` on a hash bucket of ``key_cols`` and apply
     ``merge`` (a vectorized whole-bucket pandas reduce; it must group by the
     key columns itself and must not depend on rows outside the bucket —
     guaranteed because a key's rows all land in one bucket).
+
+    ``buckets=None`` (default) sizes the bucket count from the input's
+    actual bytes (``exchange.auto_partitions``): partial-aggregated inputs
+    get the minimum 8 buckets (fixed cost ~8 merge tasks, not 64), while
+    raw-row callers (as-of/range joins, sessionize) grow buckets with data
+    volume instead of concentrating a fixed 1/64th of the corpus into one
+    merge frame.
 
     The exchange is the raw-Ray map/reduce of ``ops/exchange.py`` (round 2)
     rather than Ray Data's sort-based groupby: identical bucket assignment
@@ -55,20 +65,20 @@ def bucketed_groupby(partials: rd.Dataset, key_cols: list[str],
         # (a pandas round-trip would wrap list columns in tensor extensions)
         import pyarrow.compute as pc
         if t.num_rows == 0:
-            return t.append_column("_xkey", pa.array([], pa.string()))
+            return t.append_column(XKEY, pa.array([], pa.string()))
         parts = [pc.fill_null(pc.cast(t[c], pa.string()), "None")
                  for c in key_cols]
         k = parts[0] if len(parts) == 1 else \
             pc.binary_join_element_wise(*parts, "\x00")
-        return t.append_column("_xkey", k)
+        return t.append_column(XKEY, k)
 
     def merge_tbl(tbl: pa.Table) -> pa.Table:
-        df = (tbl.drop_columns(["_xkey", "partition_id"])
+        df = (tbl.drop_columns([XKEY])
               .replace_schema_metadata(None).to_pandas())
         return pa.Table.from_pandas(merge(df), preserve_index=False)
 
     stamped = partials.map_batches(stamp, batch_format="pyarrow")
-    return hash_exchange_dataset(stamped, buckets, merge_tbl, key="_xkey")
+    return hash_exchange_dataset(stamped, buckets, merge_tbl, key=XKEY)
 
 
 def per_group_apply(key_cols: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame]):

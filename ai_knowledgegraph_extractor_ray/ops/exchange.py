@@ -38,7 +38,6 @@ Scale notes for a real cluster:
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Callable
 
 import numpy as np
@@ -46,24 +45,50 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+# Internal partition-stamp column. Collision-proof on purpose: the exchange
+# shuffles arbitrary user payloads (bucketed_groupby), and a payload column
+# legitimately named "partition_id" must survive the trip (ADVICE round 2).
+XPID = "__xpid"
+
 
 def _split_by_pid(block_refs, key: str, num_partitions: int):
     import pandas as pd
+
+    from .hashing import crc32_mod
     blocks = [pa.Table.from_pandas(b, preserve_index=False)
               if isinstance(b, pd.DataFrame) else b
               for b in ray.get(list(block_refs))]   # pandas-block datasets
     tbl = pa.concat_tables(blocks, promote_options="permissive")
-    if tbl.num_rows == 0 or key not in tbl.column_names:
+    if key not in tbl.column_names:
+        if tbl.num_rows:
+            # an upstream schema mistake must not become silent data loss
+            raise KeyError(
+                f"exchange key column {key!r} missing from input blocks "
+                f"(columns: {tbl.column_names})")
         # schema-less empty blocks (e.g. an upstream filter emptied them)
         return tbl.slice(0, 0), np.zeros(num_partitions + 1, dtype=np.int64)
-    pids = np.fromiter(
-        (zlib.crc32(c) % num_partitions
-         for c in tbl[key].cast(pa.binary()).to_pylist()),
-        dtype="int32", count=len(tbl))
+    if XPID in tbl.column_names:
+        raise ValueError(
+            f"input already carries the exchange's internal column {XPID!r}")
+    if tbl.num_rows == 0:
+        return tbl.slice(0, 0), np.zeros(num_partitions + 1, dtype=np.int64)
+    pids = crc32_mod(tbl[key], num_partitions)     # vectorized, == zlib.crc32
     order = np.argsort(pids, kind="stable")
-    tbl = tbl.append_column("partition_id", pa.array(pids)).take(order)
+    tbl = tbl.append_column(XPID, pa.array(pids)).take(order)
     cuts = np.searchsorted(pids[order], np.arange(num_partitions + 1))
     return tbl, cuts
+
+
+def _for_reduce(tbl: pa.Table) -> pa.Table:
+    """Present the internal stamp to ``reduce_fn`` as the documented
+    ``partition_id`` column (erroring earlier if the input had its own)."""
+    if "partition_id" in tbl.column_names:
+        raise ValueError(
+            "hash_exchange input already has a 'partition_id' column; the "
+            "reduce contract stamps one (use hash_exchange_dataset for "
+            "payloads that carry their own)")
+    i = tbl.column_names.index(XPID)
+    return tbl.set_column(i, "partition_id", tbl.column(i))
 
 
 @ray.remote
@@ -91,8 +116,8 @@ def _exchange_reduce(reduce_fn, pid: int, *parts):
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return None
-    return reduce_fn(pid, pa.concat_tables(parts,
-                                           promote_options="permissive"))
+    return reduce_fn(pid, _for_reduce(pa.concat_tables(
+        parts, promote_options="permissive")))
 
 
 def hash_exchange(ds: rd.Dataset, num_partitions: int,
@@ -154,9 +179,9 @@ def _exchange_reduce_coarse(reduce_fn, num_partitions: int, coarse_idx: int,
     if not parts:
         return []
     tbl = pa.concat_tables(parts, promote_options="permissive")
-    pids = tbl["partition_id"].to_numpy()
+    pids = tbl[XPID].to_numpy()
     order = np.argsort(pids, kind="stable")       # merge the sorted runs
-    tbl = tbl.take(order)
+    tbl = _for_reduce(tbl.take(order))
     group = -(-num_partitions // coarse)
     lo = coarse_idx * group
     hi = min(lo + group, num_partitions)
@@ -214,10 +239,37 @@ def hash_exchange_hierarchical(
 @ray.remote
 def _exchange_merge(merge_fn, *parts) -> pa.Table:
     parts = [p for p in parts if p.num_rows]
-    return merge_fn(pa.concat_tables(parts, promote_options="permissive"))
+    tbl = pa.concat_tables(parts, promote_options="permissive")
+    return merge_fn(tbl.drop_columns([XPID]))
 
 
-def hash_exchange_dataset(ds: rd.Dataset, num_partitions: int,
+# Auto-sizing bounds for hash_exchange_dataset(num_partitions=None).
+# One partition materializes as ONE pandas frame inside its merge task, so
+# the partition count must scale with input volume (VERDICT round 2, item 2:
+# a fixed buckets=64 fan-in of raw rows is a worker-heap OOM at 100x the
+# event volume). 128 MiB of Arrow bytes per bucket leaves ~3x headroom for
+# the pandas conversion inside a 4 GiB worker heap (128 GiB / 32 slots).
+TARGET_PARTITION_BYTES = 128 << 20
+MIN_AUTO_PARTITIONS = 8
+MAX_AUTO_PARTITIONS = 4096
+
+
+def auto_partitions(total_bytes: int,
+                    target_bytes: int = TARGET_PARTITION_BYTES) -> int:
+    p = max(MIN_AUTO_PARTITIONS, -(-int(total_bytes) // int(target_bytes)))
+    if p > MAX_AUTO_PARTITIONS:
+        import warnings
+        warnings.warn(
+            f"auto-sized exchange wants {p} partitions for "
+            f"{total_bytes} input bytes; capping at {MAX_AUTO_PARTITIONS} "
+            f"(~{total_bytes // MAX_AUTO_PARTITIONS} bytes/partition) — "
+            "pass num_partitions explicitly and use the hierarchical "
+            "exchange for larger layouts", ResourceWarning, stacklevel=3)
+        p = MAX_AUTO_PARTITIONS
+    return p
+
+
+def hash_exchange_dataset(ds: rd.Dataset, num_partitions: int | None,
                           merge_fn: Callable[[pa.Table], pa.Table], *,
                           key: str, blocks_per_map: int = 4) -> rd.Dataset:
     """Dataset-to-Dataset hash exchange: ``merge_fn(table) -> table`` runs
@@ -227,9 +279,28 @@ def hash_exchange_dataset(ds: rd.Dataset, num_partitions: int,
     using the map wave's per-partition row counts (a tiny vector per map
     task, the only thing the driver fetches).
 
+    ``num_partitions=None`` auto-sizes the partition count from the input's
+    streamed block metadata (total Arrow bytes / 128 MiB, min 8): small
+    inputs pay ~8 merge tasks of fixed cost instead of 64+, and raw-row
+    inputs can't concentrate unbounded bytes into one merge frame. Sizing
+    buffers the block refs before launching the map wave (losing map/scan
+    overlap), so callers that know their volume should pass an explicit
+    count.
+
     This is the exchange behind ``ops/agg.bucketed_groupby``: same
     semantics as Ray Data's sort-based ``groupby().map_groups`` for
     hash-bucketed keys, without the sort barrier's near-serial section."""
+    if num_partitions is None:
+        block_refs: list = []
+        total_bytes = 0
+        for bundle in ds.iter_internal_ref_bundles():
+            block_refs.extend(bundle.block_refs)
+            total_bytes += bundle.size_bytes() or 0
+        num_partitions = auto_partitions(total_bytes)
+        bundles_iter: list = [block_refs]
+    else:
+        bundles_iter = None  # stream below, pipelining maps with the scan
+
     refs_per_pid: list[list] = [[] for _ in range(num_partitions)]
     count_refs: list = []
     pending: list = []
@@ -242,12 +313,16 @@ def hash_exchange_dataset(ds: rd.Dataset, num_partitions: int,
             refs_per_pid[p].append(outs[p])
         count_refs.append(outs[num_partitions])
 
-    for bundle in ds.iter_internal_ref_bundles():
-        for blk in bundle.block_refs:
-            pending.append(blk)
-            if len(pending) >= blocks_per_map:
-                launch(pending)
-                pending = []
+    if bundles_iter is None:
+        source = (blk for bundle in ds.iter_internal_ref_bundles()
+                  for blk in bundle.block_refs)
+    else:
+        source = (blk for blocks in bundles_iter for blk in blocks)
+    for blk in source:
+        pending.append(blk)
+        if len(pending) >= blocks_per_map:
+            launch(pending)
+            pending = []
     if pending:
         launch(pending)
 

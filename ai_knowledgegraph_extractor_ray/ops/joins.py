@@ -43,7 +43,7 @@ def _pandas_dtypes_of(schema) -> dict:
 
 def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
                        on: str, by: str, value_cols: list[str],
-                       buckets: int = 64) -> rd.Dataset:
+                       buckets: int | None = None) -> rd.Dataset:
     """Backward as-of join. Returns the left rows with ``value_cols`` from
     the matched right row appended (NaN/None where no right row precedes)."""
 
@@ -89,7 +89,7 @@ def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
 def range_join_count(left: rd.Dataset, right: rd.Dataset, *,
                      on: str, by: str, lower, upper,
                      out_col: str = "n_matches",
-                     buckets: int = 64) -> rd.Dataset:
+                     buckets: int | None = None) -> rd.Dataset:
     """Range (interval) join, count-aggregated: for every left row, the
     number of right rows with the same ``by`` key and ``right.on`` in
     ``[left.on + lower, left.on + upper]``.

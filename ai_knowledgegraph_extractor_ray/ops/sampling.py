@@ -40,7 +40,7 @@ def hash_sample(ds: rd.Dataset, *, key_col: str = "text",
 
 
 def cap_per_group(ds: rd.Dataset, *, group_col: str, order_col: str,
-                  k: int, buckets: int = 64) -> rd.Dataset:
+                  k: int, buckets: int | None = None) -> rd.Dataset:
     """Keep the ``k`` smallest-``order_col`` rows per group. For a
     deterministic result ``order_col`` must be unique within a group (use
     a row id); ties at the cut are broken by block arrival order."""

@@ -37,8 +37,12 @@ def _assembled(sf_dir: str, version_cutoff: int | None = None) -> rd.Dataset:
     ds = src.transcripts_from_documents(sf_dir)
 
     def merge(tbl: pa.Table) -> pa.Table:
-        out = assemble_partition(tbl.to_pandas(),
-                                 version_cutoff=version_cutoff)
+        df = tbl.to_pandas()
+        # assemble_partition stamps its output with the partition id; the
+        # dataset exchange keeps its stamp internal, and this query projects
+        # the column away, so any constant works
+        df["partition_id"] = np.int32(0)
+        out = assemble_partition(df, version_cutoff=version_cutoff)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     from ..ops.exchange import hash_exchange_dataset

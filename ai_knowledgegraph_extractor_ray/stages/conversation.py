@@ -29,16 +29,14 @@ def partition_of(conv_id: str, num_partitions: int) -> int:
 
 
 def add_partition_id(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """Vectorized-ish partition id column. crc32 is cheap (<100ns/row) and —
-    unlike Python hash() — stable across processes, which resumability
-    requires."""
+    """Vectorized partition id column (``ops/hashing.crc32_mod`` — bit-
+    identical to per-row ``zlib.crc32``, which — unlike Python hash() — is
+    stable across processes, as resumability requires)."""
+    from ..ops.hashing import crc32_mod
 
     def stamp(t: pa.Table) -> pa.Table:
-        pids = np.fromiter(
-            (zlib.crc32(c) % num_partitions
-             for c in t["conv_id"].cast(pa.binary()).to_pylist()),
-            dtype="int32", count=len(t))
-        return t.append_column("partition_id", pa.array(pids))
+        return t.append_column(
+            "partition_id", pa.array(crc32_mod(t["conv_id"], num_partitions)))
 
     return ds.map_batches(stamp, batch_format="pyarrow")
 

@@ -156,3 +156,122 @@ def test_exchange_dataset_empty_input():
                                          "val": pd.Series(dtype="int64")}))
     out = hash_exchange_dataset(empty, 8, lambda t: t, key="conv_id")
     assert out.count() == 0
+
+
+# --- round 3: vectorized hash, guards, auto-sizing ---------------------------
+
+def test_crc32_kernel_bit_identical_to_zlib():
+    """ops/hashing.crc32_column == zlib.crc32 for every length regime the
+    kernel handles (vectorized short path, per-row long fallback, empty,
+    chunked, sliced)."""
+    import random
+    import zlib
+
+    import numpy as np
+
+    from ai_knowledgegraph_extractor_ray.ops.hashing import (
+        crc32_column,
+        crc32_mod,
+    )
+    rng = random.Random(0xC3)
+    vals = [bytes(rng.randrange(256) for _ in range(
+        rng.choice([0, 1, 7, 40, 300, 2000]))) for _ in range(800)]
+    want = np.array([zlib.crc32(v) for v in vals], dtype=np.uint32)
+    chunked = pa.chunked_array([pa.array(vals[:350], pa.binary()),
+                                pa.array(vals[350:], pa.binary())])
+    assert (crc32_column(chunked) == want).all()
+    sliced = pa.array(vals, pa.binary()).slice(13, 200)
+    assert (crc32_column(sliced) == want[13:213]).all()
+    strs = pa.array([f"conv_{i}" for i in range(500)])
+    assert (crc32_mod(strs, 7) == np.array(
+        [zlib.crc32(f"conv_{i}".encode()) % 7 for i in range(500)])).all()
+
+
+def test_exchange_missing_key_raises():
+    """A wrong key name is an error, not silent data loss (ADVICE round 2)."""
+    with pytest.raises(Exception, match="nonexistent"):
+        hash_exchange(_corpus(5, 2), 4, collect_rows, key="nonexistent")
+
+
+def test_exchange_null_key_raises():
+    df = pd.DataFrame({"conv_id": ["a", None, "b"], "val": [1, 2, 3]})
+    with pytest.raises(Exception, match="null"):
+        hash_exchange(rd.from_pandas(df), 4, collect_rows)
+
+
+def test_exchange_rejects_preexisting_partition_id():
+    df = pd.DataFrame({"conv_id": ["a", "b"], "partition_id": [9, 9]})
+    with pytest.raises(Exception, match="partition_id"):
+        hash_exchange(rd.from_pandas(df), 4, collect_rows)
+
+
+def test_exchange_dataset_preserves_user_partition_id_column():
+    """bucketed payloads may legitimately carry a 'partition_id' column;
+    the internal stamp must not clobber it (ADVICE round 2)."""
+    from ai_knowledgegraph_extractor_ray.ops.agg import bucketed_groupby
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "partition_id": [7, 7, 3],
+                       "v": [1, 2, 4]})
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby(["k", "partition_id"], as_index=False)["v"].sum()
+
+    out = bucketed_groupby(rd.from_pandas(df), ["k"], merge).to_pandas()
+    got = {(r.k, r.partition_id): r.v for r in out.itertuples()}
+    assert got == {("a", 7): 3, ("b", 3): 4}
+
+
+def test_exchange_dataset_pandas_nullable_upstream():
+    """pandas-block upstream with nullable dtypes round-trips the exchange
+    with values intact (pin against silent permissive-promotion widening on
+    a Ray upgrade — VERDICT round 2, item 9)."""
+    from ai_knowledgegraph_extractor_ray.ops.exchange import (
+        hash_exchange_dataset,
+    )
+    df = pd.DataFrame({
+        "conv_id": pd.Series(["a", "b", "c", "a"], dtype="string"),
+        "x": pd.Series([1, None, 3, 4], dtype="Int64"),
+        "y": [1.5, None, 2.5, None],
+    })
+
+    def tag(d: pd.DataFrame) -> pd.DataFrame:
+        return d
+
+    ds = rd.from_pandas(df).map_batches(tag, batch_format="pandas")
+    out = hash_exchange_dataset(ds, 4, lambda t: t, key="conv_id").to_pandas()
+    assert len(out) == 4
+    assert set(out.columns) >= {"conv_id", "x", "y"}
+    vals = {(c, None if pd.isna(x) else int(x))
+            for c, x in zip(out["conv_id"], out["x"])}
+    assert vals == {("a", 1), ("a", 4), ("b", None), ("c", 3)}
+
+
+def test_auto_partitions_scales_with_bytes():
+    from ai_knowledgegraph_extractor_ray.ops.exchange import (
+        MAX_AUTO_PARTITIONS,
+        MIN_AUTO_PARTITIONS,
+        auto_partitions,
+    )
+    assert auto_partitions(0) == MIN_AUTO_PARTITIONS
+    assert auto_partitions(1 << 20) == MIN_AUTO_PARTITIONS
+    assert auto_partitions(100 << 30) == (100 << 30) // (128 << 20)
+    with pytest.warns(ResourceWarning):
+        assert auto_partitions(1 << 50) == MAX_AUTO_PARTITIONS
+
+
+def test_bucketed_groupby_auto_buckets_results_identical():
+    """Auto-sized buckets (None) give the same result as any explicit count."""
+    from ai_knowledgegraph_extractor_ray.ops.agg import bucketed_groupby
+
+    df = pd.DataFrame({"k": [f"k{i%17}" for i in range(200)],
+                       "v": list(range(200))})
+
+    def merge(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", as_index=False)["v"].sum()
+
+    auto = bucketed_groupby(rd.from_pandas(df), ["k"], merge).to_pandas()
+    fixed = bucketed_groupby(rd.from_pandas(df), ["k"], merge,
+                             buckets=64).to_pandas()
+    a = dict(zip(auto["k"], auto["v"]))
+    b = dict(zip(fixed["k"], fixed["v"]))
+    assert a == b and len(a) == 17
