@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
         "ivf_exact": q.q_ivf_exact,
+        "ivf_pruned": q.q_ivf_pruned,
         # entity extraction + canonicalization
         "entities": q.q_entities,
         "edges_sql": q.q_edges_sql,
@@ -488,6 +489,20 @@ def oracle_sql() -> dict[str, str]:
         # oracle applies — the IVF build/assign/probe/merge machinery is
         # what's under test
         "ivf_exact": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS sim
+                  FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id,
+                   CAST(round(sim * 10000) AS BIGINT) AS score_bp,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) - 1 AS BIGINT) AS rank
+            FROM s QUALIFY rank < 10
+        """,
+        # ivf_pruned: same exhaustive-probe exactness, but running over the
+        # cluster-partitioned parquet layout (write + pruned read under test)
+        "ivf_pruned": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 8),
             s AS (SELECT q.query_id, e.vec_id,

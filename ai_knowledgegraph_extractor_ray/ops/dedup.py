@@ -243,14 +243,18 @@ def minhash_candidate_pairs(
     Two passes so raw text never rides the wide shuffle and the per-bucket
     Python verification runs only on COLLIDING buckets:
 
-    1. slim band rows (bucket, id) -> native groupby count -> the small set
-       of buckets with >=2 members, broadcast via ray.put;
-    2. corpus re-scan emits (bucket, id, text) for hot buckets only ->
-       groupby(bucket) -> exact n-gram-Jaccard verification in-bucket.
+    1. slim band rows (bucket, id) -> bucketed count -> the HOT PAIRS
+       (bucket, id) with >=2 members per bucket — a duplicate-scale set —
+       broadcast once via ray.put as an id -> band-keys map;
+    2. corpus re-scan attaches text for broadcast-listed ids only (a
+       vectorized id filter + dict lookup — signatures are NOT recomputed)
+       -> groupby(bucket) -> exact n-gram-Jaccard verification in-bucket.
 
-    Signatures are computed twice (cheap, vectorized) to avoid shipping
-    per-row text/signature payloads for the singleton majority. ``max_bucket``
-    guards degenerate buckets (boilerplate corpora)."""
+    Round 3: pass 2 previously re-ran the MinHash signatures over the whole
+    corpus to rediscover each doc's band keys; broadcasting the hot
+    (bucket, id) pairs themselves halves the signature work — the dominant
+    CPU of the op — at the cost of a broadcast bounded by the candidate
+    count (which ``max_bucket`` already guards for degenerate corpora)."""
     import ray
 
     from .agg import bucketed_groupby
@@ -273,27 +277,37 @@ def minhash_candidate_pairs(
         return pa.table({"bucket": pa.array(keys, pa.string()),
                          id_col: pa.array(ids, pa.int64())})
 
-    def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def hot_pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         sz = df.groupby("bucket", sort=False)["bucket"].transform("size")
-        return df.loc[sz >= 2, ["bucket"]].drop_duplicates()
+        return df.loc[sz >= 2, ["bucket", id_col]]
 
     hot = bucketed_groupby(
         ds.map_batches(to_bands_slim, batch_format="pyarrow"),
-        ["bucket"], hot_in_bucket).to_pandas()
-    hot_ref = ray.put(frozenset(
-        hot["bucket"].tolist() if "bucket" in hot.columns else []))
+        ["bucket"], hot_pairs_in_bucket).to_pandas()
+    id_to_bands: dict[int, list] = {}
+    if "bucket" in hot.columns:
+        for bk, i in zip(hot["bucket"], hot[id_col]):
+            id_to_bands.setdefault(int(i), []).append(bk)
+    hot_ref = ray.put((id_to_bands,
+                       pa.array(sorted(id_to_bands), pa.int64())))
 
     def to_bands_hot(t: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
+        import pyarrow.compute as pc
+        id_map, hot_ids = ray.get(hot_ref)
+        empty = pa.table({"bucket": pa.array([], pa.string()),
+                          id_col: pa.array([], pa.int64()),
+                          text_col: pa.array([], pa.string())})
+        if not id_map:
+            return empty
+        sub = t.filter(pc.is_in(t[id_col], value_set=hot_ids))
+        if sub.num_rows == 0:
+            return empty
         ids, keys, texts = [], [], []
-        all_texts = t[text_col].to_pylist()
-        for i, s, bks in zip(t[id_col].to_pylist(), all_texts,
-                             band_keys_batch(all_texts)):
-            for bk in bks:
-                if bk in hot_set:
-                    ids.append(i)
-                    keys.append(bk)
-                    texts.append(s)
+        for i, s in zip(sub[id_col].to_pylist(), sub[text_col].to_pylist()):
+            for bk in id_map[int(i)]:
+                ids.append(i)
+                keys.append(bk)
+                texts.append(s)
         return pa.table({"bucket": pa.array(keys, pa.string()),
                          id_col: pa.array(ids, pa.int64()),
                          text_col: pa.array(texts, pa.string())})

