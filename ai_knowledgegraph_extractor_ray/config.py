@@ -48,4 +48,12 @@ class KGConfig:
     llm_model: str = "deterministic-fake"
     llm_timeout_s: float = 120.0
     llm_max_chars: int = 2000
+    # Protocol chain, comma-separated, tried in order per text unit — the
+    # reference's USE_OPENAI/USE_OLLAMA fallback chain (openai -> ollama ->
+    # rules, services.py:85-115). "openai" speaks chat-completions;
+    # "openai,ollama" probes the hosted protocol first, then the local one.
+    llm_provider: str = "ollama"
+    llm_api_key: str = ""             # reference OPENAI_API_KEY, config.py:21
+    llm_openai_base_url: str = ""     # chat-completions endpoint; defaults
+    # to llm_base_url when unset (single-endpoint deployments)
     extra: dict = field(default_factory=dict)

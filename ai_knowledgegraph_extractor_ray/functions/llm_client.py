@@ -92,6 +92,10 @@ class OllamaClient:
         if self._healthy is None:
             self._healthy = self.health_check()
         if not self._healthy:
+            # re-probe on the NEXT call: an actor started before the service
+            # was up must recover once it is, instead of silently degrading
+            # to rules for its whole lifetime (ADVICE round 2)
+            self._healthy = None
             raise LLMUnavailable("Ollama service not available")
         try:
             r = self._session.post(
@@ -122,4 +126,59 @@ class OllamaClient:
         graph_text = r.json().get("response", "{}")
         if not graph_text or graph_text.strip() == "{}":
             raise ValueError("Empty response from Ollama")
+        return graph_text
+
+
+class OpenAIClient:
+    """Chat-completions-protocol client (reference: services.py:322-353,
+    config.py:20-25 — the reference uses the ``openai`` SDK with
+    ``gpt-3.5-turbo``; this speaks the same wire protocol directly so any
+    OpenAI-compatible endpoint works, hosted or local).
+
+    Same failure surface as ``OllamaClient`` — timeout, connection error,
+    non-200 and empty responses all raise, feeding the orchestrator's rules
+    fallback. The protocol has no health endpoint, matching the reference's
+    try-and-fall-back behavior for this branch (services.py:96-101)."""
+
+    def __init__(self, base_url: str, model: str, api_key: str = "",
+                 timeout_s: float = 120.0):
+        import requests
+
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.timeout_s = timeout_s
+        self._session = requests.Session()
+        if api_key:
+            self._session.headers["Authorization"] = f"Bearer {api_key}"
+
+    def generate(self, prompt: str) -> str:
+        import requests
+
+        try:
+            r = self._session.post(
+                f"{self.base_url}/v1/chat/completions",
+                json={
+                    "model": self.model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    # reference sampling (services.py:340-345): temperature
+                    # 0.7, max_tokens 2000; JSON-object response mode is the
+                    # chat-protocol analogue of Ollama's format="json"
+                    "temperature": 0.7,
+                    "max_tokens": 2000,
+                    "response_format": {"type": "json_object"},
+                },
+                timeout=self.timeout_s,
+            )
+        except requests.exceptions.Timeout as e:
+            raise TimeoutError("OpenAI-protocol timeout") from e
+        except requests.exceptions.ConnectionError as e:
+            raise LLMUnavailable("OpenAI-protocol connection error") from e
+        if r.status_code != 200:
+            raise RuntimeError(f"OpenAI-protocol API error: {r.status_code}")
+        try:
+            graph_text = r.json()["choices"][0]["message"]["content"]
+        except (KeyError, IndexError, TypeError, ValueError) as e:
+            raise ValueError("Malformed chat-completions response") from e
+        if not graph_text or graph_text.strip() == "{}":
+            raise ValueError("Empty response from chat-completions API")
         return graph_text

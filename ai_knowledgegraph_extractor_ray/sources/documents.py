@@ -66,9 +66,32 @@ def _basic_pdf_text(data: bytes) -> str:
     stream_re, tj_re, tj_arr_re, lit_re = _PDF_TEXT_OPS
 
     def unescape(b: bytes) -> str:
-        out = (b.replace(rb"\(", b"(").replace(rb"\)", b")")
-               .replace(rb"\n", b"\n").replace(rb"\t", b"\t")
-               .replace(rb"\r", b"\r").replace(rb"\\", b"\\"))
+        # single left-to-right pass (sequential .replace() decoded an
+        # escaped backslash's FOLLOWING char: "\\\\n" became "\\" + LF —
+        # ADVICE round 2); octal escapes \ddd handled per PDF spec 7.3.4.2
+        out = bytearray()
+        i, n = 0, len(b)
+        simple = {0x28: b"(", 0x29: b")", 0x5C: b"\\", 0x6E: b"\n",
+                  0x74: b"\t", 0x72: b"\r", 0x62: b"\b", 0x66: b"\f"}
+        while i < n:
+            c = b[i]
+            if c != 0x5C or i + 1 >= n:         # not a backslash escape
+                out.append(c)
+                i += 1
+                continue
+            nxt = b[i + 1]
+            if nxt in simple:
+                out += simple[nxt]
+                i += 2
+            elif 0x30 <= nxt <= 0x37:           # \d, \dd or \ddd octal
+                j = i + 1
+                while j < min(i + 4, n) and 0x30 <= b[j] <= 0x37:
+                    j += 1
+                out.append(int(b[i + 1:j], 8) & 0xFF)
+                i = j
+            else:                               # unknown escape: drop the \
+                out.append(nxt)
+                i += 2
         return out.decode("latin-1")
 
     lines: list[str] = []

@@ -388,9 +388,14 @@ def canonicalize_edges(edges: rd.Dataset, alias: rd.Dataset | pd.DataFrame,
     tail falls back to identity hashing — ``canonical_id_of(norm)`` is
     EXACTLY the id the alias table assigns an unclustered norm (root = the
     norm itself), so canonical ids never diverge; only the display label of
-    a below-cap norm uses the edge's own surface casing instead of the
-    corpus-majority variant. Partial counting inside map_batches again
-    bounds the final shuffle to distinct canonical triples per block."""
+    a below-cap norm comes from the edges' surface casings instead of the
+    corpus-majority variant. Because different casings of a below-cap norm
+    then reach the reduce with the SAME canonical id but different labels,
+    the reduce groups on the canonical triple ONLY and picks each triple's
+    label pair deterministically (max aggregated weight, ties broken
+    lexicographically) — labels can never split a triple's weight (ADVICE
+    round 2). Partial counting inside map_batches again bounds the final
+    shuffle to distinct canonical triples per block."""
     if isinstance(alias, rd.Dataset):
         alias = hot_alias_frame(alias, cfg.broadcast_vocab_cap)
     alias_ref = ray.put({
@@ -419,14 +424,28 @@ def canonicalize_edges(edges: rd.Dataset, alias: rd.Dataset | pd.DataFrame,
             "weight": pa.array(list(counts.values()), pa.int64()),
         })
 
-    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.agg import bucketed_groupby
 
     partials = edges.map_batches(rewrite_and_count, batch_format="pyarrow")
-    # labels are functions of the canonical ids, so grouping on all five keys
-    # equals grouping on the triple; bucketed merge keeps the reduce
-    # vectorized regardless of distinct-triple cardinality
-    keys = ["canonical_src", "pred", "canonical_dst", "src_label", "dst_label"]
-    return bucketed_groupby(partials, keys, sum_merge(keys, ["weight"]))
+    keys3 = ["canonical_src", "pred", "canonical_dst"]
+    keys5 = keys3 + ["src_label", "dst_label"]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # aggregate per label pair FIRST (block-layout-independent totals),
+        # then reduce to one row per triple: weight = sum over label pairs,
+        # label pair = the heaviest (ties -> lexicographic min) — fully
+        # deterministic, and identical to a plain 5-key sum whenever labels
+        # really are functions of the ids (the in-broadcast regime)
+        by_label = df.groupby(keys5, as_index=False, sort=False)["weight"].sum()
+        tot = by_label.groupby(keys3, as_index=False, sort=False)["weight"].sum()
+        rep = (by_label.sort_values(
+            ["weight", "src_label", "dst_label"],
+            ascending=[False, True, True], kind="mergesort")
+            .drop_duplicates(keys3)[keys3 + ["src_label", "dst_label"]])
+        return tot.merge(rep, on=keys3)[keys5 + ["weight"]]
+
+    # shuffle key = the TRIPLE, so every label variant of it co-locates
+    return bucketed_groupby(partials, keys3, merge)
 
 
 def _canonical_nodes_merge(df: pd.DataFrame) -> pd.DataFrame:

@@ -86,21 +86,41 @@ class LLMBackend:
         self.cfg = cfg
         self.fallback = RuleBackend()
         self.fake_responses = fake_responses
-        self.client = None
-        if fake_responses is None and cfg.llm_base_url:
-            # real Ollama-protocol client, one per actor (connection reuse
-            # + one-shot health probe amortized over the actor's lifetime)
-            from ..functions.llm_client import OllamaClient
-            self.client = OllamaClient(cfg.llm_base_url, cfg.llm_model,
-                                       timeout_s=cfg.llm_timeout_s)
+        # Protocol chain, one client per provider per ACTOR (connection
+        # reuse; Ollama's one-shot health probe amortized over the actor's
+        # lifetime). Mirrors the reference's openai -> ollama -> rules
+        # chain (services.py:85-115) with cfg.llm_provider picking the
+        # members and order.
+        self.clients: list = []
+        if fake_responses is None and (cfg.llm_base_url
+                                       or cfg.llm_openai_base_url):
+            from ..functions.llm_client import OllamaClient, OpenAIClient
+            for provider in (p.strip() for p in cfg.llm_provider.split(",")):
+                if provider == "ollama" and cfg.llm_base_url:
+                    self.clients.append(OllamaClient(
+                        cfg.llm_base_url, cfg.llm_model,
+                        timeout_s=cfg.llm_timeout_s))
+                elif provider == "openai":
+                    base = cfg.llm_openai_base_url or cfg.llm_base_url
+                    self.clients.append(OpenAIClient(
+                        base, cfg.llm_model, api_key=cfg.llm_api_key,
+                        timeout_s=cfg.llm_timeout_s))
+                elif provider:
+                    raise ValueError(f"unknown llm_provider {provider!r}")
 
     def _generate(self, text_chunk: str) -> str:
         if self.fake_responses is not None:
             return self.fake_responses(text_chunk)
-        if self.client is not None:
+        if self.clients:
             from ..functions.llm_client import extraction_prompt
-            return self.client.generate(
-                extraction_prompt(text_chunk, self.cfg.llm_max_chars))
+            prompt = extraction_prompt(text_chunk, self.cfg.llm_max_chars)
+            last: Exception | None = None
+            for client in self.clients:
+                try:
+                    return client.generate(prompt)
+                except Exception as e:     # next provider, then rules
+                    last = e
+            raise last
         raise NotImplementedError(
             "no LLM runtime configured; set llm_base_url, inject "
             "fake_responses, or use backend='rules'")

@@ -151,3 +151,39 @@ def test_hot_key_skew_partials_bounded():
     surf = cz.build_surface_table(ds, CFG).to_pandas().set_index("norm")
     assert int(surf.loc["acme corporation", "n_mentions"]) == 5000
     assert int(surf.loc["rare co", "n_mentions"]) == 1
+
+
+def test_below_cap_label_variants_never_split_triple_weight():
+    """Regime the broadcast_vocab_cap targets (>cap vocabulary): a norm
+    OUTSIDE the broadcast map appearing in two casings must still produce
+    ONE canonical triple with the summed weight and a deterministic label
+    (ADVICE round 2: 5-key grouping split the weight by casing)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.config import KGConfig
+    from ai_knowledgegraph_extractor_ray.stages.canonicalize import (
+        ALIAS_COLS,
+        canonicalize_edges,
+    )
+
+    SUBJ = ["Acme", "Acme", "ACME", "acme", "Acme"]
+    OBJ = ["Bob Smith", "Bob Smith", "Bob Smith", "Bob Smith", "BOB SMITH"]
+    edges = rd.from_pandas(pd.DataFrame({
+        "subj": SUBJ, "pred": ["works_at"] * 5, "obj": OBJ}))
+    # empty broadcast map == every norm is below the cap
+    empty_alias = pd.DataFrame(columns=ALIAS_COLS)
+    out = canonicalize_edges(edges, empty_alias, KGConfig()).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["weight"] == 5
+    # deterministic label pick: heaviest pair is ("Acme", "Bob Smith") x2
+    assert row["src_label"] == "Acme"
+    assert row["dst_label"] == "Bob Smith"
+
+    # determinism across block layouts
+    out2 = canonicalize_edges(
+        rd.from_pandas(pd.DataFrame({
+            "subj": SUBJ, "pred": ["works_at"] * 5, "obj": OBJ}))
+        .repartition(5), empty_alias, KGConfig()).to_pandas()
+    assert out2.iloc[0].equals(row)

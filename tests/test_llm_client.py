@@ -191,3 +191,123 @@ def test_backend_falls_back_on_garbage_json(stub_server):
     b = LLMBackend(cfg)
     g = b.extract("Jane Smith founded TechStart in Boston in 2020.")
     assert "Jane Smith" in g.labels     # rules fallback ran
+
+
+# --- OpenAI-protocol client (reference services.py:322-353) ------------------
+
+class StubOpenAI(BaseHTTPRequestHandler):
+    """Chat-completions stub; class attrs drive behavior per test."""
+
+    response_text = GOOD_GRAPH
+    status = 200
+    delay_s = 0.0
+    requests_seen: list = []
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])))
+        type(self).requests_seen.append(
+            (self.path, body, self.headers.get("Authorization")))
+        if type(self).delay_s:
+            time.sleep(type(self).delay_s)
+        self.send_response(type(self).status)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(json.dumps({"choices": [
+            {"message": {"role": "assistant",
+                         "content": type(self).response_text}}]}).encode())
+
+
+@pytest.fixture()
+def openai_server():
+    StubOpenAI.response_text = GOOD_GRAPH
+    StubOpenAI.status = 200
+    StubOpenAI.delay_s = 0.0
+    StubOpenAI.requests_seen = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), StubOpenAI)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_openai_protocol_shape(openai_server):
+    from ai_knowledgegraph_extractor_ray.functions.llm_client import OpenAIClient
+    c = OpenAIClient(openai_server, "gpt-3.5-turbo", api_key="sk-test",
+                     timeout_s=5)
+    out = c.generate(extraction_prompt("Bob works at Acme."))
+    assert json.loads(out)["nodes"][0]["label"] == "Acme"
+    path, body, auth = StubOpenAI.requests_seen[0]
+    assert path == "/v1/chat/completions"
+    assert auth == "Bearer sk-test"
+    assert body["model"] == "gpt-3.5-turbo"
+    assert body["messages"][0]["role"] == "user"
+    assert "Bob works at Acme." in body["messages"][0]["content"]
+    assert body["max_tokens"] == 2000
+    assert body["response_format"] == {"type": "json_object"}
+
+
+def test_openai_error_surface(openai_server):
+    from ai_knowledgegraph_extractor_ray.functions.llm_client import OpenAIClient
+    StubOpenAI.status = 500
+    with pytest.raises(RuntimeError):
+        OpenAIClient(openai_server, "m", timeout_s=5).generate("p")
+    StubOpenAI.status = 200
+    StubOpenAI.response_text = "{}"
+    with pytest.raises(ValueError):
+        OpenAIClient(openai_server, "m", timeout_s=5).generate("p")
+    StubOpenAI.response_text = GOOD_GRAPH
+    StubOpenAI.delay_s = 1.0
+    with pytest.raises(TimeoutError):
+        OpenAIClient(openai_server, "m", timeout_s=0.2).generate("p")
+    with pytest.raises(LLMUnavailable):
+        OpenAIClient("http://127.0.0.1:9", "m", timeout_s=0.5).generate("p")
+
+
+def test_make_backend_dispatches_openai(openai_server):
+    from ai_knowledgegraph_extractor_ray.functions.llm_client import OpenAIClient
+    from ai_knowledgegraph_extractor_ray.stages.extract import make_backend
+    cfg = KGConfig(backend="llm", llm_provider="openai",
+                   llm_openai_base_url=openai_server, llm_model="gpt-3.5-turbo")
+    b = make_backend(cfg)
+    assert isinstance(b.clients[0], OpenAIClient)
+    g = b.extract("Bob works at Acme.")
+    assert g.labels == ["Acme", "Bob"]
+
+
+def test_provider_chain_openai_down_falls_to_ollama(stub_server):
+    """Reference chain semantics (services.py:85-115): openai tried first,
+    ollama used when it fails, rules only when both do."""
+    cfg = KGConfig(backend="llm", llm_provider="openai,ollama",
+                   llm_openai_base_url="http://127.0.0.1:9",
+                   llm_base_url=stub_server, llm_model="tinyllama",
+                   llm_timeout_s=1)
+    b = LLMBackend(cfg)
+    g = b.extract("Bob works at Acme.")
+    assert g.labels == ["Acme", "Bob"]      # served by the Ollama stub
+    assert [p for p, _ in StubOllama.requests_seen] == ["/api/generate"]
+
+
+def test_provider_chain_all_down_falls_to_rules():
+    cfg = KGConfig(backend="llm", llm_provider="openai,ollama",
+                   llm_openai_base_url="http://127.0.0.1:9",
+                   llm_base_url="http://127.0.0.1:9", llm_timeout_s=0.5)
+    b = LLMBackend(cfg)
+    g = b.extract("John Doe is the CEO of Acme Corporation.")
+    assert "John Doe" in g.labels and "ceo_of" in g.edge_rel
+
+
+def test_ollama_health_reprobe_recovers(stub_server):
+    """An actor started before the service is up recovers once it comes up
+    (ADVICE round 2: _healthy=False must not be cached forever)."""
+    StubOllama.healthy = False
+    c = OllamaClient(stub_server, "m", timeout_s=5)
+    with pytest.raises(LLMUnavailable):
+        c.generate("p")
+    StubOllama.healthy = True               # service comes up
+    out = c.generate(extraction_prompt("Bob works at Acme."))
+    assert json.loads(out)["nodes"]

@@ -140,3 +140,22 @@ def test_latest_version_lookup(tmp_path):
     latest = kg.get_conversation_graph(out, None, "conv_00000001", 2)
     explicit = kg.get_conversation_graph(out, 2, "conv_00000001", 2)
     assert latest == explicit and latest["version"] == 2
+
+
+def test_pdf_escape_decoding_single_pass():
+    """Escaped-backslash-then-n decodes as backslash + 'n' (not LF), and
+    octal escapes decode per PDF spec (ADVICE round 2)."""
+    import zlib
+
+    from ai_knowledgegraph_extractor_ray.sources.documents import (
+        _basic_pdf_text,
+    )
+
+    content = rb"BT (A\\nB) Tj (oct\101l \053 x) Tj (paren\)close) Tj ET"
+    stream = zlib.compress(content)
+    pdf = b"%PDF-1.4\nstream\n" + stream + b"\nendstream\n"
+    out = _basic_pdf_text(pdf)
+    lines = out.split("\n")
+    assert lines[0] == "A\\nB"          # backslash + literal n, no newline
+    assert lines[1] == "octAl + x"      # \101 -> 'A', \053 -> '+'
+    assert lines[2] == "paren)close"
