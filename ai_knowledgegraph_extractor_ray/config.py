@@ -39,6 +39,13 @@ class KGConfig:
     partition_bytes_warn: int = 2 << 30   # one partition materializes as one
     # worker-resident frame; warn when its input exceeds this (raise
     # num_partitions with data volume — P must scale ~ bytes / 1 GiB)
+    # Straggler mitigation: when True, a cheap pre-pass counts rows per
+    # base partition and any partition holding > skew_split_threshold x the
+    # mean fans out into enough sub-partitions to bring each back to ~mean
+    # (hashing.effective_pids). The split map persists with the version so
+    # resume, fingerprints and point lookups share the layout.
+    auto_split_skew: bool = False
+    skew_split_threshold: float = 4.0
     max_nodes_per_unit: int = 1000    # validation caps, reference services.py:143-149
     max_edges_per_unit: int = 2000
 
@@ -56,4 +63,8 @@ class KGConfig:
     llm_api_key: str = ""             # reference OPENAI_API_KEY, config.py:21
     llm_openai_base_url: str = ""     # chat-completions endpoint; defaults
     # to llm_base_url when unset (single-endpoint deployments)
+    # Entity-linking scorer (stage A4): a sentence-transformers-compatible
+    # model name loads per actor when set; empty = deterministic hash
+    # embeddings. Tests inject extra["embed_model_loader"] instead.
+    embed_model: str = ""
     extra: dict = field(default_factory=dict)

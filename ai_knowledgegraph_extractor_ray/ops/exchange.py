@@ -51,10 +51,12 @@ import ray.data as rd
 XPID = "__xpid"
 
 
-def _split_by_pid(block_refs, key: str, num_partitions: int):
+def _split_by_pid(block_refs, key: str, num_partitions: int,
+                  split_map: dict | None = None):
     import pandas as pd
 
-    from .hashing import crc32_mod
+    from .hashing import crc32_column, effective_num_partitions, effective_pids
+    n_eff = effective_num_partitions(num_partitions, split_map)
     blocks = [pa.Table.from_pandas(b, preserve_index=False)
               if isinstance(b, pd.DataFrame) else b
               for b in ray.get(list(block_refs))]   # pandas-block datasets
@@ -66,16 +68,16 @@ def _split_by_pid(block_refs, key: str, num_partitions: int):
                 f"exchange key column {key!r} missing from input blocks "
                 f"(columns: {tbl.column_names})")
         # schema-less empty blocks (e.g. an upstream filter emptied them)
-        return tbl.slice(0, 0), np.zeros(num_partitions + 1, dtype=np.int64)
+        return tbl.slice(0, 0), np.zeros(n_eff + 1, dtype=np.int64)
     if XPID in tbl.column_names:
         raise ValueError(
             f"input already carries the exchange's internal column {XPID!r}")
     if tbl.num_rows == 0:
-        return tbl.slice(0, 0), np.zeros(num_partitions + 1, dtype=np.int64)
-    pids = crc32_mod(tbl[key], num_partitions)     # vectorized, == zlib.crc32
+        return tbl.slice(0, 0), np.zeros(n_eff + 1, dtype=np.int64)
+    pids = effective_pids(crc32_column(tbl[key]), num_partitions, split_map)
     order = np.argsort(pids, kind="stable")
     tbl = tbl.append_column(XPID, pa.array(pids)).take(order)
-    cuts = np.searchsorted(pids[order], np.arange(num_partitions + 1))
+    cuts = np.searchsorted(pids[order], np.arange(n_eff + 1))
     return tbl, cuts
 
 
@@ -92,12 +94,15 @@ def _for_reduce(tbl: pa.Table) -> pa.Table:
 
 
 @ray.remote
-def _exchange_map(block_refs, key: str, num_partitions: int):
-    tbl, cuts = _split_by_pid(block_refs, key, num_partitions)
-    if num_partitions == 1:      # num_returns=1 returns the bare value
+def _exchange_map(block_refs, key: str, num_partitions: int,
+                  split_map: dict | None = None):
+    from .hashing import effective_num_partitions
+    n_eff = effective_num_partitions(num_partitions, split_map)
+    tbl, cuts = _split_by_pid(block_refs, key, num_partitions, split_map)
+    if n_eff == 1:               # num_returns=1 returns the bare value
         return tbl
     return tuple(tbl.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
-                 for i in range(num_partitions))
+                 for i in range(n_eff))
 
 
 @ray.remote
@@ -123,20 +128,29 @@ def _exchange_reduce(reduce_fn, pid: int, *parts):
 def hash_exchange(ds: rd.Dataset, num_partitions: int,
                   reduce_fn: Callable[[int, pa.Table], object], *,
                   key: str = "conv_id", blocks_per_map: int = 4,
-                  skip: frozenset[int] | set[int] = frozenset()) -> list:
+                  skip: frozenset[int] | set[int] = frozenset(),
+                  split_map: dict[int, tuple[int, int]] | None = None) -> list:
     """Run ``reduce_fn(pid, table)`` once per non-skipped partition, where
     ``table`` holds every input row with ``crc32(key) % num_partitions ==
     pid`` (stamped as a ``partition_id`` column). Returns the non-None
     reduce results in partition order. ``skip`` suppresses the reduce for
     already-committed partitions (resume) — their slices are produced but
-    never fetched, and are freed with the map outputs."""
-    refs_per_pid: list[list] = [[] for _ in range(num_partitions)]
+    never fetched, and are freed with the map outputs.
+
+    ``split_map`` ({base_pid: (offset, n_subsplits)}) is the straggler
+    mitigation: rows of an oversized base partition are re-hashed across
+    ``n_subsplits`` effective partitions ``num_partitions + offset + j``
+    (``hashing.effective_pids``), each its own parallel reduce — whole keys
+    stay together, only the partition fans out."""
+    from .hashing import effective_num_partitions
+    n_eff = effective_num_partitions(num_partitions, split_map)
+    refs_per_pid: list[list] = [[] for _ in range(n_eff)]
     pending: list = []
 
     def launch(blocks) -> None:
-        outs = _exchange_map.options(num_returns=num_partitions).remote(
-            blocks, key, num_partitions)
-        if num_partitions == 1:
+        outs = _exchange_map.options(num_returns=n_eff).remote(
+            blocks, key, num_partitions, split_map)
+        if n_eff == 1:
             outs = [outs]
         for p, r in enumerate(outs):
             refs_per_pid[p].append(r)
@@ -151,7 +165,7 @@ def hash_exchange(ds: rd.Dataset, num_partitions: int,
         launch(pending)
 
     futures = [_exchange_reduce.remote(reduce_fn, p, *refs_per_pid[p])
-               for p in range(num_partitions) if p not in skip]
+               for p in range(n_eff) if p not in skip]
     return [r for r in ray.get(futures) if r is not None]
 
 

@@ -95,3 +95,32 @@ def crc32_mod(col, modulus: int) -> np.ndarray:
     partition-assignment function (bit-identical to the round-1/2 per-row
     ``zlib.crc32(x) % P``)."""
     return (crc32_column(col) % np.uint32(modulus)).astype(np.int32)
+
+
+def effective_pids(crc: np.ndarray, num_partitions: int,
+                   split_map: dict[int, tuple[int, int]] | None) -> np.ndarray:
+    """Partition assignment with ADAPTIVE SKEW SPLITTING: base id is
+    ``crc % P``; a base pid listed in ``split_map`` as ``{pid: (offset,
+    n_subsplits)}`` is remapped to ``P + offset + (crc // P) %
+    n_subsplits`` — the second-level hash keeps each key's rows together
+    (a conversation never straddles sub-partitions) while an oversized
+    partition fans out into n_subsplits parallel reduce/commit units.
+    With ``split_map=None``/empty this is exactly ``crc % P``."""
+    pids = (crc % np.uint32(num_partitions)).astype(np.int32)
+    if split_map:
+        for p, (off, s) in split_map.items():
+            m = pids == p
+            if m.any():
+                pids[m] = (np.int32(num_partitions + off)
+                           + ((crc[m] // np.uint32(num_partitions))
+                              % np.uint32(s)).astype(np.int32))
+    return pids
+
+
+def effective_num_partitions(num_partitions: int,
+                             split_map: dict[int, tuple[int, int]] | None) -> int:
+    """Total partition-id space under a split map (base P plus every
+    sub-partition; split base pids simply receive zero rows)."""
+    if not split_map:
+        return num_partitions
+    return num_partitions + sum(s for _, s in split_map.values())

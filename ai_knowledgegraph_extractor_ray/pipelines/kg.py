@@ -56,6 +56,64 @@ def build_graph_rows(transcripts: rd.Dataset, cfg: KGConfig,
     return extract_graphs(conversations, cfg)
 
 
+def _compute_split_map(transcripts: rd.Dataset, cfg: KGConfig
+                       ) -> dict[int, tuple[int, int]]:
+    """Skew pre-pass: per-block partial row counts per base partition (a
+    cheap column-pruned scan, no shuffle) -> base pids holding more than
+    ``skew_split_threshold`` x the mean fan out into ceil(rows/mean)
+    sub-partitions. Returns {} when nothing is skewed."""
+    import pyarrow.compute as pc
+
+    from ..ops.hashing import crc32_mod
+    P = cfg.num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        if cfg.version_cutoff is not None:
+            t = t.filter(pc.less_equal(t["turn_idx"], cfg.version_cutoff))
+        if t.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        counts = np.bincount(crc32_mod(t["conv_id"], P), minlength=P)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"pid": pa.array(nz.astype(np.int32)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    parts = (transcripts.select_columns(
+        ["conv_id"] if cfg.version_cutoff is None else ["conv_id", "turn_idx"])
+        .map_batches(partial, batch_format="pyarrow").to_pandas())
+    totals = np.zeros(P, dtype=np.int64)
+    if len(parts):
+        np.add.at(totals, parts["pid"].to_numpy(), parts["n"].to_numpy())
+    total = int(totals.sum())
+    if total == 0:
+        return {}
+    mean = total / P
+    split_map: dict[int, tuple[int, int]] = {}
+    offset = 0
+    for p in np.nonzero(totals > cfg.skew_split_threshold * mean)[0]:
+        s = int(np.ceil(totals[p] / mean))
+        split_map[int(p)] = (offset, s)
+        offset += s
+    return split_map
+
+
+def _split_map_path(out_dir: str, version: int):
+    return lineage.version_dir(out_dir, version) / "_split_map.json"
+
+
+def load_split_map(out_dir: str, version: int) -> dict[int, tuple[int, int]]:
+    """The persisted skew-split layout of a version ({} if none)."""
+    import json
+    p = _split_map_path(out_dir, version)
+    if not p.exists():
+        return {}
+    try:
+        raw = json.loads(p.read_text())
+        return {int(k): (int(v[0]), int(v[1])) for k, v in raw.items()}
+    except (json.JSONDecodeError, ValueError, TypeError, IndexError):
+        return {}
+
+
 def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                resume: bool = True, validate_input: bool = True) -> dict:
     """Execute the pipeline with per-partition commit; returns the job
@@ -79,11 +137,29 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
     (manifest deleted first, so a crash mid-rerun can't resurrect them) and
     recomputed. ``validate_input=False`` skips the extra read pass for
     immutable inputs."""
+    # Skew-split layout: a resumed run MUST reuse the persisted map (the
+    # committed partition ids were assigned under it); a fresh run computes
+    # one when cfg.auto_split_skew and persists it before any commit.
+    split_map: dict[int, tuple[int, int]] = {}
+    if cfg.auto_split_skew and cfg.backend == "rules":
+        split_map = load_split_map(out_dir, cfg.version) if resume else {}
+        if not split_map:
+            split_map = _compute_split_map(transcripts, cfg)
+            if split_map:
+                import json as _json
+                smp = _split_map_path(out_dir, cfg.version)
+                smp.parent.mkdir(parents=True, exist_ok=True)
+                smp.write_text(_json.dumps(
+                    {str(k): list(v) for k, v in split_map.items()}))
+    elif resume:
+        split_map = load_split_map(out_dir, cfg.version)
+
     committed = lineage.committed_partitions(out_dir, cfg.version) if resume else {}
     if committed and validate_input:
         from ..stages.conversation import partition_fingerprints
         current = partition_fingerprints(
-            add_partition_id(transcripts, cfg.num_partitions),
+            add_partition_id(transcripts, cfg.num_partitions,
+                             split_map=split_map),
             version_cutoff=cfg.version_cutoff, only=set(committed))
         stale = [pid for pid, m in committed.items()
                  if not lineage.validate_manifest(m, current.get(pid, ""))]
@@ -115,14 +191,17 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
 
         if cfg.num_partitions > 1024:
             # very large P: two-level exchange keeps driver refs at
-            # W x coarse instead of W x P (ops/exchange.py scale notes)
+            # W x coarse instead of W x P (ops/exchange.py scale notes).
+            # Skew splitting is not wired here — at that P the remedy for
+            # an oversized partition is simply a higher P.
             from ..ops.exchange import hash_exchange_hierarchical
             records = hash_exchange_hierarchical(
                 transcripts, cfg.num_partitions, reduce_fn,
                 coarse=256, skip=frozenset(committed))
         else:
             records = hash_exchange(transcripts, cfg.num_partitions,
-                                    reduce_fn, skip=frozenset(committed))
+                                    reduce_fn, skip=frozenset(committed),
+                                    split_map=split_map or None)
         fresh = (pd.DataFrame(records)[lineage.MANIFEST_COLS]
                  if records else lineage.empty_manifest_frame())
     else:
@@ -374,7 +453,8 @@ def get_conversation_graph(out_dir: str, version: int | None, conv_id: str,
         if not versions:
             raise FileNotFoundError(f"no committed versions under {out_dir}")
         version = versions[0]["version"]
-    pid = partition_of(conv_id, num_partitions)
+    pid = partition_of(conv_id, num_partitions,
+                       split_map=load_split_map(out_dir, version))
     if not lineage.manifest_path(out_dir, version, pid).exists():
         raise FileNotFoundError(
             f"partition {pid} of version {version} is not committed")

@@ -161,13 +161,26 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-class HashEmbedScorer:
-    """Embedding-similarity scorer actor (north-star stage A4). Deterministic
-    hash-feature embeddings (char-3-gram feature hashing into R^dim, L2
-    normalized) instead of learned weights — no model runtime exists in this
-    sandbox (SURVEY.md §2.3) — but the actor-pool plumbing, batching and
-    cosine math are the real production shape: swap ``_embed_batch`` for a
-    model forward pass and nothing else changes."""
+class _PairScorer:
+    """Shared per-batch body of the embed-scorer actor pool (stage A4):
+    embed both sides, append the pair cosine. Subclasses provide
+    ``_embed_batch`` (rows -> L2-normalized (n, dim) float32)."""
+
+    def _embed_batch(self, texts: list[str]) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        va = self._embed_batch(batch["norm_a"].to_pylist())
+        vb = self._embed_batch(batch["norm_b"].to_pylist())
+        cos = (va * vb).sum(axis=1)
+        return batch.append_column("cos_sim", pa.array(cos, pa.float32()))
+
+
+class HashEmbedScorer(_PairScorer):
+    """Deterministic hash-feature embeddings (char-3-gram feature hashing
+    into R^dim, L2 normalized) — the CI/default scorer; no model runtime
+    exists in this sandbox (SURVEY.md §2.3). The actor-pool plumbing,
+    batching and cosine math are the real production shape."""
 
     def __init__(self, dim: int = 64):
         self.dim = dim
@@ -181,11 +194,43 @@ class HashEmbedScorer:
         np.divide(out, norms, out=out, where=norms > 0)
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        va = self._embed_batch(batch["norm_a"].to_pylist())
-        vb = self._embed_batch(batch["norm_b"].to_pylist())
-        cos = (va * vb).sum(axis=1)
-        return batch.append_column("cos_sim", pa.array(cos, pa.float32()))
+
+class ModelEmbedScorer(_PairScorer):
+    """Learned-model scorer: loads a sentence-transformers-compatible model
+    ONCE PER ACTOR in ``__init__`` (the map_batches actor-pool contract) and
+    batch-encodes in ``__call__``. Mirrors the LLM-client pattern — real
+    implementation behind an import gate, injectable ``loader`` for CI (any
+    object with ``encode(list[str]) -> array``). Selected by
+    ``KGConfig(embed_model=...)`` or ``extra['embed_model_loader']``."""
+
+    def __init__(self, model_name: str = "", loader=None):
+        if loader is not None:
+            self.model = loader()
+        else:
+            try:
+                from sentence_transformers import SentenceTransformer
+            except ImportError as e:
+                raise ImportError(
+                    "sentence-transformers is not installed; leave "
+                    "embed_model unset (hash scorer) or inject "
+                    "extra['embed_model_loader']") from e
+            self.model = SentenceTransformer(model_name)
+
+    def _embed_batch(self, texts: list[str]) -> np.ndarray:
+        v = np.asarray(self.model.encode(list(texts)), dtype=np.float32)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        return np.divide(v, norms, where=norms > 0)
+
+
+def make_embed_scorer(cfg: KGConfig) -> tuple[type, dict]:
+    """(scorer class, constructor kwargs) for the configured A4 scorer —
+    passed to ``map_batches(cls, fn_constructor_kwargs=...)`` so each actor
+    builds its own model exactly once."""
+    loader = cfg.extra.get("embed_model_loader")
+    if cfg.embed_model or loader is not None:
+        return ModelEmbedScorer, {"model_name": cfg.embed_model,
+                                  "loader": loader}
+    return HashEmbedScorer, {}
 
 
 @dataclass(frozen=True)
@@ -287,14 +332,16 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
     pairs = _candidate_pairs(surfaces, link)
 
     if use_embed_scorer and len(pairs):
+        scorer_cls, scorer_kw = make_embed_scorer(cfg)
         if len(pairs) < 10_000:
             # actor-pool spawn (~1 s) dwarfs scoring a small pair list;
             # the pool pays off only on duplicate-heavy corpora
-            scored = HashEmbedScorer()(
+            scored = scorer_cls(**scorer_kw)(
                 pa.Table.from_pandas(pairs, preserve_index=False)).to_pandas()
         else:
             scored = rd.from_pandas(pairs).map_batches(
-                HashEmbedScorer, batch_format="pyarrow",
+                scorer_cls, fn_constructor_kwargs=scorer_kw,
+                batch_format="pyarrow",
                 concurrency=cfg.link_scorer_concurrency, num_cpus=1,
             ).to_pandas()
         pairs = scored[scored["cos_sim"] >= link.cosine_threshold]

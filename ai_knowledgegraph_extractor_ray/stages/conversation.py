@@ -24,19 +24,29 @@ import ray.data as rd
 from ..config import KGConfig
 
 
-def partition_of(conv_id: str, num_partitions: int) -> int:
-    return zlib.crc32(conv_id.encode()) % num_partitions
+def partition_of(conv_id: str, num_partitions: int,
+                 split_map: dict[int, tuple[int, int]] | None = None) -> int:
+    h = zlib.crc32(conv_id.encode())
+    p = h % num_partitions
+    if split_map and p in split_map:
+        off, s = split_map[p]
+        return num_partitions + off + (h // num_partitions) % s
+    return p
 
 
-def add_partition_id(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """Vectorized partition id column (``ops/hashing.crc32_mod`` — bit-
+def add_partition_id(ds: rd.Dataset, num_partitions: int,
+                     split_map: dict[int, tuple[int, int]] | None = None
+                     ) -> rd.Dataset:
+    """Vectorized partition id column (``ops/hashing`` crc32 kernel — bit-
     identical to per-row ``zlib.crc32``, which — unlike Python hash() — is
-    stable across processes, as resumability requires)."""
-    from ..ops.hashing import crc32_mod
+    stable across processes, as resumability requires). ``split_map``
+    applies the same skew sub-splitting as the exchange."""
+    from ..ops.hashing import crc32_column, effective_pids
 
     def stamp(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "partition_id", pa.array(crc32_mod(t["conv_id"], num_partitions)))
+        pids = effective_pids(crc32_column(t["conv_id"]), num_partitions,
+                              split_map)
+        return t.append_column("partition_id", pa.array(pids))
 
     return ds.map_batches(stamp, batch_format="pyarrow")
 

@@ -290,3 +290,76 @@ def test_package_root_api_and_canonical_readers(job):
     assert set(nodes["canonical_id"]) >= set(edges["canonical_src"]) - set(
         aliases["canonical_id"])  # edge endpoints resolve via aliases/fallback
     assert pkg.get_stats(out, cfg.version)["total_conversations"] == 60
+
+
+def test_auto_split_skew_rebalances_partitions(tmp_path):
+    """Straggler mitigation (round-3 item 8): a corpus where ~90% of
+    conversations hash into ONE base partition fans that partition out into
+    sub-partitions sized back to ~the mean — identical graph output, point
+    lookups and resume working under the persisted split layout."""
+    import json
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from ai_knowledgegraph_extractor_ray.config import KGConfig
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+
+    P = 4
+    # conv ids engineered so most land on base pid 0
+    hot, cold = [], []
+    i = 0
+    while len(hot) < 180 or len(cold) < 20:
+        cid = f"conv_{i:06d}"
+        if zlib.crc32(cid.encode()) % P == 0:
+            if len(hot) < 180:
+                hot.append(cid)
+        elif len(cold) < 20:
+            cold.append(cid)
+        i += 1
+    ids = hot + cold
+    base = src.synthetic_transcripts_table(n_convs=len(ids), seed=5,
+                                           include_golden=False)
+    remap = dict(zip(sorted(set(base["conv_id"].to_pylist())), ids))
+    import pyarrow as pa
+    new_ids = pa.array([remap[c] for c in base["conv_id"].to_pylist()],
+                       pa.string())
+    tbl = base.set_column(0, "conv_id", new_ids)
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, p)
+
+    plain_out, split_out = str(tmp_path / "plain"), str(tmp_path / "split")
+    plain_cfg = KGConfig(num_partitions=P, auto_split_skew=False)
+    split_cfg = KGConfig(num_partitions=P, auto_split_skew=True,
+                         skew_split_threshold=2.0)
+    s1 = kg.run_kg_job(src.read_transcripts(str(p)), plain_cfg, plain_out,
+                       resume=False)
+    s2 = kg.run_kg_job(src.read_transcripts(str(p)), split_cfg, split_out,
+                       resume=False)
+
+    # the hot partition fanned out
+    assert s2["partitions_total"] > s1["partitions_total"]
+    m1 = kg.lineage.committed_partitions(plain_out, 1)
+    m2 = kg.lineage.committed_partitions(split_out, 1)
+    mean2 = sum(m["n_turns"] for m in m2.values()) / len(m2)
+    assert max(m["n_turns"] for m in m1.values()) > 3 * mean2
+    assert max(m["n_turns"] for m in m2.values()) < 2.5 * mean2
+
+    # identical graph output
+    e1 = kg.read_edges(plain_out, 1).to_pandas()
+    e2 = kg.read_edges(split_out, 1).to_pandas()
+    cols = ["conv_id", "edge_id", "src_node_id", "dst_node_id", "pred"]
+    assert (e1[cols].sort_values(cols).reset_index(drop=True)
+            .equals(e2[cols].sort_values(cols).reset_index(drop=True)))
+
+    # split map persisted with the version; point lookup honors it
+    assert kg.load_split_map(split_out, 1)
+    g = kg.get_conversation_graph(split_out, 1, hot[0], P)
+    assert g["conv_id"] == hot[0]
+
+    # resume under the persisted layout: everything already committed
+    s3 = kg.run_kg_job(src.read_transcripts(str(p)), split_cfg, split_out,
+                       resume=True)
+    assert s3["partitions_resumed"] == s2["partitions_total"]
+    assert s3["partitions_computed"] == 0
