@@ -7,11 +7,12 @@ extraction run as actor-pool ``map_batches`` stages with SMALL batch sizes
 
 Codec reality, by format:
 
-* PNG images and WAV audio decode FOR REAL with pure-stdlib codecs
-  (``decode_png``: chunk parse + zlib inflate + all five scanline filters;
-  ``decode_wav``: the ``wave`` module, 8/16-bit PCM, channel mean-mix) —
-  no PIL/soundfile needed, round-trip tested against the matching
-  ``encode_png`` / ``encode_wav``.
+* PNG, BMP and PPM images and WAV audio decode FOR REAL with pure-stdlib
+  codecs (``decode_png``: chunk parse + zlib inflate + all five scanline
+  filters; ``decode_bmp``: uncompressed 24/32-bit BITMAPINFOHEADER;
+  ``decode_ppm``: netpbm P6; ``decode_wav``: the ``wave`` module, 8/16-bit
+  PCM, channel mean-mix) — no PIL/soundfile needed, round-trip tested
+  against the matching encoders.
 * Other formats (JPEG, MP4, ...) need libraries absent from this container
   (PIL, ffmpeg, torchaudio); each stage try-imports the real library and
   otherwise uses deterministic fake decoding (seeded from the payload
@@ -83,7 +84,7 @@ def synthetic_media(n_items: int = 64, seed: int = 7,
 
 
 _MEDIA_EXT = {".png": "image", ".jpg": "image", ".jpeg": "image",
-              ".bmp": "image", ".wav": "audio", ".mp3": "audio",
+              ".bmp": "image", ".ppm": "image", ".wav": "audio", ".mp3": "audio",
               ".flac": "audio", ".mp4": "video", ".avi": "video",
               ".mkv": "video", ".webm": "video"}
 
@@ -97,6 +98,11 @@ def probe_media_meta(media_type: str, payload: bytes) -> tuple[int, int, int, in
             and len(payload) >= 24:
         w = int.from_bytes(payload[16:20], "big")
         h = int.from_bytes(payload[20:24], "big")
+        nf = 1
+    elif media_type == "image" and payload.startswith(BMP_MAGIC) \
+            and len(payload) >= 26:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
         nf = 1
     elif media_type == "audio" and payload.startswith(b"RIFF"):
         i = payload.find(b"fmt ")
@@ -230,6 +236,88 @@ def encode_png(px: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
+BMP_MAGIC = b"BM"
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Pure-stdlib BMP decode -> (h, w, 3) uint8. Supports the common
+    uncompressed 24/32-bit BITMAPINFOHEADER form (bottom-up or top-down
+    rows, 4-byte row padding). The second real stdlib image codec beside
+    PNG (round-3 item 6)."""
+    if not data.startswith(BMP_MAGIC) or len(data) < 54:
+        raise ValueError("not a bmp")
+    off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported bmp header")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp not in (24, 32) or compression != 0:
+        raise ValueError("unsupported bmp variant")
+    top_down = h < 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    px = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+    px = px.reshape(h, stride)[:, :w * ch].reshape(h, w, ch)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()          # BGR(A) -> RGB
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Pure-stdlib 24-bit bottom-up BMP encode of (h, w, 3) uint8."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = px[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + pad
+    info = (b"\x28\x00\x00\x00"
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"\x00" * 4 + len(body).to_bytes(4, "little") + b"\x00" * 16)
+    header = (BMP_MAGIC + (54 + len(body)).to_bytes(4, "little")
+              + b"\x00" * 4 + (54).to_bytes(4, "little"))
+    return header + info + bytes(body)
+
+
+PPM_MAGIC = b"P6"
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) decode -> (h, w, 3) uint8 — the third real image
+    codec; trivially simple by design (netpbm)."""
+    if not data.startswith(PPM_MAGIC):
+        raise ValueError("not a ppm")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":           # comment to end of line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1                                     # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("unsupported ppm maxval")
+    return np.frombuffer(data, np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Pure-stdlib WAV decode -> (mono float32 pcm in [-1, 1], sample_rate)
     via the ``wave`` module (8/16-bit PCM; channels mean-mixed)."""
@@ -286,7 +374,11 @@ class ImageDecoder:
             img = self._pil.open(io.BytesIO(payload)).convert("RGB")
             return np.asarray(img)
         if payload.startswith(PNG_MAGIC):
-            return decode_png(payload)        # real stdlib path, no PIL
+            return decode_png(payload)        # real stdlib paths, no PIL
+        if payload.startswith(BMP_MAGIC):
+            return decode_bmp(payload)
+        if payload.startswith(PPM_MAGIC):
+            return decode_ppm(payload)
         if not self.fake_ok:
             raise NotImplementedError(
                 "image codec not available for this format; "

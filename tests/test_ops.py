@@ -574,3 +574,68 @@ def test_ivf_partitioned_layout_prunes_and_matches():
     in_cluster = set(assigned.loc[assigned["centroid_id"] == one, "vec_id"])
     assert set(rows["vec_id"]) <= in_cluster
     shutil.rmtree(layout, ignore_errors=True)
+
+
+def test_bmp_roundtrip_and_topdown():
+    rng = np.random.RandomState(4)
+    # widths that exercise row padding (w*3 % 4 != 0)
+    for w, h in [(5, 3), (16, 9), (7, 11)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (multimodal.decode_bmp(multimodal.encode_bmp(px)) == px).all()
+    # top-down variant (negative height) and 32-bit pixels
+    px = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    bgra = np.concatenate([px[:, :, ::-1],
+                           np.zeros((2, 2, 1), np.uint8)], axis=2)
+    body = bgra.tobytes()
+    info = (b"\x28\x00\x00\x00" + (2).to_bytes(4, "little")
+            + (-2).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+            + b"\x00" * 4 + len(body).to_bytes(4, "little") + b"\x00" * 16)
+    data = (b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little") + info + body)
+    assert (multimodal.decode_bmp(data) == px).all()
+
+
+def test_ppm_roundtrip_and_comment():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    commented = b"P6\n# a comment\n4 6\n# more\n255\n" + px.tobytes()
+    assert (multimodal.decode_ppm(commented) == px).all()
+
+
+def test_image_decoder_real_bmp_ppm_no_fake():
+    """fake_ok=False decodes BMP and PPM payloads for real (3 stdlib image
+    codecs beside the PIL gate — round-3 item 6)."""
+    rng = np.random.RandomState(6)
+    px = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    dec = multimodal.ImageDecoder(fake_ok=False)
+    if dec._pil is not None:
+        import pytest
+        pytest.skip("PIL present; stdlib path not exercised")
+    for payload in (multimodal.encode_bmp(px), multimodal.encode_ppm(px)):
+        assert (dec._decode(payload, 8, 8) == px).all()
+    # probe reads BMP headers without decoding
+    w, h, _, nf = multimodal.probe_media_meta(
+        "image", multimodal.encode_bmp(px))
+    assert (w, h, nf) == (8, 8, 1)
+
+
+def test_image_decoder_jpeg_via_pil_when_available():
+    """The JPEG path is PIL's; exercised only when the real library exists
+    (gating per round-3 item 6 — a stdlib baseline-JPEG decoder is not a
+    reasonable bar)."""
+    import pytest
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not installed in this container")
+    import io
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:4] = 255
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="JPEG")
+    dec = multimodal.ImageDecoder(fake_ok=False)
+    out = dec._decode(buf.getvalue(), 8, 8)
+    assert out.shape == (8, 8, 3)
+    assert out[:4].mean() > 200 and out[4:].mean() < 55
