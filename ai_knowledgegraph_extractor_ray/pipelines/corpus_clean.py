@@ -28,23 +28,38 @@ def clean_corpus(
     docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
     near_threshold: float = 0.8, min_quality: float = 0.3,
     allowed_langs: tuple[str, ...] = ("en", "fr", "es", "de", "zh"),
-    cluster_mode: str = "driver",
+    cluster_mode: str = "driver", report: bool = True,
 ) -> tuple[rd.Dataset, dict]:
-    """Returns (cleaned Dataset, per-stage report of surviving row counts)."""
-    report: dict[str, int] = {"input": docs.count()}
+    """Returns (cleaned Dataset, per-stage report of surviving row counts).
 
-    # materialize after validate: the count() would otherwise execute the
-    # validate stage once and exact_dedup would lazily re-execute it
-    ds = text.validate_texts(docs, text_col=text_col).materialize()
-    report["after_validate"] = ds.count()
+    ``report=False`` skips the per-stage counting passes and their
+    stage-boundary materializations (each count is a full extra execution
+    of its lazy prefix — roughly half the pipeline's dataset executions at
+    small scale); only the materialize the near-dedup pass genuinely needs
+    (its input is scanned twice) remains."""
+    stats: dict[str, int] = {}
+    if report:
+        stats["input"] = docs.count()
 
+    ds = text.validate_texts(docs, text_col=text_col)
+    if report:
+        # materialize before counting: the count() would otherwise execute
+        # the validate stage once and exact_dedup would re-execute it
+        ds = ds.materialize()
+        stats["after_validate"] = ds.count()
+
+    # always materialized: near-dedup scans its input twice (slim band pass
+    # + hot-bucket text pass)
     ds = dedup.exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
-    report["after_exact_dedup"] = ds.count()
+    if report:
+        stats["after_exact_dedup"] = ds.count()
 
     ds = dedup.near_dedup_minhash(ds, text_col=text_col, id_col=id_col,
                                   threshold=near_threshold,
-                                  cluster_mode=cluster_mode).materialize()
-    report["after_near_dedup"] = ds.count()
+                                  cluster_mode=cluster_mode)
+    if report:
+        ds = ds.materialize()
+        stats["after_near_dedup"] = ds.count()
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -59,7 +74,9 @@ def clean_corpus(
             pc.is_in(t["lang_guess"], value_set=lang_set))
         return t.filter(ok)
 
-    ds = ds.map_batches(keep, batch_format="pyarrow").materialize()
-    report["after_quality_lang"] = ds.count()
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    if report:
+        ds = ds.materialize()
+        stats["after_quality_lang"] = ds.count()
 
-    return ds, report
+    return ds, stats

@@ -199,7 +199,7 @@ def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     dedup -> near dedup -> quality/lang filter)."""
     from .corpus_clean import clean_corpus
     cleaned, _ = clean_corpus(_documents(sf_dir), near_threshold=0.5,
-                              min_quality=0.2)
+                              min_quality=0.2, report=False)
 
     def fmt(t: pa.Table) -> pa.Table:
         bp = np.round(t["quality"].to_numpy(zero_copy_only=False) * 10000)
@@ -435,6 +435,20 @@ def q_events_asof(sf_dir: str) -> rd.Dataset:
 N_KNN_QUERIES = 8
 
 
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The first N_KNN_QUERIES embeddings as the query matrix — a driver-
+    side point read via pyarrow with a row filter (no Ray dataset execution
+    for an 8-row fetch; at scale this is an id-pruned point lookup, not a
+    scan)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_KNN_QUERIES)])
+    t = t.sort_by("vec_id")
+    return (np.asarray(t["embedding"].to_pylist(), dtype=np.float32),
+            t["vec_id"].to_numpy())
+
+
 def q_events_range(sf_dir: str) -> rd.Dataset:
     """Range join: each click event counts the user's error events within
     +/- 10 minutes (the interval-join custom operator, count-aggregated)."""
@@ -458,11 +472,8 @@ def q_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
     Scores reported as integer basis points for hash-stable comparison."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
-           .sort_values("vec_id"))
-    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
-    out = similarity.knn_brute_force(
-        emb, queries, k=k, query_ids=qdf["vec_id"].to_numpy())
+    queries, qids = _query_vectors(sf_dir)
+    out = similarity.knn_brute_force(emb, queries, k=k, query_ids=qids)
 
     def to_bp(t: pa.Table) -> pa.Table:
         bp = np.round(t["score"].to_numpy(zero_copy_only=False) * 10000)
@@ -476,9 +487,7 @@ def q_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
 def q_ivf_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
-           .sort_values("vec_id"))
-    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    queries, _ = _query_vectors(sf_dir)
     idx = similarity.IVFIndex.build(emb, n_clusters=16)
     return idx.search(queries, k=k, nprobe=4)
 
@@ -492,9 +501,7 @@ def q_ivf_exact(sf_dir: str, k: int = 10) -> rd.Dataset:
     stays the approximate (rows-only) production mode."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
-           .sort_values("vec_id"))
-    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    queries, _ = _query_vectors(sf_dir)
     idx = similarity.IVFIndex.build(emb, n_clusters=16)
     res = idx.search(queries, k=k, nprobe=16)
 
@@ -521,9 +528,7 @@ def q_ivf_pruned(sf_dir: str, k: int = 10) -> rd.Dataset:
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    qdf = (emb.filter(expr=f"vec_id < {N_KNN_QUERIES}").to_pandas()
-           .sort_values("vec_id"))
-    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float32)
+    queries, _ = _query_vectors(sf_dir)
     layout = ("/tmp/ivf_pruned_"
               + hashlib.sha256(sf_dir.encode()).hexdigest()[:12])
     shutil.rmtree(layout, ignore_errors=True)
