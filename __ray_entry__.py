@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.q_events_sessions,
         "events_asof": q.q_events_asof,
         "events_range": q.q_events_range,
+        "events_quantiles": q.q_events_quantiles,
+        # general inner join, both physical plans
+        "join_broadcast": q.q_join_broadcast,
+        "join_shuffle": q.q_join_shuffle,
         # similarity search
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
@@ -513,6 +517,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, vec_id) - 1 AS BIGINT) AS rank
             FROM s QUALIFY rank < 10
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
+                     AS p50_cents,
+                   quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.95)
+                     AS p95_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        "join_broadcast": """
+            SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "join_shuffle": """
+            SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         """,
         "events_range": """
             SELECT c.event_id, c.user_id,

@@ -24,6 +24,7 @@ from __future__ import annotations
 import zlib
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -102,3 +103,47 @@ def sum_merge(key_cols: list[str], value_cols: list[str]):
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(key_cols, as_index=False, sort=False)[value_cols].sum()
     return merge
+
+
+def grouped_quantile_disc(ds: rd.Dataset, key_cols: list[str],
+                          value_col: str, quantiles: dict[str, float],
+                          buckets: int | None = None) -> rd.Dataset:
+    """EXACT discrete quantiles per group over a DISCRETE value column,
+    scale-safely: per-block (key, value) -> count histogram partials ride
+    the shuffle (bounded by distinct values per key per block, never raw
+    rows), and each bucket's merge folds histograms and reads the
+    quantiles off the cumulative counts. ``quantiles`` maps output column
+    name -> q. Matches SQL ``quantile_disc``/``percentile_disc``: the
+    smallest value whose cumulative count reaches ceil(q * n). Also emits
+    ``n`` (group row count). Callers with continuous values discretize
+    first (e.g. cents) — that is what makes the histogram bounded."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(key_cols + [value_col], sort=False)
+             .size().rename("_cnt").reset_index())
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        folded = (df.groupby(key_cols + [value_col], sort=False)["_cnt"]
+                  .sum().reset_index().sort_values(key_cols + [value_col],
+                                                   kind="mergesort"))
+        out_rows = []
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
+        for k, g in folded.groupby(key, sort=False):
+            vals = g[value_col].to_numpy()
+            counts = g["_cnt"].to_numpy()
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            row = dict(zip(key_cols, k if isinstance(k, tuple) else (k,)))
+            for name, q in quantiles.items():
+                rank = int(np.ceil(q * n)) if q > 0 else 1
+                row[name] = vals[int(np.searchsorted(cum, max(rank, 1)))]
+            row["n"] = n
+            out_rows.append(row)
+        cols = key_cols + list(quantiles) + ["n"]
+        if not out_rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(out_rows)[cols]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)

@@ -41,6 +41,75 @@ def _pandas_dtypes_of(schema) -> dict:
     return out
 
 
+def _side_frame(df: pd.DataFrame, side: int, cols: list[str],
+                dtypes: dict) -> pd.DataFrame:
+    """Rows of one tagged side with exactly ``cols``, dtypes restored.
+    A bucket whose rows all came from ONE side's blocks never saw the
+    other side's columns (the exchange concat unions schemas per map
+    task), so missing columns mean an empty side — not an error."""
+    rows = df[df["_side"] == side]
+    if not all(c in rows.columns for c in cols):
+        return pd.DataFrame({c: pd.Series(dtype=dtypes[c]) for c in cols})
+    rows = rows[cols]
+    for c, dt in dtypes.items():            # undo union NaN-fill upcasts
+        if rows[c].dtype != dt:
+            rows = rows.assign(**{c: rows[c].astype(dt)})
+    return rows
+
+
+def broadcast_inner_join(left: rd.Dataset, right: rd.Dataset | pd.DataFrame,
+                         on: str | list[str],
+                         right_cols: list[str] | None = None) -> rd.Dataset:
+    """Inner equi-join with a BOUNDED right side: the right table is
+    collected once, shipped to the object store once (``ray.put``), and
+    every left batch does an in-process pandas merge — ZERO shuffle, the
+    plan of choice whenever one side fits a worker heap (dimension tables,
+    alias tables, dedup drop-lists). The caller asserts the boundedness;
+    at 100 TB the left side streams unchanged."""
+    import ray
+
+    rdf = right.to_pandas() if isinstance(right, rd.Dataset) else right
+    if right_cols is not None:
+        keys = [on] if isinstance(on, str) else list(on)
+        rdf = rdf[list(dict.fromkeys(keys + right_cols))]
+    r_ref = ray.put(rdf)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(r_ref), on=on, how="inner")
+
+    return left.map_batches(merge, batch_format="pandas")
+
+
+def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
+                    on: str, *, buckets: int | None = None) -> rd.Dataset:
+    """Large-large inner equi-join: both sides tagged and co-bucketed on
+    ``crc32(on) % buckets`` (ONE shuffle), then each bucket runs a single
+    vectorized ``pandas.merge`` over all its keys — same physical shape as
+    the as-of join. Buckets auto-size with input bytes. Skewed join keys
+    concentrate in one bucket (inherent to any hash join); pre-aggregate
+    or broadcast the small side for those."""
+
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
+    l_dtypes = _pandas_dtypes_of(left.schema())
+    r_dtypes = _pandas_dtypes_of(right.schema())
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_side=np.int8(side))
+        return fn
+
+    both = (left.map_batches(tag(0), batch_format="pandas")
+            .union(right.map_batches(tag(1), batch_format="pandas")))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = _side_frame(df, 0, l_cols, l_dtypes)
+        r = _side_frame(df, 1, r_cols, r_dtypes)
+        return l.merge(r, on=on, how="inner")
+
+    return bucketed_groupby(both, [on], merge, buckets=buckets)
+
+
 def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
                        on: str, by: str, value_cols: list[str],
                        buckets: int | None = None) -> rd.Dataset:
@@ -69,9 +138,13 @@ def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
                 out[c] = out[c].astype(dt)
         return out
 
+    r_dtypes = _pandas_dtypes_of(right.schema())
+    r_sel = [by, on, *value_cols]
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0][left_cols].sort_values(on, kind="mergesort")
-        r = (df[df["_side"] == 1][[by, on, *value_cols]]
+        l = (_side_frame(df, 0, left_cols, left_dtypes)
+             .sort_values(on, kind="mergesort"))
+        r = (_side_frame(df, 1, r_sel, {c: r_dtypes[c] for c in r_sel})
              .sort_values(on, kind="mergesort"))
         if len(l) == 0:
             return restore(l)
@@ -114,9 +187,12 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, *,
     left_cols = list(lsch.names)
     left_dtypes = _pandas_dtypes_of(lsch)
 
+    r_dtypes = _pandas_dtypes_of(right.schema())
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0][left_cols]
-        r = df[df["_side"] == 1][[by, on]]
+        l = _side_frame(df, 0, left_cols, left_dtypes)
+        r = _side_frame(df, 1, [by, on],
+                        {c: r_dtypes[c] for c in (by, on)})
         if len(l) == 0:
             out = l.copy()
             out[out_col] = pd.Series([], dtype="int64")

@@ -467,6 +467,78 @@ def q_events_range(sf_dir: str) -> rd.Dataset:
     return joined.select_columns(["event_id", "user_id", "n_errors_10m"])
 
 
+def q_join_broadcast(sf_dir: str) -> rd.Dataset:
+    """General inner equi-join, broadcast plan: documents x embeddings on
+    doc_id == vec_id with the (bounded) projected right side shipped once
+    via ray.put — zero shuffle."""
+    from ..ops.joins import broadcast_inner_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    emb = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "label"])
+           .map_batches(lambda t: t.rename_columns(["doc_id", "label"]),
+                        batch_format="pyarrow"))
+    out = broadcast_inner_join(docs, emb, on="doc_id")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "label": t["label"].cast(pa.int64())})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_join_shuffle(sf_dir: str) -> rd.Dataset:
+    """Same join, large-large plan: both sides tagged, co-bucketed on the
+    key (one shuffle), vectorized per-bucket pandas merge. Identical
+    results to q_join_broadcast by construction — the oracle pins both
+    physical plans to the same SQL."""
+    from ..ops.joins import hash_inner_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    emb = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "label"])
+           .map_batches(lambda t: t.rename_columns(["doc_id", "label"]),
+                        batch_format="pyarrow"))
+    out = hash_inner_join(docs, emb, on="doc_id")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "label": t["label"].cast(pa.int64())})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_events_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact grouped discrete quantiles (p50/p95 of value-in-cents per
+    event type) via histogram partials — the scale-safe percentile: the
+    shuffle carries (key, cents, count) rows, never raw events."""
+    from ..ops.agg import grouped_quantile_disc
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(cents.astype(np.int64))})
+
+    out = grouped_quantile_disc(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        ["event_type"], "cents", {"p50_cents": 0.5, "p95_cents": 0.95})
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "p50_cents": df["p50_cents"].astype("int64"),
+            "p95_cents": df["p95_cents"].astype("int64"),
+            "n": df["n"].astype("int64")})
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Exact cosine top-k, queries = the first N_KNN_QUERIES embeddings.
     Scores reported as integer basis points for hash-stable comparison."""

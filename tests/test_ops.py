@@ -639,3 +639,53 @@ def test_image_decoder_jpeg_via_pil_when_available():
     out = dec._decode(buf.getvalue(), 8, 8)
     assert out.shape == (8, 8, 3)
     assert out[:4].mean() > 200 and out[4:].mean() < 55
+
+
+# --- general inner join + grouped quantiles (round 3) ------------------------
+
+def test_inner_join_plans_agree_and_keep_dtypes():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        broadcast_inner_join,
+        hash_inner_join,
+    )
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": [10, 20, 21, 30, 50]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [200, 300, 301, 400]})
+    want = left.merge(right, on="k").sort_values(["k", "lv", "rv"]) \
+        .reset_index(drop=True)
+
+    a = broadcast_inner_join(rd.from_pandas(left).repartition(3),
+                             right, on="k").to_pandas()
+    b = hash_inner_join(rd.from_pandas(left).repartition(3),
+                        rd.from_pandas(right).repartition(2),
+                        on="k").to_pandas()
+    for got in (a, b):
+        got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_like=True)
+        assert got["lv"].dtype == "int64" and got["rv"].dtype == "int64"
+
+
+def test_grouped_quantile_disc_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_quantile_disc
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), size=500),
+        "v": rng.randint(0, 40, size=500).astype("int64")})
+    got = grouped_quantile_disc(rd.from_pandas(df).repartition(7), ["g"], "v",
+                                {"p50": 0.5, "p95": 0.95, "p01": 0.01}
+                                ).to_pandas().sort_values("g").reset_index(drop=True)
+    want = duckdb.connect().execute("""
+        SELECT g, quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.95) AS p95,
+               quantile_disc(v, 0.01) AS p01, CAST(count(*) AS BIGINT) AS n
+        FROM df GROUP BY g ORDER BY g""").df()
+    for c in ("p50", "p95", "p01", "n"):
+        assert list(got[c].astype("int64")) == list(want[c].astype("int64")), c
