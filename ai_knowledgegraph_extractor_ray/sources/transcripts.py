@@ -199,11 +199,19 @@ def synthetic_transcripts_table(n_convs: int, seed: int = 42,
 
 # --- production reader ------------------------------------------------------
 
-def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_transcripts(path: str, columns: list[str] | None = None,
+                     override_num_blocks: int | None = None) -> rd.Dataset:
     """Column-pruned parquet read of a transcript table. The extraction
     pipeline needs only (conv_id, turn_idx, text); callers that don't need
-    role/tool/ts should say so and skip the IO."""
-    return rd.read_parquet(path, columns=columns or ["conv_id", "turn_idx", "text"])
+    role/tool/ts should say so and skip the IO.
+
+    ``override_num_blocks`` matters for the exchange's MAP parallelism:
+    map tasks = num_blocks / blocks_per_map, so a small-file corpus read
+    with the default (one block per file) can under-fill a large cluster's
+    map wave — size it to ~4-8x the core count when files are few."""
+    return rd.read_parquet(path,
+                           columns=columns or ["conv_id", "turn_idx", "text"],
+                           override_num_blocks=override_num_blocks)
 
 
 # --- testdata-derived shape (SQL-oracle-checkable) ---------------------------

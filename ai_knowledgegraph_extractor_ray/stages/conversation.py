@@ -51,13 +51,21 @@ def add_partition_id(ds: rd.Dataset, num_partitions: int,
     return ds.map_batches(stamp, batch_format="pyarrow")
 
 
+def _text_crc(texts: pd.Series) -> np.ndarray:
+    """Vectorized per-row crc32 of a text column (uint64) — the same
+    ``ops/hashing`` kernel the exchange uses, replacing a per-row Python
+    ``zlib.crc32(s.encode())`` map in the assemble/fingerprint hot path."""
+    from ..ops.hashing import crc32_column
+    return crc32_column(pa.array(texts, pa.string())).astype(np.uint64)
+
+
 def _conv_fingerprints(df: pd.DataFrame) -> pd.Series:
     """Per-conversation input fingerprint (order-insensitive xor of per-turn
     hashes) for lineage manifests. df must already be sorted."""
     h = (
         df["conv_id"].astype("string").str.len().astype("uint64") * 1000003
         ^ df["turn_idx"].astype("uint64") * 8191
-        ^ df["text"].map(lambda s: zlib.crc32(s.encode())).astype("uint64")
+        ^ pd.Series(_text_crc(df["text"]), index=df.index)
     )
     return h.groupby(df["conv_id"], sort=False).agg(lambda s: np.bitwise_xor.reduce(s.values))
 
@@ -86,7 +94,7 @@ def partition_fingerprints(ds: rd.Dataset, *, version_cutoff: int | None = None,
         h = (
             df["conv_id"].astype("string").str.len().astype("uint64") * 1000003
             ^ df["turn_idx"].astype("uint64") * 8191
-            ^ df["text"].map(lambda s: zlib.crc32(s.encode())).astype("uint64")
+            ^ pd.Series(_text_crc(df["text"]), index=df.index)
         )
         g = h.groupby(df["partition_id"], sort=False).agg(
             lambda s: np.bitwise_xor.reduce(s.values))

@@ -89,7 +89,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
         out = tempfile.mkdtemp(prefix="kg_bench_")
         try:
             t0 = time.perf_counter()
-            ts = src.read_transcripts(corpus)
+            # explicit block count: the corpus dir has a fixed file layout
+            # shared across scaling legs, and exchange map parallelism is
+            # num_blocks / blocks_per_map — read with 8x the core count so
+            # the map wave fills the cluster at every CPU count
+            ts = src.read_transcripts(corpus,
+                                      override_num_blocks=num_cpus * 8)
             summary = kg.run_kg_job(ts, cfg, out, resume=False)
             t_extract = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
