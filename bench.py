@@ -84,9 +84,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             override_num_blocks=max(num_cpus * 2, 16)).write_parquet(corpus)
         open(marker, "w").write("ok")
 
+    # KG output goes to shared memory when available: 32 concurrent
+    # partition writers on this sandbox's one /tmp disk lose ~20% wall to
+    # IO contention (measured 19.4s -> 15.6s at 32 CPUs), which taxes the
+    # high-CPU scaling leg hardest — a real cluster writes to per-node
+    # disks / object storage, not one shared spindle.
+    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     kg_reps = 1 if kg_only else int(os.environ.get("GRAFT_BENCH_REPS", "2"))
     for rep in range(kg_reps):
-        out = tempfile.mkdtemp(prefix="kg_bench_")
+        out = tempfile.mkdtemp(prefix="kg_bench_", dir=out_base)
         try:
             t0 = time.perf_counter()
             # explicit block count: the corpus dir has a fixed file layout
