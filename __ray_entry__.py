@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.q_events_asof,
         "events_range": q.q_events_range,
         "events_quantiles": q.q_events_quantiles,
+        "distinct_users": q.q_distinct_users,
+        "approx_distinct": q.q_approx_distinct,   # HLL sketch: rows-only
         # general inner join, both physical plans
         "join_broadcast": q.q_join_broadcast,
         "join_shuffle": q.q_join_shuffle,
@@ -517,6 +519,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, vec_id) - 1 AS BIGINT) AS rank
             FROM s QUALIFY rank < 10
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "events_quantiles": """
             SELECT event_type,

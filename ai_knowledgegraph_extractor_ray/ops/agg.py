@@ -105,6 +105,100 @@ def sum_merge(key_cols: list[str], value_cols: list[str]):
     return merge
 
 
+def grouped_count_distinct(ds: rd.Dataset, key_cols: list[str],
+                           value_col: str, out_col: str = "n_distinct",
+                           buckets: int | None = None) -> rd.Dataset:
+    """EXACT distinct-value count per group: per-block (key, value) dedup
+    partials (each distinct pair ships at most once per block) -> bucketed
+    shuffle on the key -> vectorized nunique per bucket. Exact but the
+    shuffle is distinct-pair-sized — for cardinalities where that is
+    itself too big, use ``grouped_approx_distinct`` (HLL, fixed-size
+    sketch per key)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[key_cols + [value_col]].drop_duplicates()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.drop_duplicates(key_cols + [value_col])
+               .groupby(key_cols, sort=False)[value_col]
+               .nunique().rename(out_col).reset_index())
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+_HLL_P = 12                      # 4096 registers -> ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — a well-mixed uint64 hash for HLL."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hll_partial(keys: pd.Series, values: np.ndarray) -> pd.DataFrame:
+    """(key, register index, max rho) rows for one block — at most 2^p
+    rows per key per block, independent of row count."""
+    h = _splitmix64(values)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int32)
+    w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    # bit length via float64 log2: w < 2^52 < 2^53, exact
+    bl = np.zeros(len(w), dtype=np.int8)
+    nz = w > 0
+    bl[nz] = (np.floor(np.log2(w[nz].astype(np.float64))) + 1).astype(np.int8)
+    rho = ((64 - _HLL_P) - bl + 1).astype(np.int8)
+    df = pd.DataFrame({"_k": keys.to_numpy(), "_reg": idx, "_rho": rho})
+    return df.groupby(["_k", "_reg"], sort=False)["_rho"].max().reset_index()
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimate with linear-counting small-range correction.
+    ``regs`` is the dense 2^p register array (0 = never touched)."""
+    m = 1 << _HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return int(round(e))
+
+
+def grouped_approx_distinct(ds: rd.Dataset, key_cols: list[str],
+                            value_col: str,
+                            out_col: str = "approx_distinct",
+                            buckets: int | None = None) -> rd.Dataset:
+    """APPROXIMATE distinct count per group via HyperLogLog (Flajolet et
+    al. 2007), p=12 (~1.6% standard error): per-block partials are
+    (key, register, max-rho) rows — bounded at 4096 per key per block no
+    matter how many rows the block holds — merged by elementwise register
+    max (associative and layout-independent), then estimated. The
+    fixed-size-sketch path for cardinalities where exact distinct pairs
+    would swamp the shuffle. Single string key only (composite: concat
+    upstream)."""
+    key = key_cols[0]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = _hll_partial(df[key], df[value_col].to_numpy())
+        return out.rename(columns={"_k": key})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        folded = (df.groupby([key, "_reg"], sort=False)["_rho"]
+                  .max().reset_index())
+        rows = []
+        for k, g in folded.groupby(key, sort=False):
+            regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+            regs[g["_reg"].to_numpy()] = g["_rho"].to_numpy()
+            rows.append({key: k, out_col: _hll_estimate(regs)})
+        return pd.DataFrame(rows, columns=[key, out_col])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, [key], merge, buckets=buckets)
+
+
 def grouped_quantile_disc(ds: rd.Dataset, key_cols: list[str],
                           value_col: str, quantiles: dict[str, float],
                           buckets: int | None = None) -> rd.Dataset:

@@ -539,6 +539,29 @@ def q_events_quantiles(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user_id) per event type via per-block distinct
+    partials (the shuffle carries distinct pairs, never raw events)."""
+    from ..ops.agg import grouped_count_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_count_distinct(ev, ["event_type"], "user_id",
+                                  out_col="n_users")
+
+
+def q_approx_distinct(sf_dir: str) -> rd.Dataset:
+    """HyperLogLog distinct user_id per event type (p=12, ~1.6% error) —
+    the fixed-size-sketch path for cardinalities where exact distinct
+    pairs would swamp the shuffle. Rows-only at the driver (approximate by
+    design); the unit suite pins relative error vs exact."""
+    from ..ops.agg import grouped_approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, ["event_type"], "user_id")
+
+
 def q_knn(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Exact cosine top-k, queries = the first N_KNN_QUERIES embeddings.
     Scores reported as integer basis points for hash-stable comparison."""

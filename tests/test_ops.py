@@ -689,3 +689,36 @@ def test_grouped_quantile_disc_matches_duckdb():
         FROM df GROUP BY g ORDER BY g""").df()
     for c in ("p50", "p95", "p01", "n"):
         assert list(got[c].astype("int64")) == list(want[c].astype("int64")), c
+
+
+def test_grouped_count_distinct_exact_and_hll_close():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import (
+        grouped_approx_distinct,
+        grouped_count_distinct,
+    )
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=40000),
+        "v": rng.randint(0, 15000, size=40000).astype("int64")})
+    want = df.groupby("g")["v"].nunique()
+
+    exact = grouped_count_distinct(rd.from_pandas(df).repartition(9),
+                                   ["g"], "v").to_pandas().set_index("g")
+    assert {g: int(exact.loc[g, "n_distinct"]) for g in ("a", "b")} \
+        == {g: int(want[g]) for g in ("a", "b")}
+
+    approx = grouped_approx_distinct(rd.from_pandas(df).repartition(9),
+                                     ["g"], "v").to_pandas().set_index("g")
+    for g in ("a", "b"):
+        rel = abs(int(approx.loc[g, "approx_distinct"]) - int(want[g])) / int(want[g])
+        assert rel < 0.05, (g, rel)
+
+    # HLL merge is layout-independent: same estimate from any blocking
+    approx2 = grouped_approx_distinct(rd.from_pandas(df).repartition(2),
+                                      ["g"], "v").to_pandas().set_index("g")
+    assert (approx["approx_distinct"] == approx2["approx_distinct"]).all()
