@@ -270,7 +270,19 @@ MAX_AUTO_PARTITIONS = 4096
 
 def auto_partitions(total_bytes: int,
                     target_bytes: int = TARGET_PARTITION_BYTES) -> int:
+    """Two constraints: MEMORY (a partition's bytes must fit a worker
+    frame -> bytes/target ceiling) and PARALLELISM (merge tasks are often
+    compute-heavy — in-bucket pair verification, joins — so once the
+    input carries real work (> 1 MiB per core), the bucket count must not
+    drop below 2x the cluster's cores; measured: 8 buckets for a 100 MB
+    LSH-verify input serialized 32 cores to 8-wide, a 5x slowdown)."""
     p = max(MIN_AUTO_PARTITIONS, -(-int(total_bytes) // int(target_bytes)))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if cpus and total_bytes > (cpus << 20):
+        p = max(p, 2 * cpus)
     if p > MAX_AUTO_PARTITIONS:
         import warnings
         warnings.warn(
