@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": q.q_events_range,
         "events_quantiles": q.q_events_quantiles,
         "distinct_users": q.q_distinct_users,
+        "pack_sequences": q.q_pack_sequences,
         "approx_distinct": q.q_approx_distinct,   # HLL sketch: rows-only
         # general inner join, both physical plans
         "join_broadcast": q.q_join_broadcast,
@@ -519,6 +520,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, vec_id) - 1 AS BIGINT) AS rank
             FROM s QUALIFY rank < 10
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+                                               w -> w <> '')) END AS BIGINT)
+                       AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0)
+                        AS BIGINT) AS pack_id
+            FROM t
         """,
         "distinct_users": """
             SELECT event_type,

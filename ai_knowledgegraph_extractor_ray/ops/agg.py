@@ -105,6 +105,77 @@ def sum_merge(key_cols: list[str], value_cols: list[str]):
     return merge
 
 
+def ordered_prefix_sum(ds: rd.Dataset, order_col: str, value_col: str,
+                       out_col: str = "prefix_sum", *,
+                       range_buckets: int = 256) -> rd.Dataset:
+    """Distributed ordered running total — the window-function scan
+    (``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``) Ray Data has
+    no primitive for. ``order_col`` must be numeric with distinct values.
+
+    Two passes, both bounded:
+    1. OFFSETS: a column-pruned scan reduces each block to per-range-bucket
+       partial sums (rows = buckets touched per block); the driver cumsums
+       the ~``range_buckets`` totals — every bucket's start offset.
+    2. SCAN: rows shuffle once on their RANGE bucket (contiguous key
+       ranges, so a bucket's rows are exactly a slice of the global
+       order); each bucket sorts locally, cumsums, and adds its broadcast
+       offset. No global sort, no driver materialization of data rows.
+
+    Range (not hash) bucketing is what makes the local cumsum + offset
+    equal the global scan. Skew note: bucket boundaries come from the
+    observed min/max, uniform split — for heavily clustered keys pass a
+    larger ``range_buckets``."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = stats[f"min({order_col})"], stats[f"max({order_col})"]
+    span = max(float(hi) - float(lo), 1.0)
+    width = span / range_buckets + 1e-9
+
+    def rb_of(vals: np.ndarray) -> np.ndarray:
+        rb = ((vals.astype(np.float64) - float(lo)) / width).astype(np.int64)
+        return np.clip(rb, 0, range_buckets - 1)
+
+    def offsets_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rb = rb_of(df[order_col].to_numpy())
+        g = (pd.DataFrame({"_rb": rb, "_v": df[value_col].to_numpy()})
+             .groupby("_rb", sort=False)["_v"].sum().reset_index())
+        return g
+
+    parts = (ds.select_columns([order_col, value_col])
+             .map_batches(offsets_partial, batch_format="pandas").to_pandas())
+    totals = np.zeros(range_buckets, dtype=np.float64)
+    if len(parts):
+        np.add.at(totals, parts["_rb"].to_numpy(), parts["_v"].to_numpy())
+    offsets = np.concatenate([[0.0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def stamp_rb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_rb=rb_of(df[order_col].to_numpy()))
+
+    value_is_int = parts["_v"].dtype.kind in "iu" if len(parts) else False
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        # one RANGE bucket per sub-frame (several range buckets may hash
+        # into one merge bucket — per_group_apply splits them back out)
+        if len(df) == 0:
+            out_frame = df.drop(columns="_rb")
+            out_frame[out_col] = pd.Series(
+                dtype="int64" if value_is_int else "float64")
+            return out_frame
+        offs = ray.get(off_ref)
+        df = df.sort_values(order_col, kind="mergesort")
+        out = df[value_col].cumsum() + offs[int(df["_rb"].iloc[0])]
+        df = df.drop(columns="_rb")
+        # int values stay exact through the float64 offset for |sum| < 2^53
+        df[out_col] = out.astype("int64") if value_is_int else out
+        return df
+
+    stamped = ds.map_batches(stamp_rb, batch_format="pandas")
+    return bucketed_groupby(stamped, ["_rb"], per_group_apply(["_rb"], scan))
+
+
 def grouped_count_distinct(ds: rd.Dataset, key_cols: list[str],
                            value_col: str, out_col: str = "n_distinct",
                            buckets: int | None = None) -> rd.Dataset:

@@ -539,6 +539,37 @@ def q_events_quantiles(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_pack_sequences(sf_dir: str, budget: int = 2000) -> rd.Dataset:
+    """Training-data sequence packing, concat-then-chunk semantics: a
+    global running token total over doc_id order assigns each document the
+    pack (training example) its first token falls into — pack_id =
+    floor((prefix - n_tokens) / budget). The running total is the
+    distributed ordered prefix-sum operator (``ops/agg.ordered_prefix_sum``,
+    the window-scan Ray Data lacks); the oracle is the equivalent SQL
+    window function."""
+    from ..ops.agg import ordered_prefix_sum
+
+    toks = text_ops.token_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ).select_columns(["doc_id", "n_tokens"])
+    scanned = ordered_prefix_sum(toks, "doc_id", "n_tokens",
+                                 out_col="prefix_tokens")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        prefix = t["prefix_tokens"].to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        pack = np.floor_divide(prefix - ntok, budget)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"].cast(pa.int64()),
+            "prefix_tokens": pa.array(prefix.astype(np.int64)),
+            "pack_id": pa.array(pack.astype(np.int64)),
+        })
+
+    return scanned.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_distinct_users(sf_dir: str) -> rd.Dataset:
     """Exact COUNT(DISTINCT user_id) per event type via per-block distinct
     partials (the shuffle carries distinct pairs, never raw events)."""

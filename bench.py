@@ -144,6 +144,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_range": lambda: q.q_events_range(sf_dir).count(),
             "events_quantiles": lambda: q.q_events_quantiles(sf_dir).count(),
             "distinct_users": lambda: q.q_distinct_users(sf_dir).count(),
+            "pack_sequences": lambda: q.q_pack_sequences(sf_dir).count(),
             "approx_distinct": lambda: q.q_approx_distinct(sf_dir).count(),
             "join_broadcast": lambda: q.q_join_broadcast(sf_dir).count(),
             "join_shuffle": lambda: q.q_join_shuffle(sf_dir).count(),

@@ -722,3 +722,38 @@ def test_grouped_count_distinct_exact_and_hll_close():
     approx2 = grouped_approx_distinct(rd.from_pandas(df).repartition(2),
                                       ["g"], "v").to_pandas().set_index("g")
     assert (approx["approx_distinct"] == approx2["approx_distinct"]).all()
+
+
+def test_ordered_prefix_sum_matches_pandas_scan():
+    """Distributed running total == a driver-side sorted cumsum, for int
+    and float values, dense and sparse/clustered order keys, any block
+    layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import ordered_prefix_sum
+
+    rng = np.random.RandomState(21)
+    for keys in (np.arange(3000),                       # dense
+                 np.sort(rng.choice(10**9, 3000, replace=False))):  # sparse
+        rng.shuffle(keys)
+        df = pd.DataFrame({"k": keys.astype("int64"),
+                           "v": rng.randint(0, 50, 3000).astype("int64"),
+                           "f": rng.standard_normal(3000)})
+        want = df.sort_values("k").reset_index(drop=True)
+        want["ps"] = want["v"].cumsum()
+
+        got = (ordered_prefix_sum(rd.from_pandas(df).repartition(11),
+                                  "k", "v", out_col="ps", range_buckets=16)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert got["ps"].dtype == "int64"
+        assert list(got["ps"]) == list(want["ps"])
+        assert list(got["k"]) == list(want["k"])
+
+    # float values path
+    df = pd.DataFrame({"k": np.arange(500, dtype="int64"),
+                       "v": rng.standard_normal(500)})
+    got = (ordered_prefix_sum(rd.from_pandas(df), "k", "v", out_col="ps")
+           .to_pandas().sort_values("k"))
+    assert np.allclose(got["ps"].to_numpy(), df.sort_values("k")["v"].cumsum())
