@@ -144,8 +144,24 @@ def assemble_partition(df: pd.DataFrame, *, window_chars: int = 0,
             "n_turns": n_turns.values,
         })
     else:
+        # Fast path: a conversation whose JOINED text fits one window needs
+        # no packing at all — identical output to the loop (one window 0
+        # row). Only oversized conversations (rare: window_chars is the
+        # 2000-char LLM prompt cap vs typically-short conversations) pay
+        # the per-conversation Python loop. Measured: windowed mode was
+        # ~15% behind whole-text mode with the all-Python loop.
+        # STRICT bound: the packing loop's separator accounting flushes a
+        # multi-turn conversation whose joined text would EQUAL
+        # window_chars (its running size counts a trailing separator), so
+        # only joined < window_chars is loop-equivalent to one window;
+        # boundary cases take the loop
+        joined_len = joined.str.len()
+        small = joined_len < window_chars
         conv_ids, win_ids, texts, nts = [], [], [], []
-        turn_lists = grouped["text"].agg(list)
+        big_ids = set(joined.index[~small])
+        turn_lists = (df[df["conv_id"].isin(big_ids)]
+                      .groupby("conv_id", sort=False)["text"].agg(list)
+                      if big_ids else pd.Series(dtype=object))
         for cid, turns in turn_lists.items():
             nt = len(turns)
             win, size, wid = [], 0, 0
@@ -175,12 +191,21 @@ def assemble_partition(df: pd.DataFrame, *, window_chars: int = 0,
                 win.append(t)
                 size += len(t) + 1
             flush()
-        out = pd.DataFrame({
-            "conv_id": pd.Series(conv_ids, dtype="string"),
-            "window_id": pd.Series(win_ids, dtype="int32"),
-            "text": pd.Series(texts, dtype="string"),
-            "n_turns": pd.Series(nts, dtype="int32"),
-        })
+        out = pd.concat([
+            pd.DataFrame({
+                "conv_id": pd.Series(joined.index[small], dtype="string"),
+                "window_id": np.zeros(int(small.sum()), dtype="int32"),
+                "text": pd.Series(joined.values[small.to_numpy()],
+                                  dtype="string"),
+                "n_turns": n_turns.values[small.to_numpy()],
+            }),
+            pd.DataFrame({
+                "conv_id": pd.Series(conv_ids, dtype="string"),
+                "window_id": pd.Series(win_ids, dtype="int32"),
+                "text": pd.Series(texts, dtype="string"),
+                "n_turns": pd.Series(nts, dtype="int32"),
+            }),
+        ], ignore_index=True)
 
     out["partition_id"] = np.int32(pid)
     out["version"] = np.int32(version)

@@ -218,3 +218,64 @@ def test_whole_conversation_assembly_roundtrip(turns):
     assert len(out) == 1
     assert out["text"].iloc[0] == "\n".join(turns)
     assert int(out["n_turns"].iloc[0]) == len(turns)
+
+
+def test_windowed_fast_path_equals_pure_loop():
+    """The vectorized one-window fast path must be indistinguishable from
+    the packing loop for every conversation, including exact-boundary
+    lengths (the loop's separator accounting flushes at joined == W)."""
+    import random
+
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.stages.conversation import (
+        assemble_partition,
+    )
+
+    def reference_pack(turns, window_chars):
+        """The original per-conversation greedy loop, verbatim."""
+        wins, win, size = [], [], 0
+        for t in turns:
+            if size and size + 1 + len(t) > window_chars:
+                wins.append("\n".join(win))
+                win, size = [], 0
+            if len(t) > window_chars:
+                if win:
+                    wins.append("\n".join(win))
+                    win, size = [], 0
+                for s in range(0, len(t), window_chars):
+                    wins.append(t[s:s + window_chars])
+                continue
+            win.append(t)
+            size += len(t) + 1
+        if win:
+            wins.append("\n".join(win))
+        return wins
+
+    rng = random.Random(0xE77)
+    W = 40
+    rows = []
+    expected = {}
+    for c in range(300):
+        cid = f"c{c:04d}"
+        n = rng.randint(1, 6)
+        turns = []
+        for t in range(n):
+            ln = rng.choice([3, 10, W - 1, W, W + 1, 2 * W + 5,
+                             rng.randint(1, 90)])
+            turns.append("x" * ln)
+        # exact-boundary single window cases
+        if c % 17 == 0:
+            turns = ["y" * (W // 2), "y" * (W - W // 2 - 1)]  # joined == W-1? no: W//2 + 1 + rest
+        for t_idx, t in enumerate(turns):
+            rows.append({"conv_id": cid, "turn_idx": t_idx, "text": t,
+                         "partition_id": 0})
+        expected[cid] = reference_pack(turns, W)
+
+    df = pd.DataFrame(rows)
+    out = assemble_partition(df, window_chars=W)
+    got = {}
+    for cid, g in out.sort_values(["conv_id", "window_id"]).groupby("conv_id"):
+        got[cid] = list(g["text"])
+        assert list(g["window_id"]) == list(range(len(g)))
+    assert got == expected
