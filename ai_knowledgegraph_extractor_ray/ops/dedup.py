@@ -134,20 +134,68 @@ def _gram64_set(text: str, n: int) -> set[int]:
             for i in range(len(toks) - n + 1)}
 
 
+class BloomFilter:
+    """Fixed-size Bloom filter over uint64 gram hashes (``k`` derived index
+    functions from the two 32-bit halves — Kirsch-Mitzenmacher double
+    hashing). Vectorized add/contains; picklable (one numpy bit array), so
+    it broadcasts via ``ray.put`` like the exact gram array it replaces.
+    False-positive rate ~(1 - e^(-kn/m))^k — sized by ``for_items``."""
+
+    def __init__(self, n_bits: int, k: int):
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def for_items(cls, n_items: int, fp_rate: float = 1e-4) -> "BloomFilter":
+        n_items = max(n_items, 1)
+        m = int(np.ceil(-n_items * np.log(fp_rate) / (np.log(2) ** 2)))
+        k = max(1, int(round(m / n_items * np.log(2))))
+        return cls(m, k)
+
+    def _idx(self, vals: np.ndarray) -> np.ndarray:
+        h1 = vals & np.uint64(0xFFFFFFFF)
+        h2 = (vals >> np.uint64(32)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)
+
+    def add(self, vals: np.ndarray) -> None:
+        idx = self._idx(vals.astype(np.uint64)).ravel()
+        np.bitwise_or.at(self.bits, idx >> np.uint64(6),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains(self, vals: np.ndarray) -> np.ndarray:
+        idx = self._idx(vals.astype(np.uint64))
+        hit = (self.bits[idx >> np.uint64(6)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        self.bits |= other.bits
+        return self
+
+
 def decontaminate(corpus: rd.Dataset, test_ds: rd.Dataset, *,
                   text_col: str = "text", id_col: str = "doc_id",
-                  ngram: int = 3, min_hits: int = 1) -> rd.Dataset:
+                  ngram: int = 3, min_hits: int = 1,
+                  membership: str = "exact",
+                  bloom_fp_rate: float = 1e-4) -> rd.Dataset:
     """Drop training documents that share >= ``min_hits`` word-``ngram``
     shingles with ANY test-set document — benchmark-decontamination as a
     streaming pass.
 
     Scale shape: the test side is benchmark-sized by definition (orders of
     magnitude smaller than the corpus), so its gram set is built with a
-    per-block map + driver union and broadcast ONCE as a sorted uint64
-    array (``ray.put``); the corpus pass is a single ``map_batches`` doing
-    a vectorized ``np.isin`` per document — no shuffle at all. At extreme
-    test-set sizes swap the sorted array for a Bloom filter; the corpus
-    side is unchanged."""
+    per-block map + driver union and broadcast ONCE (``ray.put``); the
+    corpus pass is a single ``map_batches`` — no shuffle at all.
+
+    ``membership`` picks the broadcast structure: ``"exact"`` = sorted
+    uint64 array + vectorized ``np.isin`` (byte cost 8B/gram); ``"bloom"``
+    = a ``BloomFilter`` sized to ``bloom_fp_rate`` (~2.4B/gram at 1e-4) —
+    the escape hatch when the test side's gram set itself strains the
+    object store. Bloom false positives only ever OVER-drop (a clean doc
+    counted as contaminated), never leak contamination through."""
     import ray
 
     def gram_block(t: pa.Table) -> pa.Table:
@@ -160,15 +208,29 @@ def decontaminate(corpus: rd.Dataset, test_ds: rd.Dataset, *,
     parts = test_ds.map_batches(gram_block, batch_format="pyarrow").to_pandas()
     grams = np.unique(parts["g"].to_numpy().view(np.uint64)) \
         if len(parts) else np.empty(0, dtype=np.uint64)
-    grams_ref = ray.put(grams)
+    if membership == "bloom":
+        bloom = BloomFilter.for_items(len(grams), bloom_fp_rate)
+        if len(grams):
+            bloom.add(grams)
+        grams_ref = ray.put(bloom)
+    elif membership == "exact":
+        grams_ref = ray.put(grams)
+    else:
+        raise ValueError(f"unknown membership {membership!r}")
 
     def keep(t: pa.Table) -> pa.Table:
         gs = ray.get(grams_ref)
         mask = np.empty(len(t), dtype=bool)
         for i, s in enumerate(t[text_col].to_pylist()):
             doc = np.fromiter(_gram64_set(s or "", ngram), dtype=np.uint64)
-            hits = int(np.isin(doc, gs, assume_unique=True).sum()) \
-                if len(doc) and len(gs) else 0
+            if not len(doc):
+                mask[i] = True
+                continue
+            if membership == "bloom":
+                hits = int(gs.contains(doc).sum())
+            else:
+                hits = int(np.isin(doc, gs, assume_unique=True).sum()) \
+                    if len(gs) else 0
             mask[i] = hits < min_hits
         return t.filter(pa.array(mask))
 

@@ -757,3 +757,37 @@ def test_ordered_prefix_sum_matches_pandas_scan():
     got = (ordered_prefix_sum(rd.from_pandas(df), "k", "v", out_col="ps")
            .to_pandas().sort_values("k"))
     assert np.allclose(got["ps"].to_numpy(), df.sort_values("k")["v"].cumsum())
+
+
+def test_bloom_filter_and_bloom_decontaminate():
+    import numpy as np
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.dedup import (
+        BloomFilter,
+        decontaminate,
+    )
+
+    rng = np.random.RandomState(31)
+    members = rng.randint(0, 2**63, size=20000, dtype=np.int64).astype(np.uint64)
+    others = rng.randint(0, 2**63, size=20000, dtype=np.int64).astype(np.uint64)
+    others = others[~np.isin(others, members)]
+    bf = BloomFilter.for_items(len(members), fp_rate=1e-4)
+    bf.add(members)
+    assert bf.contains(members).all()              # no false negatives, ever
+    fp = bf.contains(others).mean()
+    assert fp < 1e-3, fp                           # ~1e-4 expected
+
+    # bloom decontamination == exact on a corpus with planted contamination
+    import pandas as pd
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype="int64"),
+        "text": [f"w{i}a w{i}b w{i}c w{i}d w{i}e" for i in range(300)]})
+    test = pd.DataFrame({"doc_id": [0], "text": ["w7a w7b w7c extra"]})
+    exact = decontaminate(rd.from_pandas(docs), rd.from_pandas(test),
+                          membership="exact").to_pandas()
+    bloom = decontaminate(rd.from_pandas(docs), rd.from_pandas(test),
+                          membership="bloom").to_pandas()
+    assert sorted(exact["doc_id"]) == sorted(bloom["doc_id"])
+    assert 7 not in set(bloom["doc_id"])           # contaminated doc dropped
+    assert len(bloom) < 300
