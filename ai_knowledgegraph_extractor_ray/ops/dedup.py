@@ -149,8 +149,11 @@ class BloomFilter:
     @classmethod
     def for_items(cls, n_items: int, fp_rate: float = 1e-4) -> "BloomFilter":
         n_items = max(n_items, 1)
-        m = int(np.ceil(-n_items * np.log(fp_rate) / (np.log(2) ** 2)))
-        k = max(1, int(round(m / n_items * np.log(2))))
+        # 8192-bit floor: below ~1e3 bits the asymptotic fp formula has
+        # huge variance (one unlucky k-probe pattern), and a KiB is free
+        m = max(8192, int(np.ceil(-n_items * np.log(fp_rate)
+                                  / (np.log(2) ** 2))))
+        k = max(1, min(30, int(round(m / n_items * np.log(2)))))
         return cls(m, k)
 
     def _idx(self, vals: np.ndarray) -> np.ndarray:
