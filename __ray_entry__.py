@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_sql": q.q_edges_sql,
         "alias_exact": q.q_alias_exact,
         "canon_sql": q.q_canon_sql,
+        "kg_degrees": q.q_kg_degrees,
+        "kg_pagerank": q.q_kg_pagerank,
         # full KG pipeline (not SQL-expressible)
         "kg_nodes": q.q_kg_nodes,
         "kg_edges": q.q_kg_edges,
@@ -233,6 +235,39 @@ def _quality_full_sql() -> str:
                    CAST(round({expr} * 10000) AS BIGINT) AS quality_bp
             FROM f
     """
+
+
+_CANON_EDGES_SQL = f"""
+            WITH ents AS ({_ENTITIES_SQL}),
+            alias AS (
+              SELECT norm, label AS canonical_label FROM (
+                SELECT lower(label) AS norm, label,
+                       row_number() OVER (PARTITION BY lower(label)
+                                          ORDER BY count(*) DESC, label) AS rn
+                FROM ents GROUP BY lower(label), label)
+              WHERE rn = 1),
+            trip AS (
+              SELECT doc_id,
+                     max(CASE WHEN node_id = 'n1' THEN label END) AS a,
+                     max(CASE WHEN node_id = 'n2' THEN label END) AS b,
+                     max(CASE WHEN node_id = 'n3' THEN label END) AS c
+              FROM ents WHERE node_id IN ('n1', 'n2', 'n3')
+              GROUP BY doc_id HAVING count(*) = 3),
+            raw_edges AS (
+              SELECT a AS subj, 'ceo_of' AS pred, b AS obj FROM trip
+              UNION ALL
+              SELECT b AS subj, 'located_in' AS pred, c AS obj FROM trip)
+            SELECT 'e_' || substr(sha256(lower(subj)), 1, 16) AS canonical_src,
+                   pred,
+                   'e_' || substr(sha256(lower(obj)), 1, 16) AS canonical_dst,
+                   als.canonical_label AS src_label,
+                   alo.canonical_label AS dst_label,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM raw_edges
+            JOIN alias als ON als.norm = lower(subj)
+            JOIN alias alo ON alo.norm = lower(obj)
+            GROUP BY ALL
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -620,36 +655,51 @@ def oracle_sql() -> dict[str, str]:
         # canon_sql: canonicalization rewrite with linking disabled — ids are
         # hashes of the normalized surface, labels the corpus-majority
         # variant, weight the count of identical canonical triples
-        "canon_sql": f"""
-            WITH ents AS ({_ENTITIES_SQL}),
-            alias AS (
-              SELECT norm, label AS canonical_label FROM (
-                SELECT lower(label) AS norm, label,
-                       row_number() OVER (PARTITION BY lower(label)
-                                          ORDER BY count(*) DESC, label) AS rn
-                FROM ents GROUP BY lower(label), label)
-              WHERE rn = 1),
-            trip AS (
-              SELECT doc_id,
-                     max(CASE WHEN node_id = 'n1' THEN label END) AS a,
-                     max(CASE WHEN node_id = 'n2' THEN label END) AS b,
-                     max(CASE WHEN node_id = 'n3' THEN label END) AS c
-              FROM ents WHERE node_id IN ('n1', 'n2', 'n3')
-              GROUP BY doc_id HAVING count(*) = 3),
-            raw_edges AS (
-              SELECT a AS subj, 'ceo_of' AS pred, b AS obj FROM trip
+        "canon_sql": _CANON_EDGES_SQL,
+        # graph analytics over the deterministic canonical graph
+        "kg_degrees": f"""
+            WITH edges AS ({_CANON_EDGES_SQL})
+            SELECT node,
+                   CAST(sum(od) AS BIGINT) AS out_degree,
+                   CAST(sum(ow) AS BIGINT) AS out_weight,
+                   CAST(sum(id_) AS BIGINT) AS in_degree,
+                   CAST(sum(iw) AS BIGINT) AS in_weight
+            FROM (
+              SELECT canonical_src AS node, 1 AS od, weight AS ow,
+                     0 AS id_, 0 AS iw FROM edges
               UNION ALL
-              SELECT b AS subj, 'located_in' AS pred, c AS obj FROM trip)
-            SELECT 'e_' || substr(sha256(lower(subj)), 1, 16) AS canonical_src,
-                   pred,
-                   'e_' || substr(sha256(lower(obj)), 1, 16) AS canonical_dst,
-                   als.canonical_label AS src_label,
-                   alo.canonical_label AS dst_label,
-                   CAST(count(*) AS BIGINT) AS weight
-            FROM raw_edges
-            JOIN alias als ON als.norm = lower(subj)
-            JOIN alias alo ON alo.norm = lower(obj)
-            GROUP BY ALL
+              SELECT canonical_dst AS node, 0, 0, 1, weight FROM edges)
+            GROUP BY node
+        """,
+        "kg_pagerank": f"""
+            WITH edges AS ({_CANON_EDGES_SQL}),
+            agg AS (SELECT canonical_src AS src, canonical_dst AS dst,
+                           CAST(sum(weight) AS DOUBLE) AS w
+                    FROM edges GROUP BY 1, 2),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM agg UNION SELECT dst FROM agg)),
+            ow AS (SELECT src, sum(w) AS ow FROM agg GROUP BY src),
+            r0 AS (SELECT node, 1.0 AS r FROM nodes),
+            r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS r
+                   FROM nodes n LEFT JOIN (
+                     SELECT a.dst AS node, sum(a.w / ow.ow * r0.r) AS c
+                     FROM agg a JOIN ow ON ow.src = a.src
+                     JOIN r0 ON r0.node = a.src GROUP BY a.dst) s
+                   ON s.node = n.node),
+            r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS r
+                   FROM nodes n LEFT JOIN (
+                     SELECT a.dst AS node, sum(a.w / ow.ow * r1.r) AS c
+                     FROM agg a JOIN ow ON ow.src = a.src
+                     JOIN r1 ON r1.node = a.src GROUP BY a.dst) s
+                   ON s.node = n.node),
+            r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS r
+                   FROM nodes n LEFT JOIN (
+                     SELECT a.dst AS node, sum(a.w / ow.ow * r2.r) AS c
+                     FROM agg a JOIN ow ON ow.src = a.src
+                     JOIN r2 ON r2.node = a.src GROUP BY a.dst) s
+                   ON s.node = n.node)
+            SELECT node, CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS rank_ubp
+            FROM r3
         """,
         "alias_exact": f"""
             WITH ents AS ({_ENTITIES_SQL}),

@@ -1,0 +1,105 @@
+"""Graph analytics over the constructed knowledge graph.
+
+The canonical graph's EDGE set is corpus-sized (streams as a Dataset);
+its NODE set is vocabulary-sized — the same boundedness the alias
+broadcast already relies on (stages/canonicalize.py) — so per-node state
+(degrees during reduce, the PageRank vector between iterations) may live
+driver-side and broadcast, while every edge pass stays distributed. For
+graphs whose node set itself exceeds driver memory, the same iteration
+body runs with vertex state as a second keyed Dataset joined through the
+exchange instead of a broadcast — the documented scale path, not built
+here because the KG's entity vocabulary is the bounded side by
+construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def degree_table(edges: rd.Dataset, *, src_col: str = "canonical_src",
+                 dst_col: str = "canonical_dst",
+                 weight_col: str | None = "weight",
+                 buckets: int | None = None) -> rd.Dataset:
+    """Per-node degree stats: out_degree / in_degree (distinct neighbor
+    edges) and weighted totals. One bucketed shuffle over per-block
+    partials — a node's partial rows are bounded by blocks, not edges."""
+    from .agg import bucketed_groupby
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col] if weight_col else pd.Series(1, index=df.index)
+        out = (pd.DataFrame({"node": df[src_col], "out_degree": 1,
+                             "out_weight": w, "in_degree": 0, "in_weight": 0})
+               .groupby("node", as_index=False).sum())
+        inn = (pd.DataFrame({"node": df[dst_col], "out_degree": 0,
+                             "out_weight": 0, "in_degree": 1, "in_weight": w})
+               .groupby("node", as_index=False).sum())
+        return pd.concat([out, inn], ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).sum()
+        for c in ("out_degree", "out_weight", "in_degree", "in_weight"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    partials = edges.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, ["node"], merge, buckets=buckets)
+
+
+def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
+             dst_col: str = "canonical_dst", weight_col: str | None = "weight",
+             damping: float = 0.85, iters: int = 3,
+             buckets: int | None = None) -> pd.DataFrame:
+    """Weighted PageRank, per-node-1 formulation (no 1/N scaling):
+
+        r_{t+1}(v) = (1 - d) + d * sum_{u->v} w(u,v) / W_out(u) * r_t(u)
+
+    Dangling mass is not redistributed (the simplified variant — fully
+    deterministic, SQL-expressible for the oracle). Iteration state is the
+    node-vocabulary-sized rank vector (driver + broadcast, see module
+    docstring); every per-iteration contribution pass is a distributed
+    edge scan reduced through one bucketed shuffle. Deliberately NOT an
+    all-Dataset loop: iterative Dataset-only loops degrade per round on
+    this Ray version (see ops/cc.py and the round-1 notes); driver-held
+    iteration state is both faster and the broadcast is needed anyway.
+
+    Returns a DataFrame (node, rank) — node-vocabulary-sized."""
+    import ray
+
+    from .agg import bucketed_groupby
+
+    deg = degree_table(edges, src_col=src_col, dst_col=dst_col,
+                       weight_col=weight_col, buckets=buckets).to_pandas()
+    if len(deg) == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="string"),
+                             "rank": pd.Series(dtype="float64")})
+    out_w = dict(zip(deg["node"], deg["out_weight"].astype(float)))
+    ranks = {n: 1.0 for n in deg["node"]}
+
+    for _ in range(iters):
+        state_ref = ray.put((ranks, out_w))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            r, ow = ray.get(state_ref)
+            w = (df[weight_col].astype(float) if weight_col
+                 else pd.Series(1.0, index=df.index))
+            src = df[src_col]
+            c = w * src.map(r).astype(float) / src.map(ow).astype(float)
+            return (pd.DataFrame({"node": df[dst_col], "c": c})
+                    .groupby("node", as_index=False).sum())
+
+        parts = bucketed_groupby(
+            edges.map_batches(contrib, batch_format="pandas"),
+            ["node"],
+            lambda df: df.groupby("node", as_index=False)["c"].sum(),
+            buckets=buckets).to_pandas()
+        incoming = dict(zip(parts["node"], parts["c"])) if len(parts) else {}
+        ranks = {n: (1.0 - damping) + damping * incoming.get(n, 0.0)
+                 for n in ranks}
+
+    out = pd.DataFrame({"node": pd.Series(list(ranks), dtype="string"),
+                        "rank": pd.Series(list(ranks.values()),
+                                          dtype="float64")})
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)

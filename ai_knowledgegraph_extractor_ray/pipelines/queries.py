@@ -762,6 +762,29 @@ def q_canon_sql(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_kg_degrees(sf_dir: str) -> rd.Dataset:
+    """Per-entity degree stats over the deterministic canonical graph
+    (canon_sql edges): graph analytics as a bucketed partial-sum pass."""
+    from ..ops.graph import degree_table
+
+    return degree_table(q_canon_sql(sf_dir))
+
+
+def q_kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Weighted PageRank (3 iterations, d=0.85, per-node-1 form, dangling
+    mass not redistributed) over the deterministic canonical graph —
+    iterative graph analytics with driver-held vocabulary-sized rank state
+    and distributed edge passes. Rank reported as micro-units for hash
+    stability against the SQL fixed-iteration oracle."""
+    from ..ops.graph import pagerank
+
+    r = pagerank(q_canon_sql(sf_dir), iters=3, damping=0.85)
+    return pd.DataFrame({
+        "node": r["node"].astype(str),
+        "rank_ubp": np.floor(r["rank"].to_numpy() * 1_000_000 + 0.5)
+        .astype(np.int64)})
+
+
 def q_alias_exact(sf_dir: str) -> rd.Dataset:
     """Exact-normalization alias table over the extracted entity mentions
     (the SQL-checkable core of canonicalization: salted two-phase mention

@@ -156,6 +156,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "edges_sql": lambda: q.q_edges_sql(sf_dir).count(),
             "alias_exact": lambda: q.q_alias_exact(sf_dir).count(),
             "canon_sql": lambda: q.q_canon_sql(sf_dir).count(),
+            "kg_degrees": lambda: q.q_kg_degrees(sf_dir).count(),
+            "kg_pagerank": lambda: len(q.q_kg_pagerank(sf_dir)),
             "media_decode": lambda: q.q_media_decode(sf_dir).count(),
             "corpus_clean": lambda: q.q_corpus_clean(sf_dir).count(),
         }

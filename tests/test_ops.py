@@ -795,3 +795,40 @@ def test_bloom_filter_and_bloom_decontaminate():
     assert 7 not in set(bloom["doc_id"])
     assert len(exact) == 299                       # only doc 7 shares a gram
     assert len(bloom) >= 290                       # fp floor keeps it tight
+
+
+def test_graph_degrees_and_pagerank():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.graph import (
+        degree_table,
+        pagerank,
+    )
+
+    edges = pd.DataFrame({
+        "canonical_src": ["a", "a", "b", "c", "c", "c"],
+        "canonical_dst": ["b", "c", "c", "a", "a", "b"],
+        "weight": [1, 2, 3, 1, 1, 4]})
+    ds = rd.from_pandas(edges).repartition(3)
+
+    deg = degree_table(ds).to_pandas().set_index("node")
+    assert int(deg.loc["a", "out_degree"]) == 2
+    assert int(deg.loc["a", "out_weight"]) == 3
+    assert int(deg.loc["c", "in_weight"]) == 2 + 3
+    assert int(deg.loc["c", "out_degree"]) == 3
+
+    r = pagerank(ds, iters=10, damping=0.85)
+    ranks = dict(zip(r["node"], r["rank"]))
+    # driver-side reference iteration
+    ref = {n: 1.0 for n in "abc"}
+    ow = {"a": 3.0, "b": 3.0, "c": 6.0}
+    for _ in range(10):
+        inc = {n: 0.0 for n in "abc"}
+        for s, d, w in zip(edges["canonical_src"], edges["canonical_dst"],
+                           edges["weight"]):
+            inc[d] += w / ow[s] * ref[s]
+        ref = {n: 0.15 + 0.85 * inc[n] for n in ref}
+    for n in "abc":
+        assert abs(ranks[n] - ref[n]) < 1e-9, n
