@@ -186,6 +186,45 @@ def extract_text(path: str, data: bytes) -> tuple[str, str, str]:
         return ext, "", "decode_error"
 
 
+def read_documents_jsonl(path: str, *, text_field: str = "text",
+                         id_field: str = "id") -> rd.Dataset:
+    """JSONL corpus source (the common crawl-dump/dataset-dump interchange
+    format): one JSON object per line -> (path, ext, text, error) rows with
+    the same shape as ``read_raw_documents``, so everything downstream
+    (validation, transcripts derivation, the KG job) is format-agnostic.
+    ``ray.data.read_json`` handles .jsonl/.json and gzip transparently;
+    records missing ``text_field`` become error rows, never exceptions.
+    The doc identity is ``<file>#<id_field>`` when present, else the
+    file path (single-doc files)."""
+    ds = rd.read_json(path, include_paths=True)
+
+    def fn(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        paths = (t["path"].to_pylist() if "path" in names
+                 else [""] * t.num_rows)
+        texts_in = (t[text_field].to_pylist() if text_field in names
+                    else [None] * t.num_rows)
+        ids_in = (t[id_field].to_pylist() if id_field in names
+                  else [None] * t.num_rows)
+        out_paths, texts, errors = [], [], []
+        for p, s, i in zip(paths, texts_in, ids_in):
+            out_paths.append(f"{p}#{i}" if i is not None else p)
+            if isinstance(s, str) and s.strip():
+                texts.append(s.strip())
+                errors.append("")
+            else:
+                texts.append("")
+                errors.append("missing_text_field")
+        return pa.table({
+            "path": pa.array(out_paths, pa.string()),
+            "ext": pa.array([".jsonl"] * t.num_rows, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def read_raw_documents(path: str) -> rd.Dataset:
     """Directory/file of raw documents -> (path, ext, text, error) Dataset."""
     ds = rd.read_binary_files(path, include_paths=True)

@@ -159,3 +159,35 @@ def test_pdf_escape_decoding_single_pass():
     assert lines[0] == "A\\nB"          # backslash + literal n, no newline
     assert lines[1] == "octAl + x"      # \101 -> 'A', \053 -> '+'
     assert lines[2] == "paren)close"
+
+
+def test_read_documents_jsonl_roundtrip(tmp_path):
+    """JSONL source feeds the same downstream shape as the binary-file
+    route, including transcripts derivation into the KG pipeline."""
+    import json
+
+    from ai_knowledgegraph_extractor_ray.sources.documents import (
+        documents_as_transcripts,
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"id": "d1", "text": "John Doe is the CEO of Acme Corporation."},
+        {"id": "d2", "text": "Jane Smith founded TechStart in Boston."},
+        {"id": "d3", "note": "no text field"},
+        {"id": "d4", "text": "   "},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    out = read_documents_jsonl(str(p)).to_pandas()
+    assert len(out) == 4
+    ok = out[out["error"] == ""]
+    assert len(ok) == 2
+    assert all(s.endswith(("#d1", "#d2")) for s in ok["path"])
+    assert set(out.loc[out["error"] != "", "error"]) == {"missing_text_field"}
+
+    ts = documents_as_transcripts(read_documents_jsonl(str(p))).to_pandas()
+    assert set(ts.columns) >= {"conv_id", "turn_idx", "text"}
+    assert len(ts) == 2                       # one line each, error rows gone
+    assert "Acme Corporation" in " ".join(ts["text"])
