@@ -279,3 +279,83 @@ def test_windowed_fast_path_equals_pure_loop():
         got[cid] = list(g["text"])
         assert list(g["window_id"]) == list(range(len(g)))
     assert got == expected
+
+
+# --- round-3 operators: distributed scan / quantiles / joins ----------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(-10**6, 10**6),
+                       st.integers(-100, 100)),
+             min_size=1, max_size=400, unique_by=lambda t: t[0]),
+    st.integers(1, 7),
+    st.integers(2, 20),
+)
+def test_prefix_sum_property(pairs, nblocks, rbuckets):
+    """ordered_prefix_sum == driver-side sorted cumsum for arbitrary
+    (unique) keys incl. negatives, any blocking, any range_buckets."""
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import ordered_prefix_sum
+
+    df = pd.DataFrame(pairs, columns=["k", "v"]).astype("int64")
+    want = df.sort_values("k")["v"].cumsum().to_numpy()
+    got = (ordered_prefix_sum(
+        rd.from_pandas(df).repartition(nblocks), "k", "v", out_col="ps",
+        range_buckets=rbuckets).to_pandas().sort_values("k")["ps"].to_numpy())
+    assert list(got) == list(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from("abcd"), st.integers(0, 30)),
+             min_size=1, max_size=300),
+    st.floats(0.01, 0.99),
+)
+def test_grouped_quantile_property(rows, q):
+    """grouped_quantile_disc == percentile_disc semantics (smallest value
+    whose cumulative count reaches ceil(q*n)) for arbitrary groups."""
+    import math
+
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_quantile_disc
+
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    df["v"] = df["v"].astype("int64")
+    got = grouped_quantile_disc(rd.from_pandas(df).repartition(3), ["g"],
+                                "v", {"qq": q}).to_pandas().set_index("g")
+    for g, grp in df.groupby("g"):
+        vals = sorted(grp["v"])
+        want = vals[max(math.ceil(q * len(vals)), 1) - 1]
+        assert int(got.loc[g, "qq"]) == want, (g, q)
+        assert int(got.loc[g, "n"]) == len(vals)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 99)),
+             min_size=0, max_size=120),
+    st.lists(st.tuples(st.integers(0, 12), st.integers(100, 199)),
+             min_size=0, max_size=120),
+)
+def test_hash_inner_join_property(lrows, rrows):
+    """hash_inner_join == pandas merge for arbitrary key overlap,
+    including one side empty and keys present on only one side."""
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import hash_inner_join
+
+    l = pd.DataFrame(lrows or [(0, 0)], columns=["k", "lv"]).astype("int64")
+    r = pd.DataFrame(rrows or [(99, 100)], columns=["k", "rv"]).astype("int64")
+    want = (l.merge(r, on="k").sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True))
+    got = (hash_inner_join(rd.from_pandas(l).repartition(2),
+                           rd.from_pandas(r).repartition(3), on="k")
+           .to_pandas())
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]],
+                                  want[["k", "lv", "rv"]])
