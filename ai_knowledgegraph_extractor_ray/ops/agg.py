@@ -128,8 +128,15 @@ def ordered_prefix_sum(ds: rd.Dataset, order_col: str, value_col: str,
     import ray
     from ray.data.aggregate import Max, Min
 
+    # one execution for all three passes below — the input may be an
+    # expensive lazy pipeline (e.g. tokenization of the whole corpus)
+    ds = ds.materialize()
     stats = ds.aggregate(Min(order_col), Max(order_col))
     lo, hi = stats[f"min({order_col})"], stats[f"max({order_col})"]
+    if lo is None or hi is None:        # empty input: Ray aggregates -> None
+        def empty_out(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(**{out_col: pd.Series(dtype="float64")})
+        return ds.map_batches(empty_out, batch_format="pandas")
     span = max(float(hi) - float(lo), 1.0)
     width = span / range_buckets + 1e-9
 
@@ -301,7 +308,10 @@ def grouped_quantile_disc(ds: rd.Dataset, key_cols: list[str],
             n = int(cum[-1])
             row = dict(zip(key_cols, k if isinstance(k, tuple) else (k,)))
             for name, q in quantiles.items():
-                rank = int(np.ceil(q * n)) if q > 0 else 1
+                # epsilon guards binary-float overshoot: 0.07 * 100 is
+                # 7.000000000000001 in float64 and a bare ceil would
+                # return rank 8 where percentile_disc says 7
+                rank = int(np.ceil(q * n - 1e-9)) if q > 0 else 1
                 row[name] = vals[int(np.searchsorted(cum, max(rank, 1)))]
             row["n"] = n
             out_rows.append(row)

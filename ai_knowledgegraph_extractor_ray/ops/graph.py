@@ -40,8 +40,14 @@ def degree_table(edges: rd.Dataset, *, src_col: str = "canonical_src",
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node", as_index=False).sum()
-        for c in ("out_degree", "out_weight", "in_degree", "in_weight"):
+        for c in ("out_degree", "in_degree"):
             g[c] = g[c].astype("int64")
+        for c in ("out_weight", "in_weight"):
+            # keep float weights float — int64 would silently truncate
+            if pd.api.types.is_float_dtype(g[c]):
+                g[c] = g[c].astype("float64")
+            else:
+                g[c] = g[c].astype("int64")
         return g
 
     partials = edges.map_batches(partial, batch_format="pandas")
@@ -70,12 +76,18 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
 
     from .agg import bucketed_groupby
 
+    # one execution for the degree pass AND every iteration's edge scan —
+    # the input is often an expensive lazy pipeline (canonicalization)
+    edges = edges.materialize()
     deg = degree_table(edges, src_col=src_col, dst_col=dst_col,
                        weight_col=weight_col, buckets=buckets).to_pandas()
     if len(deg) == 0:
         return pd.DataFrame({"node": pd.Series(dtype="string"),
                              "rank": pd.Series(dtype="float64")})
-    out_w = dict(zip(deg["node"], deg["out_weight"].astype(float)))
+    # zero-out-weight sources contribute nothing (dangling; also guards a
+    # float weight sum of 0 from dividing to inf)
+    out_w = {n: w for n, w in zip(deg["node"],
+                                  deg["out_weight"].astype(float)) if w > 0}
     ranks = {n: 1.0 for n in deg["node"]}
 
     for _ in range(iters):
@@ -86,7 +98,9 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
             w = (df[weight_col].astype(float) if weight_col
                  else pd.Series(1.0, index=df.index))
             src = df[src_col]
-            c = w * src.map(r).astype(float) / src.map(ow).astype(float)
+            c = (w * src.map(r).astype(float)
+                 / src.map(ow).astype(float)).fillna(0.0)  # ow excludes
+            # zero-out-weight sources -> their rows contribute nothing
             return (pd.DataFrame({"node": df[dst_col], "c": c})
                     .groupby("node", as_index=False).sum())
 

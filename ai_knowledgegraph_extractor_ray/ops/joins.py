@@ -91,6 +91,15 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
 
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
+    overlap = (set(l_cols) & set(r_cols)) - {on}
+    if overlap:
+        raise ValueError(
+            f"hash_inner_join: non-key columns {sorted(overlap)} exist on "
+            "both sides — rename or project before joining (pandas would "
+            "silently suffix them)")
+    if "_side" in l_cols or "_side" in r_cols:
+        raise ValueError("input already carries the join's internal "
+                         "'_side' column")
     l_dtypes = _pandas_dtypes_of(left.schema())
     r_dtypes = _pandas_dtypes_of(right.schema())
 

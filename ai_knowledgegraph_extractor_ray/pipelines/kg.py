@@ -141,7 +141,12 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
     # committed partition ids were assigned under it); a fresh run computes
     # one when cfg.auto_split_skew and persists it before any commit.
     split_map: dict[int, tuple[int, int]] = {}
-    if cfg.auto_split_skew and cfg.backend == "rules":
+    if (cfg.auto_split_skew and cfg.backend == "rules"
+            and cfg.num_partitions <= 1024):
+        # NOT wired for the hierarchical exchange (P > 1024): computing a
+        # map there would persist a layout the exchange never applies,
+        # breaking lookups and resume validation — at that P the remedy
+        # for an oversized partition is simply a higher P.
         split_map = load_split_map(out_dir, cfg.version) if resume else {}
         if not split_map:
             split_map = _compute_split_map(transcripts, cfg)

@@ -219,7 +219,9 @@ class ModelEmbedScorer(_PairScorer):
     def _embed_batch(self, texts: list[str]) -> np.ndarray:
         v = np.asarray(self.model.encode(list(texts)), dtype=np.float32)
         norms = np.linalg.norm(v, axis=1, keepdims=True)
-        return np.divide(v, norms, where=norms > 0)
+        out = np.zeros_like(v)     # where= without out= leaves zero-norm
+        np.divide(v, norms, out=out, where=norms > 0)  # rows uninitialized
+        return out
 
 
 def make_embed_scorer(cfg: KGConfig) -> tuple[type, dict]:

@@ -96,10 +96,11 @@ class LLMBackend:
                                        or cfg.llm_openai_base_url):
             from ..functions.llm_client import OllamaClient, OpenAIClient
             for provider in (p.strip() for p in cfg.llm_provider.split(",")):
-                if provider == "ollama" and cfg.llm_base_url:
-                    self.clients.append(OllamaClient(
-                        cfg.llm_base_url, cfg.llm_model,
-                        timeout_s=cfg.llm_timeout_s))
+                if provider == "ollama":
+                    if cfg.llm_base_url:   # no URL -> provider just absent
+                        self.clients.append(OllamaClient(
+                            cfg.llm_base_url, cfg.llm_model,
+                            timeout_s=cfg.llm_timeout_s))
                 elif provider == "openai":
                     base = cfg.llm_openai_base_url or cfg.llm_base_url
                     self.clients.append(OpenAIClient(
@@ -107,6 +108,11 @@ class LLMBackend:
                         timeout_s=cfg.llm_timeout_s))
                 elif provider:
                     raise ValueError(f"unknown llm_provider {provider!r}")
+            if not self.clients:
+                raise ValueError(
+                    f"llm_provider={cfg.llm_provider!r} matched no "
+                    "configured endpoint (set llm_base_url / "
+                    "llm_openai_base_url)")
 
     def _generate(self, text_chunk: str) -> str:
         if self.fake_responses is not None:

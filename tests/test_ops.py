@@ -832,3 +832,60 @@ def test_graph_degrees_and_pagerank():
         ref = {n: 0.15 + 0.85 * inc[n] for n in ref}
     for n in "abc":
         assert abs(ranks[n] - ref[n]) < 1e-9, n
+
+
+def test_review_regressions_round3():
+    """Pins for the round-3 code-review findings."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import (
+        grouped_quantile_disc,
+        ordered_prefix_sum,
+    )
+    from ai_knowledgegraph_extractor_ray.ops.graph import (
+        degree_table,
+        pagerank,
+    )
+    from ai_knowledgegraph_extractor_ray.ops.joins import hash_inner_join
+
+    # empty input: no TypeError from None min/max
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                         "v": pd.Series(dtype="int64")}))
+    assert ordered_prefix_sum(empty, "k", "v").count() == 0
+
+    # q=0.07 over 100 rows: float64 ceil overshoot (7.000000000000001 -> 8)
+    df = pd.DataFrame({"g": ["a"] * 100, "v": np.arange(1, 101)})
+    got = grouped_quantile_disc(rd.from_pandas(df), ["g"], "v",
+                                {"p7": 0.07}).to_pandas()
+    assert int(got["p7"].iloc[0]) == 7          # percentile_disc rank 7
+
+    # float edge weights survive (no int64 truncation), zero-out-weight safe
+    e = rd.from_pandas(pd.DataFrame({
+        "canonical_src": ["a", "b"], "canonical_dst": ["b", "a"],
+        "weight": [0.5, 0.25]}))
+    deg = degree_table(e).to_pandas().set_index("node")
+    assert float(deg.loc["a", "out_weight"]) == 0.5
+    r = pagerank(e, iters=2)
+    assert np.isfinite(r["rank"]).all()
+
+    # overlapping non-key columns raise instead of silently suffixing
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "text": ["x"]}))
+    rr = rd.from_pandas(pd.DataFrame({"k": [1], "text": ["y"]}))
+    with pytest.raises(ValueError, match="both sides"):
+        hash_inner_join(l, rr, on="k")
+
+
+def test_llm_provider_misconfig_message():
+    import pytest
+
+    from ai_knowledgegraph_extractor_ray.config import KGConfig
+    from ai_knowledgegraph_extractor_ray.stages.extract import LLMBackend
+
+    # default provider 'ollama' with only the openai URL set: clear error,
+    # not "unknown llm_provider 'ollama'"
+    cfg = KGConfig(backend="llm", llm_openai_base_url="http://127.0.0.1:9")
+    with pytest.raises(ValueError, match="matched no"):
+        LLMBackend(cfg)
