@@ -87,6 +87,11 @@ def keep_nonsingleton_buckets(ds: rd.Dataset, bucket_col: str = "bucket") -> rd.
 
     from .agg import bucketed_groupby
 
+    # materialize: consumed twice (hot-set detection + the keep filter) —
+    # without it the caller's lazy banding pipeline, signature computation
+    # included, would execute twice
+    ds = ds.materialize()
+
     def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         sz = df.groupby(bucket_col, sort=False)[bucket_col].transform("size")
         return df.loc[sz >= 2, [bucket_col]].drop_duplicates()
@@ -94,12 +99,14 @@ def keep_nonsingleton_buckets(ds: rd.Dataset, bucket_col: str = "bucket") -> rd.
     hot = bucketed_groupby(
         ds.select_columns([bucket_col]), [bucket_col], hot_in_bucket).to_pandas()
     hot_vals = hot[bucket_col].tolist() if bucket_col in hot.columns else []
-    hot_ref = ray.put(set(hot_vals))
+    hot_ref = ray.put(pa.array(hot_vals))
 
     def keep(t: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
-        mask = [b in hot_set for b in t[bucket_col].to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+        hot_arr = ray.get(hot_ref)
+        if len(hot_arr) == 0:
+            return t.slice(0, 0)
+        return t.filter(pc.is_in(t[bucket_col], value_set=hot_arr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -249,7 +256,16 @@ _PERM_A = (_rng.randint(1, 2**62, size=256).astype(np.uint64) << np.uint64(1)) |
 _PERM_B = _rng.randint(0, 2**62, size=256).astype(np.uint64)
 
 
+def _check_num_perm(num_perm: int) -> None:
+    if num_perm > len(_PERM_A):
+        raise ValueError(
+            f"num_perm={num_perm} exceeds the {len(_PERM_A)}-entry "
+            "permutation table; signatures would silently truncate and "
+            "every band past the table would collide globally")
+
+
 def minhash_sig(sh: set[int], num_perm: int) -> np.ndarray:
+    _check_num_perm(num_perm)
     if not sh:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     vals = np.fromiter(sh, dtype=np.uint64, count=len(sh))
@@ -263,6 +279,7 @@ def minhash_sigs_batch(shingle_sets: list[set[int]], num_perm: int) -> np.ndarra
     shingles, one (num_perm x total_shingles) vectorized hash, then
     per-document segment minima via np.minimum.reduceat. Bit-identical to
     per-doc minhash_sig, ~10x less Python overhead."""
+    _check_num_perm(num_perm)
     n = len(shingle_sets)
     out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n)
@@ -289,7 +306,7 @@ def jaccard_of(a: set[int], b: set[int]) -> float:
     if not a and not b:
         return 1.0
     inter = len(a & b)
-    return inter / (len(a) + len(b) - inter) if (a or b) else 0.0
+    return inter / (len(a) + len(b) - inter)
 
 
 def _dedup_pair_merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -324,6 +341,9 @@ def minhash_candidate_pairs(
 
     from .agg import bucketed_groupby
 
+    # scanned twice (slim bands + hot-text pass); a lazy upstream pipeline
+    # must not re-execute per scan
+    ds = ds.materialize()
     r = num_perm // bands
 
     def band_keys_batch(texts: list) -> list[list[str]]:
@@ -425,6 +445,8 @@ def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
     duplicate-sized either way."""
     import ray
 
+    ds = ds.materialize()   # consumed by the keep filter after the pair
+    # finder already scanned it — never re-execute a lazy upstream
     if cluster_mode == "distributed":
         from .cc import connected_components
         comp = connected_components(pairs_ds).to_pandas()
@@ -593,6 +615,7 @@ def embedding_near_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
 
     from .agg import bucketed_groupby, per_group_apply
 
+    ds = ds.materialize()   # scanned twice (slim buckets + hot vectors)
     n_planes = bands * band_bits
 
     def signatures(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -603,7 +626,9 @@ def embedding_near_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
             return ids, vecs, np.empty((0, bands), dtype=np.int64)
         planes = _hyperplanes(vecs.shape[1], n_planes)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = np.divide(vecs, norms, where=norms > 0)
+        unit = np.zeros_like(vecs)      # where= without out= would leave
+        np.divide(vecs, norms, out=unit, where=norms > 0)  # zero-norm rows
+        # as uninitialized memory -> nondeterministic buckets/cosines
         signs = (unit @ planes) > 0                       # (n, bands*bits)
         weights = (1 << np.arange(band_bits, dtype=np.int64))
         subsig = signs.reshape(len(vecs), bands, band_bits) @ weights

@@ -13,8 +13,8 @@ Scale design (SURVEY.md §7.2, shuffles #2/#3/#4):
   ``groupby(norm)`` shuffle moves at most |distinct variants| rows per block,
   never one row per mention — this is what defuses hot-key skew (a surface
   form appearing in 30% of conversations contributes one partial row per
-  block, not millions of mention rows). An explicit salt column fans the
-  merge out further when even variant cardinality is hot.
+  block, not millions of mention rows); ``alias_salt_buckets`` sets the
+  merge fan-out of the bucketed reduce.
 * **LSH blocking over *distinct norms*, not mentions.** MinHash signatures of
   char-3-gram shingles, banded; only norms sharing a band bucket are compared
   (verified with true Jaccard + an embedding-cosine score from a hash-feature
@@ -66,9 +66,12 @@ def canonical_id_of(cluster_key: str) -> str:
 
 # --- phase 1: mention partials ----------------------------------------------
 
-def _mention_partials(batch: pa.Table, salt_buckets: int) -> pa.Table:
+def _mention_partials(batch: pa.Table) -> pa.Table:
     """Collapse one block of node rows to (norm, label) -> count partials
-    (the combiner: a hot surface form leaves the block as ONE row)."""
+    (the combiner: a hot surface form leaves the block as ONE row — this
+    per-block partial IS the hot-key defense; no extra salt column is
+    needed because a key contributes at most one row per block per
+    variant)."""
     labels = batch["label"].to_pylist()
     counts: dict[tuple[str, str], int] = {}
     for lab in labels:
@@ -102,9 +105,7 @@ def build_surface_table(nodes: rd.Dataset, cfg: KGConfig) -> rd.Dataset:
     one Python task per distinct surface form."""
     from ..ops.agg import bucketed_groupby
 
-    partials = nodes.map_batches(
-        lambda t: _mention_partials(t, cfg.alias_salt_buckets),
-        batch_format="pyarrow")
+    partials = nodes.map_batches(_mention_partials, batch_format="pyarrow")
 
     def merge_and_pick(df: pd.DataFrame) -> pd.DataFrame:
         df = df.groupby(["norm", "label"], as_index=False, sort=False)["cnt"].sum()
@@ -360,7 +361,9 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
     # shuffle from the alias build.
     def unclustered_alias(df: pd.DataFrame) -> pd.DataFrame:
         rmap, members = ray.get(root_ref)
-        df = df[[n not in members for n in df["norm"]]]
+        # vectorized (a list-comprehension mask on an EMPTY batch would be
+        # df[[]] — column selection — and break the schema)
+        df = df[~df["norm"].isin(members)]
         out = pd.DataFrame({
             "norm": df["norm"].astype("string"),
             "canonical_id": df["norm"].map(canonical_id_of).astype("string"),
@@ -372,7 +375,7 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
 
     def clustered_rooted(df: pd.DataFrame) -> pd.DataFrame:
         rmap, members = ray.get(root_ref)
-        df = df[[n in members for n in df["norm"]]]
+        df = df[df["norm"].isin(members)]
         return df.assign(
             root=pd.Series([rmap.get(n, n) for n in df["norm"]],
                            index=df.index, dtype="string"))
@@ -412,7 +415,11 @@ def hot_alias_frame(alias: rd.Dataset, cap: int) -> pd.DataFrame:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[df["is_clustered"]]
-        top = df.nlargest(min(cap, len(df)), "cluster_mentions")
+        # top-k over UNCLUSTERED rows only: clustered rows are kept anyway,
+        # and letting them crowd the per-block top-k could evict globally
+        # hot unclustered norms from the broadcast
+        un = df[~df["is_clustered"]]
+        top = un.nlargest(min(cap, len(un)), "cluster_mentions")
         return (pd.concat([keep, top]).drop_duplicates("norm")[ALIAS_COLS])
 
     parts = alias.map_batches(partial, batch_format="pandas").to_pandas()
@@ -458,6 +465,9 @@ def canonicalize_edges(edges: rd.Dataset, alias: rd.Dataset | pd.DataFrame,
         for subj, pred, obj in zip(batch["subj"].to_pylist(),
                                    batch["pred"].to_pylist(),
                                    batch["obj"].to_pylist()):
+            if subj is None or obj is None:
+                continue    # null endpoint: no entity to canonicalize onto
+                # (the nodes-side partial skips null labels the same way)
             sn, on = normalize_surface(subj), normalize_surface(obj)
             s = amap.get(sn, (canonical_id_of(sn), subj))
             o = amap.get(on, (canonical_id_of(on), obj))
