@@ -87,9 +87,10 @@ def keep_nonsingleton_buckets(ds: rd.Dataset, bucket_col: str = "bucket") -> rd.
 
     from .agg import bucketed_groupby
 
-    # materialize: consumed twice (hot-set detection + the keep filter) —
-    # without it the caller's lazy banding pipeline, signature computation
-    # included, would execute twice
+    # materialize: consumed twice (hot-set detection + the keep filter),
+    # and the BANDED rows are slim (keys + ids, no text/vector payload) —
+    # storing them once is far cheaper than re-running the caller's
+    # banding + signature pipeline
     ds = ds.materialize()
 
     def hot_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -341,9 +342,11 @@ def minhash_candidate_pairs(
 
     from .agg import bucketed_groupby
 
-    # scanned twice (slim bands + hot-text pass); a lazy upstream pipeline
-    # must not re-execute per scan
-    ds = ds.materialize()
+    # ds is scanned twice (slim bands + hot-text pass). Deliberately NOT
+    # materialized here: for the common read_parquet input a second scan
+    # is cheaper than spilling the whole text corpus through the object
+    # store; callers whose upstream is an expensive lazy pipeline should
+    # pass ds.materialize() (corpus_clean does).
     r = num_perm // bands
 
     def band_keys_batch(texts: list) -> list[list[str]]:
@@ -445,8 +448,8 @@ def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
     duplicate-sized either way."""
     import ray
 
-    ds = ds.materialize()   # consumed by the keep filter after the pair
-    # finder already scanned it — never re-execute a lazy upstream
+    # ds is re-scanned by the keep filter (cheap for parquet inputs; pass
+    # a materialized dataset when the upstream is an expensive pipeline)
     if cluster_mode == "distributed":
         from .cc import connected_components
         comp = connected_components(pairs_ds).to_pandas()
@@ -615,7 +618,8 @@ def embedding_near_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
 
     from .agg import bucketed_groupby, per_group_apply
 
-    ds = ds.materialize()   # scanned twice (slim buckets + hot vectors)
+    # scanned twice (slim buckets + hot vectors); not materialized — the
+    # vector payload IS the corpus, and a re-scan beats spilling it
     n_planes = bands * band_bits
 
     def signatures(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
