@@ -197,13 +197,18 @@ class _TinyModel:
     per-text orthogonal-ish vectors, so the model DECIDES the clustering."""
 
     def encode(self, texts):
+        import zlib
+
         import numpy as np
         out = np.zeros((len(texts), 8), dtype=np.float32)
         for i, t in enumerate(texts):
             if t.startswith("acme"):
                 out[i, 0] = 1.0
             else:
-                out[i, (hash(t) % 7) + 1] = 1.0
+                # crc32, not hash(): builtin str hash is salted per process,
+                # and the model runs inside Ray workers — per-worker seeds
+                # would make the same text embed differently (flaky merges).
+                out[i, (zlib.crc32(t.encode()) % 7) + 1] = 1.0
         return out
 
 
