@@ -86,6 +86,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # general inner join, both physical plans
         "join_broadcast": q.q_join_broadcast,
         "join_shuffle": q.q_join_shuffle,
+        "join_semi": q.q_join_semi,
+        "join_anti": q.q_join_anti,
+        # ordered per-key window functions
+        "events_window": q.q_events_window,
+        # stratified train/val/test split
+        "stratified_split": q.q_stratified_split,
         # similarity search
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
@@ -605,6 +611,52 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts BETWEEN c.ts - INTERVAL 10 MINUTE
                           AND c.ts + INTERVAL 10 MINUTE
             GROUP BY c.event_id, c.user_id
+        """,
+        "join_semi": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "events_window": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(coalesce(lag(cents) OVER w, -1) AS BIGINT)
+                     AS prev_cents,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS roll3_cents
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # stratified_split: rank within stratum by (16-bit sha256-of-id
+        # prefix, id); fixed-width lowercase hex orders == numerically,
+        # and the floor(cum_ratio * n) cuts match the numpy side exactly
+        # (identical IEEE double multiply)
+        "stratified_split": f"""
+            WITH l AS ({_lang_id_sql()}),
+            r AS (SELECT doc_id, lang_guess,
+                         row_number() OVER (PARTITION BY lang_guess
+                           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)),
+                                           1, 4), doc_id) - 1 AS rk,
+                         count(*) OVER (PARTITION BY lang_guess) AS n
+                  FROM l)
+            SELECT doc_id, lang_guess,
+                   CASE WHEN rk < floor(0.8 * n) THEN 'train'
+                        WHEN rk < floor(0.9 * n) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

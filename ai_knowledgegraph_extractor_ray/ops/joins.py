@@ -228,3 +228,53 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, *,
         return out
 
     return bucketed_groupby(both, [by], merge, buckets=buckets)
+
+
+def hash_semi_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
+                   anti: bool = False,
+                   buckets: int | None = None) -> rd.Dataset:
+    """Semi join (``anti=False``): left rows whose ``on`` key appears in
+    ``right`` — SQL's ``WHERE key IN (SELECT key FROM right)``. Anti join
+    (``anti=True``): left rows whose key does NOT appear. Output keeps the
+    left schema exactly; right rows never appear in the output.
+
+    Scale shape: the right side is projected to its key column and
+    per-block deduplicated BEFORE the shuffle (a membership check needs
+    each distinct key once, not every row), so a billion-row right side
+    with a bounded key vocabulary ships only its distinct keys into the
+    one co-bucketed exchange. For a right side small enough to collect,
+    prefer the zero-shuffle broadcast form (``decontaminate``-style
+    ``ray.put`` + ``isin`` inside ``map_batches``)."""
+    l_cols = list(left.schema().names)
+    if "_side" in l_cols:
+        raise ValueError("input already carries the join's internal "
+                         "'_side' column")
+    l_dtypes = _pandas_dtypes_of(left.schema())
+    r_dtypes = _pandas_dtypes_of(right.schema())
+    if on not in r_dtypes:
+        raise ValueError(f"hash_semi_join: key {on!r} missing from right")
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_side=np.int8(0))
+
+    def slim_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({on: df[on].unique()}).assign(_side=np.int8(1))
+
+    both = (left.map_batches(tag_left, batch_format="pandas")
+            .union(right.select_columns([on])
+                   .map_batches(slim_right, batch_format="pandas")))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = _side_frame(df, 0, l_cols, l_dtypes)
+        r = _side_frame(df, 1, [on], {on: r_dtypes[on]})
+        mask = l[on].isin(r[on].unique())
+        return l[~mask if anti else mask]
+
+    return bucketed_groupby(both, [on], merge, buckets=buckets)
+
+
+def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
+                   buckets: int | None = None) -> rd.Dataset:
+    """Left rows with NO match in ``right`` on ``on`` (SQL ``NOT IN`` /
+    ``NOT EXISTS``). See ``hash_semi_join``."""
+    return hash_semi_join(left, right, on, anti=True, buckets=buckets)

@@ -57,3 +57,74 @@ def cap_per_group(ds: rd.Dataset, *, group_col: str, order_col: str,
     return bucketed_groupby(
         ds.map_batches(partial, batch_format="pandas"),
         [group_col], merge, buckets=buckets)
+
+
+def stratified_split(ds: rd.Dataset, *, strata_col: str,
+                     key_col: str, ratios: dict[str, float],
+                     mode: str = "hash",
+                     buckets: int | None = None) -> rd.Dataset:
+    """Deterministic train/val/test assignment, stratified by
+    ``strata_col``. Appends a ``split`` column; ``ratios`` maps split name
+    -> fraction (must sum to 1, iteration order defines the cut order).
+
+    ``mode="hash"`` (the 100-TB path): a row's split is a pure function of
+    ``sha256(key_col)`` — the 16-bit hash prefix cut at cumulative-ratio
+    thresholds. Zero shuffle, rerun/partitioning-stable, proportions hold
+    per stratum in expectation (the hash is independent of the stratum).
+
+    ``mode="exact"``: per-stratum proportions hold EXACTLY (floor at each
+    cumulative cut): rows rank within their stratum by (hash, key) and the
+    first ``floor(cum_ratio * n)`` go to each split. Costs one shuffle on
+    ``strata_col`` and concentrates each stratum in one merge task — use
+    only when strata cardinality is bounded and no stratum outgrows a
+    worker heap (languages, domains); ``hash`` is the scale path. For a
+    layout-independent exact assignment ``key_col`` must be unique per
+    row (use an id column) — duplicate keys tie under the (hash, key)
+    rank and the cut between them would depend on block order.
+    """
+    import numpy as np
+
+    names = list(ratios)
+    fracs = np.asarray([ratios[n] for n in names], dtype=np.float64)
+    if abs(fracs.sum() - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {fracs.sum()}")
+    if mode not in ("hash", "exact"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def h16(vals) -> "np.ndarray":
+        return np.asarray(
+            [int.from_bytes(hashlib.sha256(str(v).encode()).digest()[:2],
+                            "big") for v in vals], dtype=np.int64)
+
+    if mode == "hash":
+        # cut the 16-bit hash space at cumulative thresholds; the last
+        # split takes the remainder so the thresholds cover [0, 65536)
+        cuts = np.floor(np.cumsum(fracs) * 65536).astype(np.int64)
+        cuts[-1] = 65536
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(cuts, h16(df[key_col]), side="right")
+            return df.assign(split=np.asarray(names, dtype=object)[idx])
+
+        return ds.map_batches(assign, batch_format="pandas")
+
+    from .agg import bucketed_groupby
+    cum = np.cumsum(fracs)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_h=h16(df[key_col]))
+        # (hash, key) is a total order: rank is layout-independent
+        df = (df.sort_values(["_h", key_col], kind="mergesort")
+              .drop(columns="_h"))
+        out = []
+        for _, g in df.groupby(strata_col, sort=False):
+            n = len(g)
+            bounds = np.floor(cum * n).astype(np.int64)
+            bounds[-1] = n
+            rank = np.arange(n)
+            idx = np.searchsorted(bounds, rank, side="right")
+            out.append(g.assign(split=np.asarray(names, dtype=object)[idx]))
+        return pd.concat(out) if out else df.assign(split=pd.Series(
+            [], dtype="object"))
+
+    return bucketed_groupby(ds, [strata_col], merge, buckets=buckets)

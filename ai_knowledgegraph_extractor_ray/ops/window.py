@@ -1,0 +1,96 @@
+"""Ordered per-key window functions — SQL's ``OVER (PARTITION BY key
+ORDER BY ...)`` family, which Ray Data has no native operator for.
+
+Supported window kinds (all exact, all vectorized):
+
+- ``row_number``  — 1-based rank within the key, by the given total order
+- ``lag`` / ``lead`` — value ``n`` rows before/after within the key
+- ``cum_sum``     — running sum within the key (unbounded preceding frame)
+- ``rolling_sum`` — sum over the last ``k`` rows within the key
+                    (``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``)
+
+Scale shape: ONE shuffle. All rows of a key must be ranked against each
+other, so the key is the mandatory co-location unit — rows co-bucket on
+``crc32(by) % buckets`` (buckets auto-sized from input bytes, same as the
+joins), then each bucket sorts ONCE by ``[by, *order]`` and computes every
+requested window with pandas groupby transforms (C path, no per-key
+Python). A pathologically hot key concentrates in one bucket; windows are
+order-dependent within the key, so that co-location is REQUIRED — the
+mitigation for a hot key is range-splitting on the order column with
+boundary carry (cum/rolling state handoff), not hashing the key apart.
+
+Determinism: callers must pass an ``order`` list that is a TOTAL order
+within each key (e.g. ``["ts", "event_id"]``) — ties under a partial
+order would make lag/rolling results depend on block layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .agg import bucketed_groupby
+
+_KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum"}
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """One output column: ``kind`` over ``src`` with ``param`` (lag/lead
+    offset or rolling window length). ``src``/``param`` are unused for
+    ``row_number``. ``fill`` replaces the NaN a lag/lead emits at key
+    edges (keeps integer columns integer; None keeps NaN/float)."""
+    out: str
+    kind: str
+    src: str | None = None
+    param: int | None = None
+    fill: object = None
+
+
+def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
+                 specs: list[WindowSpec],
+                 buckets: int | None = None) -> rd.Dataset:
+    """Append the requested window columns to ``ds``. Input column dtypes
+    pass through unchanged (the shuffle is arrow-native); new columns are
+    int64 for row_number, the source dtype (or float64 where NaN appears
+    and no ``fill`` is given) for the rest."""
+    for s in specs:
+        if s.kind not in _KINDS:
+            raise ValueError(f"unknown window kind {s.kind!r}; "
+                             f"expected one of {sorted(_KINDS)}")
+        if s.kind != "row_number" and not s.src:
+            raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs src")
+        if s.kind in ("lag", "lead", "rolling_sum") and not s.param:
+            raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
+                             "positive integer param")
+    cols = set(ds.schema().names)
+    clash = [s.out for s in specs if s.out in cols]
+    if clash:
+        raise ValueError(f"window output columns already exist: {clash}")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values([by, *order], kind="mergesort")
+              .reset_index(drop=True))
+        g = df.groupby(by, sort=False)
+        for s in specs:
+            if s.kind == "row_number":
+                out = g.cumcount() + 1
+            elif s.kind in ("lag", "lead"):
+                n = s.param if s.kind == "lag" else -s.param
+                out = g[s.src].shift(n)
+                if s.fill is not None:
+                    src_dtype = df[s.src].dtype
+                    out = out.fillna(s.fill).astype(src_dtype)
+            elif s.kind == "cum_sum":
+                out = g[s.src].cumsum()
+            else:                                   # rolling_sum, exact:
+                cs = g[s.src].cumsum()              # win_k[i] = cs[i] -
+                prev = cs.groupby(df[by], sort=False).shift(s.param)
+                out = cs - prev.fillna(0).astype(cs.dtype)
+            df[s.out] = out
+        return df
+
+    return bucketed_groupby(ds, [by], merge, buckets=buckets)

@@ -838,3 +838,86 @@ def q_media_decode(sf_dir: str) -> rd.Dataset:
     from ..ops import multimodal
     media = multimodal.synthetic_media(n_items=48, real_payloads=True)
     return multimodal.decode_images(media, concurrency=2, fake_ok=False)
+
+
+# --- ordered per-key window functions (ops/window.py) ------------------------
+
+def q_events_window(sf_dir: str) -> rd.Dataset:
+    """SQL window-function family over the events stream: per-user rank,
+    previous value, running sum and last-3 rolling sum, ordered by
+    (ts, event_id) — the one co-bucketed shuffle of keyed_window."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "ts": df["ts"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    w = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["ts", "event_id"],
+        specs=[
+            WindowSpec("rn", "row_number"),
+            WindowSpec("prev_cents", "lag", "cents", 1, fill=-1),
+            WindowSpec("cum_cents", "cum_sum", "cents"),
+            WindowSpec("roll3_cents", "rolling_sum", "cents", 3),
+        ])
+    return w.select_columns(["event_id", "user_id", "rn", "prev_cents",
+                             "cum_cents", "roll3_cents"])
+
+
+# --- semi / anti joins (ops/joins.py) ----------------------------------------
+
+def _orders_custkeys(sf_dir: str, status: str | None = None) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderstatus"])
+    if status is not None:
+        ds = ds.filter(expr=f"o_orderstatus == '{status}'")
+    return (ds.select_columns(["o_custkey"])
+            .map_batches(lambda df: df.rename(columns={
+                "o_custkey": "c_custkey"}), batch_format="pandas"))
+
+
+def q_join_semi(sf_dir: str) -> rd.Dataset:
+    """Customers with at least one order (co-bucketed semi join; the right
+    side ships only per-block-distinct keys)."""
+    from ..ops.joins import hash_semi_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return hash_semi_join(cust, _orders_custkeys(sf_dir), "c_custkey")
+
+
+def q_join_anti(sf_dir: str) -> rd.Dataset:
+    """Customers with no completed ('F') order — anti join, same shuffle
+    shape; the status filter keeps the result non-degenerate (every
+    customer has SOME order in this data)."""
+    from ..ops.joins import hash_anti_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return hash_anti_join(cust, _orders_custkeys(sf_dir, status="F"),
+                          "c_custkey")
+
+
+# --- stratified train/val/test split (ops/sampling.py) -----------------------
+
+SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_stratified_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic 80/10/10 split stratified by detected language —
+    exact per-stratum proportions via the (hash, id) rank within each
+    language (one shuffle on the bounded-cardinality stratum column)."""
+    from ..ops.sampling import stratified_split
+
+    docs = text_ops.lang_id(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+    out = stratified_split(docs.select_columns(["doc_id", "lang_guess"]),
+                           strata_col="lang_guess", key_col="doc_id",
+                           ratios=SPLIT_RATIOS, mode="exact")
+    return out.select_columns(["doc_id", "lang_guess", "split"])

@@ -148,6 +148,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "approx_distinct": lambda: q.q_approx_distinct(sf_dir).count(),
             "join_broadcast": lambda: q.q_join_broadcast(sf_dir).count(),
             "join_shuffle": lambda: q.q_join_shuffle(sf_dir).count(),
+            "join_semi": lambda: q.q_join_semi(sf_dir).count(),
+            "join_anti": lambda: q.q_join_anti(sf_dir).count(),
+            "events_window": lambda: q.q_events_window(sf_dir).count(),
+            "stratified_split":
+                lambda: q.q_stratified_split(sf_dir).count(),
             "knn": lambda: q.q_knn(sf_dir).count(),
             "ivf_knn": lambda: q.q_ivf_knn(sf_dir).count(),
             "ivf_exact": lambda: q.q_ivf_exact(sf_dir).count(),

@@ -359,3 +359,153 @@ def test_hash_inner_join_property(lrows, rrows):
     got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "lv", "rv"]],
                                   want[["k", "lv", "rv"]])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 15), min_size=0, max_size=100),
+    st.lists(st.integers(0, 15), min_size=0, max_size=200),
+)
+def test_semi_anti_join_property(lkeys, rkeys):
+    """hash_semi_join/anti == pandas isin masks; semi + anti partition the
+    left side exactly; output keeps the left schema."""
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        hash_anti_join, hash_semi_join)
+
+    l = pd.DataFrame({"k": pd.Series(lkeys or [0], dtype="int64")})
+    l["payload"] = l["k"] * 10 + 1
+    r = pd.DataFrame({"k": pd.Series(rkeys or [99], dtype="int64"),
+                      "junk": 0})
+    lds = rd.from_pandas(l).repartition(2)
+    rds = rd.from_pandas(r).repartition(3)
+    in_r = l["k"].isin(set(r["k"]))
+
+    semi = hash_semi_join(lds, rds, "k").to_pandas()
+    anti = hash_anti_join(lds, rds, "k").to_pandas()
+    assert len(semi) == int(in_r.sum())
+    assert len(anti) == int((~in_r).sum())
+    if len(semi):
+        assert sorted(semi.columns) == ["k", "payload"]
+        assert sorted(semi["payload"]) == sorted(l.loc[in_r, "payload"])
+    if len(anti):
+        assert sorted(anti["payload"]) == sorted(l.loc[~in_r, "payload"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5),      # key
+                       st.integers(0, 20),     # order value (ties allowed)
+                       st.integers(-50, 50)),  # payload
+             min_size=1, max_size=200),
+    st.integers(1, 5),
+)
+def test_keyed_window_property(rows, nblocks):
+    """keyed_window == whole-frame pandas window reference for arbitrary
+    keys/ties/blocking; a unique id column makes the order total."""
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec, keyed_window)
+
+    df = pd.DataFrame(rows, columns=["k", "o", "v"]).astype("int64")
+    df["id"] = pd.RangeIndex(len(df)).astype("int64")
+
+    ref = (df.sort_values(["k", "o", "id"], kind="mergesort")
+           .reset_index(drop=True))
+    g = ref.groupby("k", sort=False)
+    ref["rn"] = g.cumcount() + 1
+    ref["prev_v"] = g["v"].shift(1).fillna(-999).astype("int64")
+    ref["cum_v"] = g["v"].cumsum()
+    ref["roll2_v"] = (g["v"].rolling(2, min_periods=1).sum()
+                      .reset_index(level=0, drop=True).astype("int64"))
+
+    got = keyed_window(
+        rd.from_pandas(df).repartition(nblocks),
+        by="k", order=["o", "id"],
+        specs=[WindowSpec("rn", "row_number"),
+               WindowSpec("prev_v", "lag", "v", 1, fill=-999),
+               WindowSpec("cum_v", "cum_sum", "v"),
+               WindowSpec("roll2_v", "rolling_sum", "v", 2)],
+    ).to_pandas().sort_values("id")
+    ref = ref.sort_values("id")
+    for c in ["rn", "prev_v", "cum_v", "roll2_v"]:
+        assert list(got[c]) == list(ref[c]), c
+
+
+def test_keyed_window_validates_specs():
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec, keyed_window)
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "o": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="unknown window kind"):
+        keyed_window(ds, by="k", order=["o"],
+                     specs=[WindowSpec("x", "median", "v", 3)])
+    with pytest.raises(ValueError, match="needs src"):
+        keyed_window(ds, by="k", order=["o"], specs=[WindowSpec("x", "lag")])
+    with pytest.raises(ValueError, match="already exist"):
+        keyed_window(ds, by="k", order=["o"],
+                     specs=[WindowSpec("v", "row_number")])
+
+
+def test_stratified_split_exact_and_hash():
+    """exact mode: per-stratum counts hit the floor(cum*n) cuts exactly and
+    the assignment is block-layout independent; hash mode: assignment is a
+    pure row function (stable under repartitioning), proportions approximate."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.sampling import stratified_split
+
+    n = 500
+    df = pd.DataFrame({
+        "id": pd.RangeIndex(n).astype("int64"),
+        "lang": pd.Series(np.where(np.arange(n) % 5 == 0, "de", "en")),
+    })
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    ex1 = stratified_split(rd.from_pandas(df), strata_col="lang",
+                           key_col="id", ratios=ratios,
+                           mode="exact").to_pandas()
+    ex2 = stratified_split(rd.from_pandas(df).repartition(7),
+                           strata_col="lang", key_col="id", ratios=ratios,
+                           mode="exact").to_pandas()
+    for ex in (ex1, ex2):
+        for lang, grp in ex.groupby("lang"):
+            m = len(grp)
+            counts = grp["split"].value_counts()
+            want_train = int(np.floor(0.8 * m))
+            want_val = int(np.floor(0.9 * m)) - want_train
+            assert counts.get("train", 0) == want_train, lang
+            assert counts.get("val", 0) == want_val, lang
+            assert counts.get("test", 0) == m - want_train - want_val, lang
+    a = ex1.sort_values("id")["split"].tolist()
+    b = ex2.sort_values("id")["split"].tolist()
+    assert a == b  # layout-independent
+
+    h1 = stratified_split(rd.from_pandas(df), strata_col="lang",
+                          key_col="id", ratios=ratios,
+                          mode="hash").to_pandas().sort_values("id")
+    h2 = stratified_split(rd.from_pandas(df).repartition(7),
+                          strata_col="lang", key_col="id", ratios=ratios,
+                          mode="hash").to_pandas().sort_values("id")
+    assert h1["split"].tolist() == h2["split"].tolist()
+    frac_train = (h1["split"] == "train").mean()
+    assert 0.7 < frac_train < 0.9  # proportional in expectation
+
+
+def test_stratified_split_validates():
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.sampling import stratified_split
+
+    ds = rd.from_pandas(pd.DataFrame({"id": [1], "lang": ["en"]}))
+    with pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(ds, strata_col="lang", key_col="id",
+                         ratios={"a": 0.5, "b": 0.2}, mode="hash")
+    with pytest.raises(ValueError, match="unknown mode"):
+        stratified_split(ds, strata_col="lang", key_col="id",
+                         ratios={"a": 1.0}, mode="sorted")
