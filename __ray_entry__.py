@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         # stratified train/val/test split
         "stratified_split": q.q_stratified_split,
+        # TF-IDF distinctive terms
+        "tfidf": q.q_tfidf,
         # similarity search
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
@@ -657,6 +659,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rk < floor(0.9 * n) THEN 'val'
                         ELSE 'test' END AS split
             FROM r
+        """,
+        "tfidf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        w -> w <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS c FROM toks
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS d FROM toks
+                   GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         tf.c * ln(CAST(n.n AS DOUBLE) / df.d) AS score
+                  FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term,
+                   CAST(round(score * 10000) AS BIGINT) AS score_bp,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) - 1 AS BIGINT) AS rank
+            FROM s QUALIFY rank < 3
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,82 @@
+"""Partitioned parquet sink — the resumable output layout.
+
+``ray.data.Dataset.write_parquet(partition_cols=...)`` splits EVERY block
+by value, so a dataset of B blocks containing V partition values writes up
+to B x V files — thousands of tiny fragments that re-read ~10x slower
+(measured on this engine's testdata; see BASELINE.md). The fix is to
+co-locate each partition value into one block FIRST: one hash exchange
+keyed on the partition column, then the hive-style write emits ~1 file
+per value directory.
+
+The directory-per-value layout is what makes output resumable at 100 TB:
+a re-run lists the finished ``col=value/`` directories and skips them
+(the KG pipeline's manifest commit in ``pipelines/kg.py`` is the
+transactional version of the same idea).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def write_partitioned_parquet(ds: rd.Dataset, path: str, *,
+                              partition_col: str,
+                              num_partitions: int | None = None) -> None:
+    """Write ``ds`` under ``path`` as hive-partitioned parquet
+    (``{path}/{partition_col}={value}/``), one exchange partition's worth
+    of files per value instead of one per (block, value) pair.
+
+    Scale note: partition-value cardinality should be bounded (languages,
+    shards, dates, cluster ids). A near-unique column would create one
+    directory per row — key the exchange on a bucket of it instead."""
+    from .exchange import hash_exchange_dataset
+
+    out = hash_exchange_dataset(ds, num_partitions, lambda t: t,
+                                key=partition_col)
+    out.write_parquet(path, partition_cols=[partition_col])
+
+
+def read_partitioned_parquet(path: str, *, partition_col: str,
+                             values: list | None = None,
+                             columns: list[str] | None = None) -> rd.Dataset:
+    """Read a layout written by ``write_partitioned_parquet``. ``values``
+    prunes at the directory level — only the named partitions' files are
+    listed and scanned (the point of the layout: a 100-TB corpus read for
+    one shard touches one directory). Hive partitioning turns the
+    partition column into a STRING column on read (Ray 2.49 behavior);
+    values are matched against their string form."""
+    import os
+
+    if values is None:
+        return rd.read_parquet(path, columns=columns)
+    pairs = [(os.path.join(path, f"{partition_col}={v}"), v) for v in values]
+    pairs = [(d, v) for d, v in pairs if os.path.isdir(d)]
+    if not pairs:
+        raise FileNotFoundError(
+            f"no partition directories under {path} for {values!r}")
+    want_part_col = columns is None or partition_col in columns
+    file_cols = (None if columns is None
+                 else [c for c in columns if c != partition_col] or None)
+    # a list of DIRECTORIES is not expanded by read_parquet in Ray 2.49 —
+    # glob the files per directory. Explicit file paths usually still
+    # hive-infer the partition column (as a STRING col), but stamp it from
+    # the directory name if the reader dropped it, so round-trips keep
+    # the schema either way.
+    parts = []
+    for d, v in pairs:
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        sub = rd.read_parquet(files, columns=file_cols)
+        if want_part_col:
+            def ensure(t: pa.Table, _v=str(v)) -> pa.Table:
+                if partition_col in t.column_names:
+                    return t
+                return t.append_column(
+                    partition_col, pa.array([_v] * t.num_rows, pa.string()))
+            sub = sub.map_batches(ensure, batch_format="pyarrow")
+        parts.append(sub)
+    ds = parts[0]
+    for sub in parts[1:]:
+        ds = ds.union(sub)
+    return ds

@@ -221,3 +221,84 @@ def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
             "fp64", pa.array(np.array(fps, dtype=np.uint64).view(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds: rd.Dataset, *, k: int = 3, min_df: int = 1,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_docs: int | None = None,
+                    max_vocab: int = 5_000_000) -> rd.Dataset:
+    """Per-document top-``k`` distinctive terms by TF-IDF
+    (``tf(t,d) * ln(N / df(t))``; whitespace tokens, raw counts).
+
+    Output: ``(id_col, term, score_bp, rank)`` — score in basis points,
+    rank 0-based by (score desc, term asc).
+
+    Scale shape: document frequencies aggregate via per-block distinct
+    partials -> one vocabulary-sized bucketed shuffle; the resulting
+    ``{term: idf}`` map broadcasts once (``ray.put``) and the scoring pass
+    is a pure map — a document's tokens all live in its own row, so its
+    top-k needs NO second shuffle. ``max_vocab`` guards the broadcast; a
+    corpus whose vocabulary exceeds it needs the join form (ship (doc,
+    term, tf) partials through a term-keyed exchange) — raise ``min_df``
+    first, which prunes the hapax-dominated tail that is most of any
+    web-scale vocabulary.
+
+    IDF values are computed with ``math.log`` (scalar libm), NOT
+    ``np.log`` — numpy's SIMD polynomial log can differ from libm in the
+    last ulp, which flips rounded scores and oracle comparisons.
+    """
+    import math
+
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    if n_docs == 0:
+        raise ValueError("tfidf_top_terms: empty corpus")
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        seen: dict[str, int] = {}
+        for s in t[text_col].to_pylist():
+            for w in set((s or "").split()):
+                seen[w] = seen.get(w, 0) + 1
+        return pa.table({"term": pa.array(list(seen), pa.string()),
+                         "df": pa.array(list(seen.values()), pa.int64())})
+
+    from .agg import bucketed_groupby, sum_merge
+    vocab = bucketed_groupby(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], sum_merge(["term"], ["df"])).to_pandas()
+    if min_df > 1:
+        vocab = vocab[vocab["df"] >= min_df]
+    if len(vocab) > max_vocab:
+        raise ValueError(
+            f"tfidf_top_terms: vocabulary {len(vocab)} exceeds max_vocab="
+            f"{max_vocab}; raise min_df or use a term-keyed join")
+    idf = {t: math.log(n_docs / d)
+           for t, d in zip(vocab["term"], vocab["df"])}
+    idf_ref = ray.put(idf)
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        idf_map = _ray.get(idf_ref)
+        ids, terms, bps, ranks = [], [], [], []
+        for i, s in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (s or "").split():
+                counts[w] = counts.get(w, 0) + 1
+            scored = [(w, c * idf_map[w]) for w, c in counts.items()
+                      if w in idf_map]
+            scored.sort(key=lambda p: (-p[1], p[0]))
+            for r, (w, sc) in enumerate(scored[:k]):
+                ids.append(i)
+                terms.append(w)
+                bps.append(int(round(sc * 10000)))
+                ranks.append(r)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "score_bp": pa.array(bps, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

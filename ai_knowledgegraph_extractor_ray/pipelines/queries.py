@@ -921,3 +921,13 @@ def q_stratified_split(sf_dir: str) -> rd.Dataset:
                            strata_col="lang_guess", key_col="doc_id",
                            ratios=SPLIT_RATIOS, mode="exact")
     return out.select_columns(["doc_id", "lang_guess", "split"])
+
+
+# --- TF-IDF distinctive terms (ops/text.py) ----------------------------------
+
+def q_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-3 distinctive terms per document by TF-IDF: one
+    vocabulary-sized DF shuffle + broadcast idf + pure scoring map."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text_ops.tfidf_top_terms(docs, k=k)

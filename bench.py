@@ -153,6 +153,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_window": lambda: q.q_events_window(sf_dir).count(),
             "stratified_split":
                 lambda: q.q_stratified_split(sf_dir).count(),
+            "tfidf": lambda: q.q_tfidf(sf_dir).count(),
             "knn": lambda: q.q_knn(sf_dir).count(),
             "ivf_knn": lambda: q.q_ivf_knn(sf_dir).count(),
             "ivf_exact": lambda: q.q_ivf_exact(sf_dir).count(),

@@ -889,3 +889,83 @@ def test_llm_provider_misconfig_message():
     cfg = KGConfig(backend="llm", llm_openai_base_url="http://127.0.0.1:9")
     with pytest.raises(ValueError, match="matched no"):
         LLMBackend(cfg)
+
+
+# --- TF-IDF distinctive terms ------------------------------------------------
+
+def test_tfidf_top_terms():
+    """'common' appears everywhere (idf=0, never distinctive); each doc's
+    unique token ranks first; k and tie-breaks honored."""
+    import math
+
+    from ai_knowledgegraph_extractor_ray.ops.text import tfidf_top_terms
+
+    ds = docs_ds(["common alpha alpha beta",
+                  "common gamma",
+                  "common beta delta"])
+    out = tfidf_top_terms(ds, k=2).to_pandas().sort_values(
+        ["doc_id", "rank"]).reset_index(drop=True)
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    # doc 0: alpha tf=2 df=1 -> 2*ln(3); beta tf=1 df=2 -> ln(1.5)
+    assert by_doc[0]["term"].tolist() == ["alpha", "beta"]
+    assert by_doc[0]["score_bp"].tolist() == [
+        int(round(2 * math.log(3) * 10000)),
+        int(round(math.log(3 / 2) * 10000))]
+    # doc 1: gamma, then common (score 0) — k=2 includes the zero
+    assert by_doc[1]["term"].tolist() == ["gamma", "common"]
+    assert by_doc[1]["score_bp"].tolist()[1] == 0
+    assert by_doc[2]["term"].tolist() == ["delta", "beta"]
+    assert out["rank"].tolist() == [0, 1, 0, 1, 0, 1]
+
+
+def test_tfidf_min_df_prunes_and_empty_raises():
+    import pytest as _pytest
+
+    from ai_knowledgegraph_extractor_ray.ops.text import tfidf_top_terms
+
+    ds = docs_ds(["a b", "b c"])
+    out = tfidf_top_terms(ds, k=3, min_df=2).to_pandas()
+    assert set(out["term"]) == {"b"}          # df-1 terms pruned
+    with _pytest.raises(ValueError, match="max_vocab"):
+        tfidf_top_terms(ds, max_vocab=1).to_pandas()
+
+
+# --- partitioned parquet sink ------------------------------------------------
+
+def test_partitioned_sink_roundtrip(tmp_path):
+    """One file per value directory (not blocks x values); round-trip
+    preserves rows; pruned read touches only requested partitions."""
+    import os
+
+    from ai_knowledgegraph_extractor_ray.ops.sinks import (
+        read_partitioned_parquet, write_partitioned_parquet)
+
+    df = pd.DataFrame({
+        "doc_id": pd.Series(range(60), dtype="int64"),
+        "lang": pd.Series([["en", "de", "fr"][i % 3] for i in range(60)]),
+        "payload": pd.Series(range(60), dtype="int64") * 2,
+    })
+    ds = rd.from_pandas(df).repartition(8)   # 8 blocks x 3 values
+    out = str(tmp_path / "part")
+    write_partitioned_parquet(ds, out, partition_col="lang")
+
+    for lang in ("en", "de", "fr"):
+        d = os.path.join(out, f"lang={lang}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        # naive write_parquet(partition_cols) would emit up to 8 here
+        assert len(files) <= 2, (lang, files)
+
+    back = read_partitioned_parquet(out, partition_col="lang").to_pandas()
+    assert len(back) == 60
+    assert sorted(back["payload"]) == sorted(df["payload"])
+
+    de = read_partitioned_parquet(out, partition_col="lang",
+                                  values=["de"]).to_pandas()
+    assert set(de["lang"]) == {"de"} and len(de) == 20
+    just_pay = read_partitioned_parquet(
+        out, partition_col="lang", values=["en", "fr"],
+        columns=["payload"]).to_pandas()
+    assert len(just_pay) == 40 and list(just_pay.columns) == ["payload"]
+
+    with pytest.raises(FileNotFoundError):
+        read_partitioned_parquet(out, partition_col="lang", values=["zz"])
