@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_groups": q.q_dup_groups,
         "decontaminate": q.q_decontaminate,
         "minhash_pairs": q.q_minhash_pairs,
+        "ngram_jaccard": q.q_ngram_jaccard,
         "near_dedup": q.q_near_dedup,
         "corpus_clean": q.q_corpus_clean,
         "simhash_pairs": q.q_simhash_pairs,
@@ -432,7 +433,35 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        """,
+        # ngram_jaccard: same brute-force ground truth, bigram shingles at
+        # the lower j>=0.4 threshold the query uses (64 bands x 2 rows keeps
+        # analytic recall ~1 at j=0.4: (1-0.4^2)^64 ~ 1.4e-5 per pair)
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i+1])
+                      ELSE [array_to_string(t, ' ')] END) AS g
+              FROM toks WHERE len(t) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
         """,
         # near_dedup / corpus_clean: brute-force Jaccard ground truth with
         # connected components as a recursive CTE (same recall argument as

@@ -182,6 +182,15 @@ def q_minhash_pairs(sf_dir: str) -> rd.Dataset:
         threshold=0.5)
 
 
+def q_ngram_jaccard(sf_dir: str) -> rd.Dataset:
+    """Exact n-gram Jaccard pairs at a lower threshold / shorter shingle
+    than q_minhash_pairs (bigrams, j>=0.4) — the LSH blocking is tuned
+    (more bands) so recall at the lower threshold holds."""
+    return dedup.ngram_jaccard_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.4, ngram=2)
+
+
 def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
     return dedup.simhash_near_pairs(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))

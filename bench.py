@@ -134,6 +134,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "repetition": lambda: q.q_repetition(sf_dir).count(),
             "lang_balance": lambda: q.q_lang_balance(sf_dir).count(),
             "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
+            "ngram_jaccard": lambda: q.q_ngram_jaccard(sf_dir).count(),
             "simhash_pairs": lambda: q.q_simhash_pairs(sf_dir).count(),
             "embedding_near_pairs":
                 lambda: q.q_embedding_near_pairs(sf_dir).count(),

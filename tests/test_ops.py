@@ -89,6 +89,21 @@ def test_minhash_near_pairs_and_dedup():
     assert sorted(kept["doc_id"]) == [0, 2]
 
 
+def test_ngram_jaccard_pairs():
+    """Bigram shingles at j>=0.4 pair up a heavier edit than the trigram
+    threshold tolerates, and the emitted jaccard is the exact value."""
+    near = BASE.replace("customer", "client").replace("orders", "sales")
+    far = "utterly different words entirely here today"
+    ds = docs_ds([BASE, near, far], ids=[0, 1, 2])
+    pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.4, ngram=2).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
+    assert (0, 1) in got and (0, 2) not in got
+    from ai_knowledgegraph_extractor_ray.ops.dedup import jaccard_of, word_ngrams
+    assert got[(0, 1)] == jaccard_of(word_ngrams(BASE, 2),
+                                     word_ngrams(near, 2))
+
+
 def test_simhash_pairs():
     near = BASE.replace("customer", "client")
     ds = docs_ds([BASE, near, "utterly different words entirely here"],
