@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "top_tokens": q.q_top_tokens,
+        "approx_top_tokens": q.q_approx_top_tokens,   # CMS sketch: rows-only
         "top_tokens_by_lang": q.q_top_tokens_by_lang,
         "hash_sample": q.q_hash_sample,
         "lang_balance": q.q_lang_balance,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.q_events_asof,
         "events_range": q.q_events_range,
         "events_quantiles": q.q_events_quantiles,
+        "events_rollup": q.q_events_rollup,
         "distinct_users": q.q_distinct_users,
         "pack_sequences": q.q_pack_sequences,
         "approx_distinct": q.q_approx_distinct,   # HLL sketch: rows-only
@@ -522,6 +524,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS value_cents
             FROM events GROUP BY user_id, hour
+        """,
+        # events_rollup: all three ROLLUP granularities; rolled-away key
+        # columns are NULL on both sides
+        "events_rollup": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events GROUP BY ROLLUP(event_type, hour)
         """,
         "events_sliding": """
             WITH w AS (

@@ -26,6 +26,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 
@@ -322,3 +323,142 @@ def grouped_quantile_disc(ds: rd.Dataset, key_cols: list[str],
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+def grouped_rollup(partials: rd.Dataset, key_cols: list[str],
+                   value_cols: list[str], *,
+                   buckets: int | None = None) -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(key_cols...)``: the union of aggregates at
+    every prefix granularity (all keys, all-but-last, ..., grand total),
+    with rolled-away key columns emitted as nulls.
+
+    Scale shape: the RAW input is exchanged exactly once — at the finest
+    granularity. Every coarser level re-aggregates the NEXT-FINER level,
+    which is vocabulary-sized (distinct key combinations), so the rollup
+    ladder costs len(key_cols) tiny 8-bucket exchanges on top of the one
+    real shuffle. ``partials`` must already carry ``key_cols + value_cols``
+    with value columns summable (pre-aggregate raw rows in a map_batches
+    partial first, as every caller of bucketed_groupby does).
+
+    Caveat: a genuine null VALUE in a key column is indistinguishable from
+    a rolled-up marker in the output (same as reading SQL ROLLUP output
+    without GROUPING())."""
+    import pyarrow as pa
+
+    fine = bucketed_groupby(partials, key_cols,
+                            sum_merge(key_cols, value_cols), buckets)
+    # every level re-reads this; it is vocabulary-sized by construction
+    fine = fine.materialize()
+    fine_schema = fine.schema()
+    key_types = {c: fine_schema.base_schema.field(c).type for c in key_cols}
+
+    def pad(present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: (t[c] if c in present
+                        else pa.nulls(t.num_rows, type=key_types[c]))
+                    for c in key_cols}
+            for v in value_cols:
+                cols[v] = t[v]
+            return pa.table(cols)
+        return fn
+
+    levels = [fine]
+    cur = fine
+    for i in range(len(key_cols) - 1, 0, -1):
+        keys = key_cols[:i]
+        cur = bucketed_groupby(cur.select_columns(keys + value_cols), keys,
+                               sum_merge(keys, value_cols), buckets=8)
+        levels.append(cur.map_batches(pad(keys), batch_format="pyarrow"))
+
+    def total_stamp(t: pa.Table) -> pa.Table:
+        return pa.table({"__total": pa.array(["*"] * t.num_rows),
+                         **{v: t[v] for v in value_cols}})
+
+    def total_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("__total", as_index=False, sort=False)[value_cols].sum()
+        return out.drop(columns=["__total"])
+
+    total = bucketed_groupby(
+        cur.map_batches(total_stamp, batch_format="pyarrow"),
+        ["__total"], total_merge, buckets=8)
+    levels.append(total.map_batches(pad([]), batch_format="pyarrow"))
+
+    return levels[0].union(*levels[1:])
+
+
+_CMS_SEED = np.uint64(0xA0761D6478BD642F)
+
+
+def _cms_cells(crc: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) flattened sketch cell ids (row r occupies
+    [r*width, (r+1)*width)) from uint32 item hashes."""
+    base = crc.astype(np.uint64)
+    return np.stack([
+        (_splitmix64(base ^ (_CMS_SEED * np.uint64(r + 1)))
+         % np.uint64(width)).astype(np.int64) + r * width
+        for r in range(depth)])
+
+
+def approx_top_k(partials: rd.Dataset, item_col: str, count_col: str, *,
+                 k: int = 20, depth: int = 4, width: int = 1 << 14,
+                 candidates_per_block: int = 512) -> pd.DataFrame:
+    """Heavy hitters over an unbounded item vocabulary via a count-min
+    sketch: (item, estimate) for the top ``k`` items by estimated count,
+    deterministically ordered (estimate desc, item asc).
+
+    This is the FIXED-STATE alternative to the exact top-k of
+    ``q_top_tokens``: the exact path's reduce output is vocabulary-sized,
+    while here the merged state is the ``depth x width`` sketch (constant)
+    plus a candidate set bounded by ``candidates_per_block x blocks`` —
+    at 10^9-token vocabularies the sketch exchange still moves at most
+    ``depth x width`` distinct cells per reducer. CMS guarantees
+    estimate >= true count (pinned in tests); with width >> vocabulary the
+    estimates are exact.
+
+    ``partials``: per-block pre-aggregated (item, count) rows, same
+    contract as every ``bucketed_groupby`` caller."""
+    import ray
+
+    from .hashing import crc32_column
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        crc = crc32_column(t[item_col])
+        cnt = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = _cms_cells(crc, depth, width)
+        return pa.table({"cell": pa.array(cells.ravel()),
+                         "cnt": pa.array(np.tile(cnt, depth))})
+
+    sketch = bucketed_groupby(
+        partials.map_batches(to_cells, batch_format="pyarrow"),
+        ["cell"], sum_merge(["cell"], ["cnt"]), buckets=8).to_pandas()
+    dense = np.zeros(depth * width, dtype=np.int64)
+    if len(sketch):
+        dense[sketch["cell"].to_numpy()] = sketch["cnt"].to_numpy()
+    dense_ref = ray.put(dense)
+
+    def to_cands(t: pa.Table) -> pa.Table:
+        df = t.select([item_col, count_col]).to_pandas()
+        top = df.nlargest(candidates_per_block, count_col)
+        return pa.table({item_col: pa.array(top[item_col].astype(str),
+                                            pa.string())})
+
+    cands = bucketed_groupby(
+        partials.map_batches(to_cands, batch_format="pyarrow"),
+        [item_col], lambda df: df.drop_duplicates([item_col]), buckets=8)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        d = ray.get(dense_ref)
+        if t.num_rows == 0:
+            return pa.table({item_col: pa.array([], pa.string()),
+                             "est": pa.array([], pa.int64())})
+        cells = _cms_cells(crc32_column(t[item_col]), depth, width)
+        return pa.table({item_col: t[item_col],
+                         "est": pa.array(d[cells].min(axis=0))})
+
+    top = (cands.map_batches(estimate, batch_format="pyarrow")
+           .sort(["est", item_col], descending=[True, False])
+           .limit(k))
+    return top.to_pandas()

@@ -137,10 +137,8 @@ def q_fingerprint(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["doc_id", "fp"])
 
 
-def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
-    """Hot-token top-k: per-block partial counts -> uniform groupby merge ->
-    tiny sorted head. The shuffle carries (token, count) partials, one per
-    distinct token per block."""
+def _token_partials(sf_dir: str) -> rd.Dataset:
+    """Per-block (token, cnt) partial counts over documents.text."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -151,14 +149,34 @@ def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pa.table({"token": pa.array(list(counts), pa.string()),
                          "cnt": pa.array(list(counts.values()), pa.int64())})
 
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def q_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Hot-token top-k: per-block partial counts -> uniform groupby merge ->
+    tiny sorted head. The shuffle carries (token, count) partials, one per
+    distinct token per block."""
     from ..ops.agg import bucketed_groupby, sum_merge
 
     vocab = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        _token_partials(sf_dir),
         ["token"], sum_merge(["token"], ["cnt"])).to_pandas()  # vocabulary-sized
     vocab = vocab.sort_values(["cnt", "token"], ascending=[False, True],
                               kind="mergesort").head(k).reset_index(drop=True)
     return vocab
+
+
+def q_approx_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Heavy-hitter tokens via count-min sketch — the fixed-state path for
+    vocabularies too large for the exact reduce (merged state is the
+    depth x width sketch, not the vocabulary). On the sf corpora
+    width=2^16 >> vocabulary, so the estimates — and the top-k — are
+    exact (CORRECTNESS stays rows-only because that equality is a
+    width/corpus property, not an operator guarantee)."""
+    from ..ops.agg import approx_top_k
+
+    return approx_top_k(_token_partials(sf_dir), "token", "cnt",
+                        k=k, width=1 << 16)
 
 
 # --- dedup -------------------------------------------------------------------
@@ -546,6 +564,27 @@ def q_events_quantiles(sf_dir: str) -> rd.Dataset:
             "n": df["n"].astype("int64")})
 
     return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_events_rollup(sf_dir: str) -> rd.Dataset:
+    """SQL ROLLUP(event_type, hour): counts + exact cent sums at all three
+    granularities from ONE raw-data shuffle (coarser levels re-aggregate
+    the vocabulary-sized finer level)."""
+    from ..ops.agg import grouped_rollup
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+            value_cents=np.round(df["value"].to_numpy() * 100).astype(np.int64))
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+
+    return grouped_rollup(ds.map_batches(partial, batch_format="pandas"),
+                          ["event_type", "hour"],
+                          ["n_events", "value_cents"])
 
 
 def q_pack_sequences(sf_dir: str, budget: int = 2000) -> rd.Dataset:

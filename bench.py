@@ -135,6 +135,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "lang_balance": lambda: q.q_lang_balance(sf_dir).count(),
             "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
             "ngram_jaccard": lambda: q.q_ngram_jaccard(sf_dir).count(),
+            "approx_top_tokens": lambda: len(q.q_approx_top_tokens(sf_dir)),
             "simhash_pairs": lambda: q.q_simhash_pairs(sf_dir).count(),
             "embedding_near_pairs":
                 lambda: q.q_embedding_near_pairs(sf_dir).count(),
@@ -144,6 +145,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_asof": lambda: q.q_events_asof(sf_dir).count(),
             "events_range": lambda: q.q_events_range(sf_dir).count(),
             "events_quantiles": lambda: q.q_events_quantiles(sf_dir).count(),
+            "events_rollup": lambda: q.q_events_rollup(sf_dir).count(),
             "distinct_users": lambda: q.q_distinct_users(sf_dir).count(),
             "pack_sequences": lambda: q.q_pack_sequences(sf_dir).count(),
             "approx_distinct": lambda: q.q_approx_distinct(sf_dir).count(),

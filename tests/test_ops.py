@@ -706,6 +706,76 @@ def test_grouped_quantile_disc_matches_duckdb():
         assert list(got[c].astype("int64")) == list(want[c].astype("int64")), c
 
 
+def test_grouped_rollup_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_rollup
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=600),
+        "b": rng.choice(["p", "q"], size=600),
+        "v": rng.randint(0, 100, size=600).astype("int64")})
+    partials = (rd.from_pandas(df).repartition(7)
+                .map_batches(lambda d: d.groupby(["a", "b"], as_index=False)
+                             .agg(n=("v", "size"), v=("v", "sum")),
+                             batch_format="pandas"))
+    got = grouped_rollup(partials, ["a", "b"], ["n", "v"]).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n, sum(v) AS v
+        FROM df GROUP BY ROLLUP(a, b)""").df()
+
+    def canon(d):
+        d = d.copy()
+        for c in ("a", "b"):
+            d[c] = d[c].astype(object).where(d[c].notna(), "<null>").astype(str)
+        return (d.astype({"n": "int64", "v": "int64"})
+                .sort_values(["a", "b"]).reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(canon(got)[["a", "b", "n", "v"]],
+                                  canon(want)[["a", "b", "n", "v"]])
+
+
+def test_approx_top_k_cms_properties():
+    """CMS heavy hitters: (a) with width >> vocab the top-k and counts
+    equal the exact answer; (b) at an adversarially tiny width every
+    estimate still upper-bounds the true count (the CMS guarantee)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import approx_top_k
+
+    rng = np.random.RandomState(7)
+    # Zipf-ish counts over a 300-item vocab
+    items = [f"tok{i:03d}" for i in range(300)]
+    counts = (5000 / np.arange(1, 301) ** 1.1).astype(np.int64) + 1
+    df = pd.DataFrame({"item": items, "cnt": counts}).sample(
+        frac=1.0, random_state=rng).reset_index(drop=True)
+    # split each item's count across a few synthetic "blocks"
+    parts = pd.concat([df.assign(cnt=df["cnt"] // 2),
+                       df.assign(cnt=df["cnt"] - df["cnt"] // 2)],
+                      ignore_index=True)
+    parts = parts[parts["cnt"] > 0]
+    partials = rd.from_pandas(parts).repartition(7)
+
+    exact = (df.sort_values(["cnt", "item"], ascending=[False, True])
+             .head(10).reset_index(drop=True))
+    got = approx_top_k(partials, "item", "cnt", k=10, width=1 << 14)
+    assert list(got["item"]) == list(exact["item"])
+    assert list(got["est"].astype("int64")) == list(exact["cnt"].astype("int64"))
+
+    tiny = approx_top_k(partials, "item", "cnt", k=300, width=64,
+                        candidates_per_block=300)
+    true = df.set_index("item")["cnt"]
+    merged = tiny.set_index("item")["est"]
+    assert (merged >= true.loc[merged.index]).all()
+    assert (merged > true.loc[merged.index]).any()  # width 64 must collide
+
+
 def test_grouped_count_distinct_exact_and_hll_close():
     import numpy as np
     import pandas as pd
