@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "near_dedup": q.q_near_dedup,
         "corpus_clean": q.q_corpus_clean,
+        "data_prep": q.q_data_prep,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_near_pairs": q.q_embedding_near_pairs,
         # windowed aggregate + sessionization (streaming-window operator)
@@ -490,6 +491,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({_quality_full_sql()}) q ON q.doc_id = nd.doc_id
             WHERE q.quality_d >= 0.2
               AND l.lang_guess IN ('en', 'fr', 'es', 'de', 'zh')
+        """,
+        # data_prep: the composed flagship — corpus_clean over the train
+        # slice, decontaminated vs the doc_id%97 test slice, then the
+        # window-function prefix-sum / pack assignment over survivors
+        "data_prep": f"""
+            WITH RECURSIVE kept AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 97 <> 0
+                AND trim(text) <> ''
+                AND octet_length(encode(text)) <= 1048576
+              QUALIFY row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) = 1),
+            {_jaccard_dedup_ctes("kept", 0.5)},
+            nd AS (SELECT k.doc_id, k.text FROM kept k
+                   WHERE k.doc_id NOT IN (SELECT u FROM dropped)),
+            ql AS (
+              SELECT nd.doc_id, nd.text, l.lang_guess, q.quality_bp
+              FROM nd
+              JOIN ({_lang_id_sql()}) l ON l.doc_id = nd.doc_id
+              JOIN ({_quality_full_sql()}) q ON q.doc_id = nd.doc_id
+              WHERE q.quality_d >= 0.2
+                AND l.lang_guess IN ('en', 'fr', 'es', 'de', 'zh')),
+            dtoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            dgrams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE [array_to_string(t, ' ')] END AS gs
+              FROM dtoks WHERE len(t) > 0),
+            test_g AS (
+              SELECT DISTINCT unnest(gs) AS g FROM dgrams
+              WHERE doc_id % 97 = 0),
+            contaminated AS (
+              SELECT DISTINCT tg.doc_id
+              FROM (SELECT doc_id, unnest(gs) AS g FROM dgrams
+                    WHERE doc_id % 97 <> 0) tg
+              JOIN test_g ON tg.g = test_g.g),
+            surv AS (
+              SELECT ql.*,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(list_filter(
+                                 regexp_split_to_array(text, '\\s+'),
+                                 w -> w <> '')) END AS BIGINT) AS n_tokens
+              FROM ql
+              WHERE ql.doc_id NOT IN (SELECT doc_id FROM contaminated))
+            SELECT doc_id, lang_guess, quality_bp, n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0)
+                        AS BIGINT) AS pack_id
+            FROM surv
         """,
         # decontamination: word-3-gram overlap against the doc_id%97 slice
         "decontaminate": r"""

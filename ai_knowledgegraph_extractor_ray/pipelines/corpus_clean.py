@@ -80,3 +80,58 @@ def clean_corpus(
         stats["after_quality_lang"] = ds.count()
 
     return ds, stats
+
+
+def prepare_training_data(
+    train: rd.Dataset, test: rd.Dataset, *,
+    text_col: str = "text", id_col: str = "doc_id",
+    near_threshold: float = 0.5, min_quality: float = 0.2,
+    allowed_langs: tuple[str, ...] = ("en", "fr", "es", "de", "zh"),
+    ngram: int = 3, budget: int = 2000,
+    cluster_mode: str = "driver",
+) -> rd.Dataset:
+    """The full training-data preparation pipeline, composed end to end:
+
+        clean_corpus (validate -> exact dedup -> near dedup -> quality/lang)
+          -> decontaminate vs the test/benchmark set (broadcast gram set)
+          -> token counts -> ordered prefix-sum -> sequence-pack assignment
+
+    One row per surviving document: (doc_id, lang_guess, quality_bp,
+    n_tokens, prefix_tokens, pack_id). Every stage is the already-proven
+    corpus operator; the composition adds no new shuffle beyond the
+    stages' own (the prefix-sum's range exchange is the only ordered
+    pass, and it moves (id, count, lang, quality) slim rows — text is
+    dropped before the scan)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.agg import ordered_prefix_sum
+    from ..ops.text import token_stats
+
+    cleaned, _ = clean_corpus(
+        train, text_col=text_col, id_col=id_col,
+        near_threshold=near_threshold, min_quality=min_quality,
+        allowed_langs=allowed_langs, cluster_mode=cluster_mode,
+        report=False)
+    survivors = dedup.decontaminate(cleaned, test, text_col=text_col,
+                                    id_col=id_col, ngram=ngram)
+    slim = token_stats(survivors, text_col=text_col).select_columns(
+        [id_col, "lang_guess", "quality", "n_tokens"])
+    scanned = ordered_prefix_sum(slim, id_col, "n_tokens",
+                                 out_col="prefix_tokens")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        prefix = t["prefix_tokens"].to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        bp = np.round(t["quality"].to_numpy(zero_copy_only=False) * 10000)
+        return pa.table({
+            id_col: t[id_col],
+            "lang_guess": t["lang_guess"],
+            "quality_bp": pa.array(bp.astype(np.int64)),
+            "n_tokens": t["n_tokens"].cast(pa.int64()),
+            "prefix_tokens": pa.array(prefix.astype(np.int64)),
+            "pack_id": pa.array(
+                np.floor_divide(prefix - ntok, budget).astype(np.int64)),
+        })
+
+    return scanned.map_batches(fmt, batch_format="pyarrow")

@@ -237,6 +237,26 @@ def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     return cleaned.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_data_prep(sf_dir: str) -> rd.Dataset:
+    """Flagship composed training-data prep: clean -> decontaminate (vs the
+    doc_id%97 test slice) -> token counts -> prefix-sum -> pack ids."""
+    from .corpus_clean import prepare_training_data
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def part(test: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0) if test else (ids % 97 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    train = docs.map_batches(part(False), batch_format="pyarrow")
+    test = docs.map_batches(part(True), batch_format="pyarrow")
+    return prepare_training_data(train, test)
+
+
 def q_normalize(sf_dir: str) -> rd.Dataset:
     """Canonical text normalization (lowercase, ASCII punct strip,
     whitespace collapse)."""

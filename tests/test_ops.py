@@ -365,6 +365,30 @@ def test_clean_corpus_pipeline():
     assert 4 not in set(out["doc_id"])          # low-quality "short" dropped
 
 
+def test_prepare_training_data_pipeline():
+    """Composed data-prep: the contaminated doc (shares a 3-gram window
+    with the test set) is dropped, survivors get consecutive prefix sums
+    and budget-aligned pack ids."""
+    from ai_knowledgegraph_extractor_ray.pipelines.corpus_clean import (
+        prepare_training_data,
+    )
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river where the water is cold and the sun is warm today again")
+    other = ("a completely different story about the mountain where the "
+             "snow is deep and the wind is strong and the path is long")
+    test_doc = "the quick brown fox jumps far away"   # shares 3-grams w/ good
+    train = docs_ds([good, other], ids=[0, 1])
+    test = docs_ds([test_doc], ids=[99])
+    out = (prepare_training_data(train, test, budget=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1]                 # doc 0 contaminated
+    n = int(out["n_tokens"].iloc[0])
+    assert int(out["prefix_tokens"].iloc[0]) == n
+    assert int(out["pack_id"].iloc[0]) == 0
+    assert set(out.columns) == {"doc_id", "lang_guess", "quality_bp",
+                                "n_tokens", "prefix_tokens", "pack_id"}
+
+
 # --- as-of join ---------------------------------------------------------------
 
 def test_asof_join_backward():
