@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # general inner join, both physical plans
         "join_broadcast": q.q_join_broadcast,
         "join_shuffle": q.q_join_shuffle,
+        "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
         "join_anti": q.q_join_anti,
         # ordered per-key window functions
@@ -723,6 +724,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderstatus = 'F')
+        """,
+        # join_left: order columns CAST to DOUBLE because unmatched
+        # customers carry NULLs (both sides emit float64)
+        "join_left": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+                   o.o_totalprice
+            FROM customer c
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+              ON o.o_custkey = c.c_custkey
         """,
         "events_window": """
             WITH e AS (SELECT event_id, user_id, ts,

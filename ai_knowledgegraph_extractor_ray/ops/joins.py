@@ -59,36 +59,59 @@ def _side_frame(df: pd.DataFrame, side: int, cols: list[str],
 
 def broadcast_inner_join(left: rd.Dataset, right: rd.Dataset | pd.DataFrame,
                          on: str | list[str],
-                         right_cols: list[str] | None = None) -> rd.Dataset:
-    """Inner equi-join with a BOUNDED right side: the right table is
+                         right_cols: list[str] | None = None,
+                         how: str = "inner") -> rd.Dataset:
+    """Equi-join with a BOUNDED right side: the right table is
     collected once, shipped to the object store once (``ray.put``), and
     every left batch does an in-process pandas merge — ZERO shuffle, the
     plan of choice whenever one side fits a worker heap (dimension tables,
     alias tables, dedup drop-lists). The caller asserts the boundedness;
-    at 100 TB the left side streams unchanged."""
+    at 100 TB the left side streams unchanged.
+
+    ``how="left"`` keeps unmatched left rows (SQL LEFT OUTER JOIN);
+    right-side integer columns are emitted float64 (NaN for no-match) so
+    every block shares one schema regardless of local match rate."""
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
     rdf = right.to_pandas() if isinstance(right, rd.Dataset) else right
     if right_cols is not None:
         keys = [on] if isinstance(on, str) else list(on)
         rdf = rdf[list(dict.fromkeys(keys + right_cols))]
+    keys = [on] if isinstance(on, str) else list(on)
+    r_value_ints = [c for c in rdf.columns
+                    if c not in keys and rdf[c].dtype.kind in "iu"]
     r_ref = ray.put(rdf)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(ray.get(r_ref), on=on, how="inner")
+        out = df.merge(ray.get(r_ref), on=on, how=how)
+        if how == "left":
+            for c in r_value_ints:
+                out[c] = out[c].astype("float64")
+        return out
 
     return left.map_batches(merge, batch_format="pandas")
 
 
 def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
-                    on: str, *, buckets: int | None = None) -> rd.Dataset:
-    """Large-large inner equi-join: both sides tagged and co-bucketed on
+                    on: str, *, buckets: int | None = None,
+                    how: str = "inner") -> rd.Dataset:
+    """Large-large equi-join: both sides tagged and co-bucketed on
     ``crc32(on) % buckets`` (ONE shuffle), then each bucket runs a single
     vectorized ``pandas.merge`` over all its keys — same physical shape as
     the as-of join. Buckets auto-size with input bytes. Skewed join keys
     concentrate in one bucket (inherent to any hash join); pre-aggregate
-    or broadcast the small side for those."""
+    or broadcast the small side for those.
 
+    ``how="left"`` keeps unmatched left rows (LEFT OUTER JOIN) — correct
+    under the co-bucketing because a left key with no right rows anywhere
+    has no right rows in its bucket either. Right-side integer columns are
+    emitted float64 (NaN for no-match) so blocks from match-rich and
+    match-poor buckets share one schema."""
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
     overlap = (set(l_cols) & set(r_cols)) - {on}
@@ -111,10 +134,17 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
     both = (left.map_batches(tag(0), batch_format="pandas")
             .union(right.map_batches(tag(1), batch_format="pandas")))
 
+    r_value_ints = [c for c in r_cols
+                    if c != on and getattr(r_dtypes[c], "kind", "") in "iu"]
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = _side_frame(df, 0, l_cols, l_dtypes)
         r = _side_frame(df, 1, r_cols, r_dtypes)
-        return l.merge(r, on=on, how="inner")
+        out = l.merge(r, on=on, how=how)
+        if how == "left":
+            for c in r_value_ints:
+                out[c] = out[c].astype("float64")
+        return out
 
     return bucketed_groupby(both, [on], merge, buckets=buckets)
 

@@ -951,6 +951,24 @@ def _orders_custkeys(sf_dir: str, status: str | None = None) -> rd.Dataset:
                 "o_custkey": "c_custkey"}), batch_format="pandas"))
 
 
+def q_join_left(sf_dir: str) -> rd.Dataset:
+    """Customer LEFT JOIN their finished ('F') orders, co-bucketed shuffle
+    plan: every customer row survives; order columns are NaN for the 71
+    sf0.01 customers with no 'F' order (join_anti's complement) — the
+    filter is what makes the corpus exercise the unmatched-left path."""
+    from ..ops.joins import hash_inner_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderkey",
+                                       "o_totalprice", "o_orderstatus"])
+              .filter(expr="o_orderstatus == 'F'")
+              .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+              .map_batches(lambda df: df.rename(columns={
+                  "o_custkey": "c_custkey"}), batch_format="pandas"))
+    return hash_inner_join(cust, orders, "c_custkey", how="left")
+
+
 def q_join_semi(sf_dir: str) -> rd.Dataset:
     """Customers with at least one order (co-bucketed semi join; the right
     side ships only per-block-distinct keys)."""

@@ -307,6 +307,17 @@ def _union_find_clusters(pairs: pd.DataFrame) -> dict[str, str]:
     return {x: find(x) for x in parent}
 
 
+def _arrow_out(df: pd.DataFrame) -> pa.Table:
+    """pandas UDF output -> Arrow with object columns cast to pandas
+    'string' first: an EMPTY object column would infer pa.null (schema
+    drift vs non-empty blocks) and trips Ray's pandas size estimator into
+    per-block 'cannot call vectorize on size 0 inputs' log noise."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            df = df.assign(**{c: df[c].astype("string")})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 ALIAS_COLS = ["norm", "canonical_id", "canonical_label", "cluster_mentions",
               "is_clustered"]
 
@@ -371,14 +382,14 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
             "cluster_mentions": df["n_mentions"].astype("int64"),
         })
         out["is_clustered"] = False
-        return out[ALIAS_COLS]
+        return _arrow_out(out[ALIAS_COLS])
 
-    def clustered_rooted(df: pd.DataFrame) -> pd.DataFrame:
+    def clustered_rooted(df: pd.DataFrame) -> pa.Table:
         rmap, members = ray.get(root_ref)
         df = df[df["norm"].isin(members)]
-        return df.assign(
+        return _arrow_out(df.assign(
             root=pd.Series([rmap.get(n, n) for n in df["norm"]],
-                           index=df.index, dtype="string"))
+                           index=df.index, dtype="string")))
 
     def per_root(df: pd.DataFrame) -> pd.DataFrame:
         # whole clusters land in one bucket (keyed on root); vectorized pick
@@ -533,7 +544,7 @@ def canonical_nodes_table(alias: rd.Dataset | pd.DataFrame):
             "n_mentions": df["cluster_mentions"].astype("int64"),
         })
         out["n_aliases"] = 1
-        return out[cols]
+        return _arrow_out(out[cols])
 
     def clustered_only(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["is_clustered"]]

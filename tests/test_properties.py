@@ -363,6 +363,43 @@ def test_hash_inner_join_property(lrows, rrows):
 
 @settings(max_examples=6, deadline=None)
 @given(
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 99)),
+             min_size=1, max_size=120),
+    st.lists(st.tuples(st.integers(0, 12), st.integers(100, 199)),
+             min_size=0, max_size=120),
+)
+def test_left_join_property(lrows, rrows):
+    """how='left' in BOTH physical plans == pandas left merge (right ints
+    as float64/NaN), for arbitrary overlap including empty right."""
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        broadcast_inner_join,
+        hash_inner_join,
+    )
+
+    l = pd.DataFrame(lrows, columns=["k", "lv"]).astype("int64")
+    # key 99 matches nothing: the "empty right" case with a known schema
+    # (Ray from_pandas of a zero-row frame has none)
+    r = pd.DataFrame(rrows or [(99, 100)], columns=["k", "rv"]).astype("int64")
+    want = l.merge(r, on="k", how="left")
+    want["rv"] = want["rv"].astype("float64")
+    want = want.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    for got in (
+        hash_inner_join(rd.from_pandas(l).repartition(2),
+                        rd.from_pandas(r).repartition(3), on="k",
+                        how="left").to_pandas(),
+        broadcast_inner_join(rd.from_pandas(l).repartition(2), r, on="k",
+                             how="left").to_pandas(),
+    ):
+        got = (got.assign(rv=got["rv"].astype("float64"))
+               .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["k", "lv", "rv"]],
+                                      want[["k", "lv", "rv"]])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
     st.lists(st.integers(0, 15), min_size=0, max_size=100),
     st.lists(st.integers(0, 15), min_size=0, max_size=200),
 )
