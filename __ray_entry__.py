@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": q.q_events_range,
         "events_quantiles": q.q_events_quantiles,
         "events_rollup": q.q_events_rollup,
+        "events_pivot": q.q_events_pivot,
+        # SQL set operations
+        "user_intersect": q.q_user_intersect,
+        "custkey_except": q.q_custkey_except,
         "distinct_users": q.q_distinct_users,
         "pack_sequences": q.q_pack_sequences,
         "approx_distinct": q.q_approx_distinct,   # HLL sketch: rows-only
@@ -684,6 +688,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+            FROM events GROUP BY user_id
+        """,
+        "user_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "custkey_except": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         """,
         "events_quantiles": """
             SELECT event_type,

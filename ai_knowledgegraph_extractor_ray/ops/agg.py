@@ -462,3 +462,34 @@ def approx_top_k(partials: rd.Dataset, item_col: str, count_col: str, *,
            .sort(["est", item_col], descending=[True, False])
            .limit(k))
     return top.to_pandas()
+
+
+def pivot_count(ds: rd.Dataset, key_cols: list[str], pivot_col: str,
+                categories: list[str], *, value_col: str | None = None,
+                buckets: int | None = None) -> rd.Dataset:
+    """Wide conditional aggregation (SQL ``count(*)/sum(v) FILTER (WHERE
+    pivot_col = c)`` per category): one output row per key tuple with a
+    ``int64`` column per category.
+
+    ``categories`` is an explicit list — the schema is fixed up front, the
+    way a distributed pivot must be (a data-driven column set would need a
+    pre-pass and make the output schema a function of the data). Rows with
+    other categories are ignored. The partial pivots INSIDE the block, so
+    the shuffle moves one wide row per (key, block), never raw rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[pivot_col].isin(categories)]
+        vals = (sub[value_col] if value_col is not None
+                else pd.Series(np.ones(len(sub), dtype=np.int64),
+                               index=sub.index))
+        wide = (pd.DataFrame({**{c: sub[c] for c in key_cols},
+                              "_p": sub[pivot_col], "_v": vals})
+                .pivot_table(index=key_cols, columns="_p", values="_v",
+                             aggfunc="sum", fill_value=0))
+        wide = wide.reindex(columns=categories, fill_value=0).astype("int64")
+        wide.columns = list(categories)
+        return wide.reset_index()
+
+    return bucketed_groupby(ds.map_batches(partial, batch_format="pandas"),
+                            key_cols, sum_merge(key_cols, list(categories)),
+                            buckets=buckets)

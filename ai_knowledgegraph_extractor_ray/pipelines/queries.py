@@ -638,6 +638,44 @@ def q_pack_sequences(sf_dir: str, budget: int = 2000) -> rd.Dataset:
     return scanned.map_batches(fmt, batch_format="pyarrow")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str) -> rd.Dataset:
+    """Wide pivot: one row per user with an int64 count column per event
+    type (fixed category list = fixed schema; per-block pivot partials)."""
+    from ..ops.agg import pivot_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_count(ev, ["user_id"], "event_type", EVENT_TYPES)
+
+
+def q_user_intersect(sf_dir: str) -> rd.Dataset:
+    """SQL INTERSECT: user_ids that clicked AND errored (one shuffle of
+    per-block-distinct side-tagged partials)."""
+    from ..ops.setops import intersect_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(["user_id"])
+    errors = ev.filter(expr="event_type == 'error'").select_columns(["user_id"])
+    return intersect_distinct(clicks, errors, ["user_id"])
+
+
+def q_custkey_except(sf_dir: str) -> rd.Dataset:
+    """SQL EXCEPT: custkeys with an open ('O') order but no finished ('F')
+    one (the event-type user sets are all identical on the sf corpora, so
+    the orders table is what gives EXCEPT a non-empty answer to pin)."""
+    from ..ops.setops import except_distinct
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderstatus"])
+    o = orders.filter(expr="o_orderstatus == 'O'").select_columns(["o_custkey"])
+    f = orders.filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    return except_distinct(o, f, ["o_custkey"])
+
+
 def q_distinct_users(sf_dir: str) -> rd.Dataset:
     """Exact COUNT(DISTINCT user_id) per event type via per-block distinct
     partials (the shuffle carries distinct pairs, never raw events)."""

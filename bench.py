@@ -171,6 +171,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "corpus_clean": lambda: q.q_corpus_clean(sf_dir).count(),
             "data_prep": lambda: q.q_data_prep(sf_dir).count(),
             "join_left": lambda: q.q_join_left(sf_dir).count(),
+            "events_pivot": lambda: q.q_events_pivot(sf_dir).count(),
+            "user_intersect": lambda: q.q_user_intersect(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

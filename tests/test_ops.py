@@ -800,6 +800,38 @@ def test_approx_top_k_cms_properties():
     assert (merged > true.loc[merged.index]).any()  # width 64 must collide
 
 
+def test_pivot_count_and_sum_modes():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import pivot_count
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], size=400),
+        "cat": rng.choice(["a", "b", "c", "zzz"], size=400),  # zzz ignored
+        "v": rng.randint(1, 9, size=400).astype("int64")})
+    cats = ["a", "b", "c"]
+
+    got = (pivot_count(rd.from_pandas(df).repartition(5), ["g"], "cat", cats)
+           .to_pandas().set_index("g").sort_index())
+    want = (df[df["cat"].isin(cats)].pivot_table(
+        index="g", columns="cat", values="v", aggfunc="size", fill_value=0)
+        .sort_index())
+    for c in cats:
+        assert list(got[c].astype("int64")) == list(want[c].astype("int64")), c
+
+    got_s = (pivot_count(rd.from_pandas(df).repartition(5), ["g"], "cat",
+                         cats, value_col="v")
+             .to_pandas().set_index("g").sort_index())
+    want_s = (df[df["cat"].isin(cats)].pivot_table(
+        index="g", columns="cat", values="v", aggfunc="sum", fill_value=0)
+        .sort_index())
+    for c in cats:
+        assert list(got_s[c].astype("int64")) == list(want_s[c].astype("int64")), c
+
+
 def test_grouped_count_distinct_exact_and_hll_close():
     import numpy as np
     import pandas as pd

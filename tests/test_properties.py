@@ -400,6 +400,42 @@ def test_left_join_property(lrows, rrows):
 
 @settings(max_examples=6, deadline=None)
 @given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 2)),
+             min_size=1, max_size=80),
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 2)),
+             min_size=1, max_size=80),
+)
+def test_set_ops_property(lrows, rrows):
+    """union/intersect/except (distinct, multi-column keys) == Python set
+    algebra on the tuples; union == intersect ∪ except_l ∪ except_r."""
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.setops import (
+        except_distinct,
+        intersect_distinct,
+        union_distinct,
+    )
+
+    l = pd.DataFrame(lrows, columns=["a", "b"]).astype("int64")
+    r = pd.DataFrame(rrows, columns=["a", "b"]).astype("int64")
+    ls, rs = set(map(tuple, lrows)), set(map(tuple, rrows))
+    lds = rd.from_pandas(l).repartition(2)
+    rds = rd.from_pandas(r).repartition(3)
+
+    def got(ds):
+        df = ds.to_pandas()
+        return set(zip(df["a"], df["b"])) if len(df) else set()
+
+    assert got(union_distinct(lds, rds, ["a", "b"])) == ls | rs
+    inter = got(intersect_distinct(lds, rds, ["a", "b"]))
+    assert inter == ls & rs
+    exc = got(except_distinct(lds, rds, ["a", "b"]))
+    assert exc == ls - rs
+    assert (inter | exc) == ls
+
+
+@settings(max_examples=6, deadline=None)
+@given(
     st.lists(st.integers(0, 15), min_size=0, max_size=100),
     st.lists(st.integers(0, 15), min_size=0, max_size=200),
 )
