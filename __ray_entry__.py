@@ -443,9 +443,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         """,
-        # ngram_jaccard: same brute-force ground truth, bigram shingles at
-        # the lower j>=0.4 threshold the query uses (64 bands x 2 rows keeps
-        # analytic recall ~1 at j=0.4: (1-0.4^2)^64 ~ 1.4e-5 per pair)
+        # ngram_jaccard: same brute-force ground truth at the lower j>=0.4
+        # threshold the query uses (64 bands x 2 rows keeps analytic recall
+        # ~1 at j=0.4: (1-0.4^2)^64 ~ 1.4e-5 per pair)
         "ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -454,9 +454,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             grams AS (
               SELECT DISTINCT doc_id, unnest(
-                 CASE WHEN len(t) >= 2
-                      THEN list_transform(range(1, len(t)),
-                           i -> t[i] || ' ' || t[i+1])
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                       ELSE [array_to_string(t, ' ')] END) AS g
               FROM toks WHERE len(t) > 0),
             sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),

@@ -303,6 +303,25 @@ def minhash_sigs_batch(shingle_sets: list[set[int]], num_perm: int) -> np.ndarra
     return out
 
 
+def band_keys_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 LSH bucket keys: a 64-bit mix of each band's r
+    signature rows XOR a band-index mix (so identical values in different
+    bands never collide). Replaces the per-(doc, band) Python
+    crc32/f-string loop — keys are internal to the blocking, and two docs
+    share a key iff their band signatures are identical (64-bit hash
+    equality; the exact-jaccard verify catches the ~2^-64 residue)."""
+    from .agg import _splitmix64
+
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    s = sigs[:, :bands * r].reshape(n, bands, r)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(r):              # r is 2-4; the loop is over rows, not docs
+        h = _splitmix64(h ^ s[:, :, j])
+    h ^= _splitmix64(np.arange(bands, dtype=np.uint64))[None, :]
+    return h.view(np.int64)
+
+
 def jaccard_of(a: set[int], b: set[int]) -> float:
     if not a and not b:
         return 1.0
@@ -347,23 +366,18 @@ def minhash_candidate_pairs(
     # is cheaper than spilling the whole text corpus through the object
     # store; callers whose upstream is an expensive lazy pipeline should
     # pass ds.materialize() (corpus_clean does).
-    r = num_perm // bands
-
-    def band_keys_batch(texts: list) -> list[list[str]]:
+    def band_keys_batch(texts: list) -> np.ndarray:
         sigs = minhash_sigs_batch(
             [word_ngrams(s or "", ngram) for s in texts], num_perm)
-        return [[f"{b}:{zlib.crc32(sig[b*r:(b+1)*r].tobytes()):08x}"
-                 for b in range(bands)] for sig in sigs]
+        return band_keys_matrix(sigs, bands)       # (n, bands) int64
 
     def to_bands_slim(t: pa.Table) -> pa.Table:
-        ids, keys = [], []
         texts = t[text_col].to_pylist()
-        for i, bks in zip(t[id_col].to_pylist(), band_keys_batch(texts)):
-            for bk in bks:
-                ids.append(i)
-                keys.append(bk)
-        return pa.table({"bucket": pa.array(keys, pa.string()),
-                         id_col: pa.array(ids, pa.int64())})
+        keys = band_keys_batch(texts)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), bands)
+        return pa.table({"bucket": pa.array(keys.ravel()),
+                         id_col: pa.array(ids)})
 
     def hot_pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         sz = df.groupby("bucket", sort=False)["bucket"].transform("size")
@@ -382,7 +396,7 @@ def minhash_candidate_pairs(
     def to_bands_hot(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         id_map, hot_ids = ray.get(hot_ref)
-        empty = pa.table({"bucket": pa.array([], pa.string()),
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
                           id_col: pa.array([], pa.int64()),
                           text_col: pa.array([], pa.string())})
         if not id_map:
@@ -396,7 +410,7 @@ def minhash_candidate_pairs(
                 ids.append(i)
                 keys.append(bk)
                 texts.append(s)
-        return pa.table({"bucket": pa.array(keys, pa.string()),
+        return pa.table({"bucket": pa.array(keys, pa.int64()),
                          id_col: pa.array(ids, pa.int64()),
                          text_col: pa.array(texts, pa.string())})
 

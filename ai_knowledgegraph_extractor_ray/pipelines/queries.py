@@ -201,12 +201,21 @@ def q_minhash_pairs(sf_dir: str) -> rd.Dataset:
 
 
 def q_ngram_jaccard(sf_dir: str) -> rd.Dataset:
-    """Exact n-gram Jaccard pairs at a lower threshold / shorter shingle
-    than q_minhash_pairs (bigrams, j>=0.4) — the LSH blocking is tuned
-    (more bands) so recall at the lower threshold holds."""
+    """Exact n-gram Jaccard pairs at a lower threshold than
+    q_minhash_pairs (j>=0.4). Banding tuned to the blocking/recall
+    trade-off, measured at sf0.1:
+
+    - bigram shingles (64x2 bands): random same-language docs share
+      enough bigrams that 74% of docs land in a hot bucket — the verify
+      pass degenerates toward all-pairs (6.6 s);
+    - trigram 64x2: selective shingles but r=2 still catches ~0.15 of
+      random pairs somewhere across 64 bands (3716/5000 docs hot, 5.9 s);
+    - trigram 42x3 (here): random-pair catch ~1e-4, real pairs are all
+      j>=0.8 on these corpora so the analytic miss is (1-0.8^3)^42 ~ 1e-13.
+    """
     return dedup.ngram_jaccard_pairs(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
-        threshold=0.4, ngram=2)
+        threshold=0.4, ngram=3, bands=42, num_perm=126)
 
 
 def q_simhash_pairs(sf_dir: str) -> rd.Dataset:
