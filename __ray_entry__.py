@@ -83,7 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.q_events_asof,
         "events_range": q.q_events_range,
         "events_quantiles": q.q_events_quantiles,
+        "events_quantiles_cont": q.q_events_quantiles_cont,
         "events_rollup": q.q_events_rollup,
+        "events_cube": q.q_events_cube,
         "events_pivot": q.q_events_pivot,
         # SQL set operations
         "user_intersect": q.q_user_intersect,
@@ -97,12 +99,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
         "join_anti": q.q_join_anti,
+        "join_outer": q.q_join_outer,
+        "join_skew": q.q_join_skew,
         # ordered per-key window functions
         "events_window": q.q_events_window,
         # stratified train/val/test split
         "stratified_split": q.q_stratified_split,
         # TF-IDF distinctive terms
         "tfidf": q.q_tfidf,
+        # RAG chunking
+        "doc_chunks": q.q_doc_chunks,
         # similarity search
         "knn": q.q_knn,
         "ivf_knn": q.q_ivf_knn,
@@ -598,6 +604,14 @@ def oracle_sql() -> dict[str, str]:
                      AS value_cents
             FROM events GROUP BY ROLLUP(event_type, hour)
         """,
+        "events_cube": r"""
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events GROUP BY CUBE(event_type, hour)
+        """,
         "events_sliding": """
             WITH w AS (
               SELECT user_id,
@@ -717,6 +731,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY event_type
         """,
+        "events_quantiles_cont": r"""
+            SELECT event_type,
+                   quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
+                     AS p50_cents,
+                   quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.95)
+                     AS p95_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
         "join_broadcast": """
             SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -747,6 +770,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderstatus = 'F')
+        """,
+        "join_outer": r"""
+            SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   c.c_acctbal,
+                   CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+                   o.o_totalprice
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_custkey % 2 = 0) c
+            FULL OUTER JOIN (SELECT * FROM orders
+                             WHERE o_orderstatus = 'F') o
+              ON o.o_custkey = c.c_custkey
+        """,
+        # join_skew: identical logical join; the query runs the hybrid
+        # hot-broadcast / cold-shuffle physical plan
+        "join_skew": r"""
+            SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         """,
         # join_left: order columns CAST to DOUBLE because unmatched
         # customers carry NULLs (both sides emit float64)
@@ -812,6 +852,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY doc_id
                         ORDER BY score DESC, term) - 1 AS BIGINT) AS rank
             FROM s QUALIFY rank < 3
+        """,
+        "doc_chunks": r"""
+            WITH n AS (SELECT doc_id, text,
+                       greatest(1, CAST(ceil(greatest(length(text) - 64, 1)
+                            / CAST(448 AS DOUBLE)) AS BIGINT)) AS nc
+                       FROM documents)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(i * 448 + 1 AS INT), 512) AS chunk_text,
+                   CAST(length(substr(text, CAST(i * 448 + 1 AS INT), 512))
+                        AS BIGINT) AS n_chars
+            FROM n, UNNEST(range(nc)) AS t(i)
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

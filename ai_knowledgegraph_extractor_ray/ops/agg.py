@@ -325,6 +325,56 @@ def grouped_quantile_disc(ds: rd.Dataset, key_cols: list[str],
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
 
 
+def grouped_quantile_cont(ds: rd.Dataset, key_cols: list[str],
+                          value_col: str, quantiles: dict[str, float],
+                          buckets: int | None = None) -> rd.Dataset:
+    """EXACT continuous (interpolated) quantiles per group over a DISCRETE
+    value column — SQL ``quantile_cont``/``percentile_cont`` semantics.
+    Same scale shape as :func:`grouped_quantile_disc`: per-block
+    (key, value) -> count histogram partials ride the shuffle, the merge
+    folds histograms and interpolates off the cumulative counts.
+
+    Interpolation reproduces DuckDB/Postgres bit-for-bit: with the sorted
+    multiset v[0..n-1] and RN = q*(n-1), the result is
+    ``(CRN-RN)*v[floor(RN)] + (RN-FRN)*v[ceil(RN)]`` evaluated in float64
+    (exactly v[RN] when RN is integral). Outputs are float64; also emits
+    ``n`` (group row count)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(key_cols + [value_col], sort=False)
+                .size().rename("_cnt").reset_index())
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        folded = (df.groupby(key_cols + [value_col], sort=False)["_cnt"]
+                  .sum().reset_index().sort_values(key_cols + [value_col],
+                                                   kind="mergesort"))
+        out_rows = []
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
+        for k, g in folded.groupby(key, sort=False):
+            vals = g[value_col].to_numpy().astype(np.float64)
+            cum = np.cumsum(g["_cnt"].to_numpy())
+            n = int(cum[-1])
+            row = dict(zip(key_cols, k if isinstance(k, tuple) else (k,)))
+            for name, q in quantiles.items():
+                rn = q * (n - 1)                    # 0-indexed float rank
+                frn, crn = np.floor(rn), np.ceil(rn)
+                lo = vals[int(np.searchsorted(cum, frn + 1))]
+                if crn == frn:
+                    row[name] = float(lo)
+                else:
+                    hi = vals[int(np.searchsorted(cum, crn + 1))]
+                    row[name] = float((crn - rn) * lo + (rn - frn) * hi)
+            row["n"] = n
+            out_rows.append(row)
+        cols = key_cols + list(quantiles) + ["n"]
+        if not out_rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(out_rows)[cols]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
 def grouped_rollup(partials: rd.Dataset, key_cols: list[str],
                    value_cols: list[str], *,
                    buckets: int | None = None) -> rd.Dataset:
@@ -380,6 +430,60 @@ def grouped_rollup(partials: rd.Dataset, key_cols: list[str],
 
     total = bucketed_groupby(
         cur.map_batches(total_stamp, batch_format="pyarrow"),
+        ["__total"], total_merge, buckets=8)
+    levels.append(total.map_batches(pad([]), batch_format="pyarrow"))
+
+    return levels[0].union(*levels[1:])
+
+
+def grouped_cube(partials: rd.Dataset, key_cols: list[str],
+                 value_cols: list[str], *,
+                 buckets: int | None = None) -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(key_cols...)``: aggregates at EVERY subset of
+    the key columns (2^k granularities), rolled-away keys emitted as
+    nulls. Same scale shape as :func:`grouped_rollup` — the raw input is
+    exchanged once at the finest granularity, and each of the 2^k - 1
+    coarser levels re-aggregates the vocabulary-sized finest level with a
+    tiny 8-bucket exchange. k is expected to be small (2-4); the cost is
+    in the single real shuffle, not the ladder."""
+    import itertools
+
+    import pyarrow as pa
+
+    fine = bucketed_groupby(partials, key_cols,
+                            sum_merge(key_cols, value_cols), buckets)
+    fine = fine.materialize()        # every level re-reads it
+    fine_schema = fine.schema()
+    key_types = {c: fine_schema.base_schema.field(c).type for c in key_cols}
+
+    def pad(present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: (t[c] if c in present
+                        else pa.nulls(t.num_rows, type=key_types[c]))
+                    for c in key_cols}
+            for v in value_cols:
+                cols[v] = t[v]
+            return pa.table(cols)
+        return fn
+
+    def total_stamp(t: pa.Table) -> pa.Table:
+        return pa.table({"__total": pa.array(["*"] * t.num_rows),
+                         **{v: t[v] for v in value_cols}})
+
+    def total_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("__total", as_index=False, sort=False)[value_cols].sum()
+        return out.drop(columns=["__total"])
+
+    levels = [fine]
+    for r in range(len(key_cols) - 1, 0, -1):
+        for subset in itertools.combinations(key_cols, r):
+            keys = list(subset)
+            lvl = bucketed_groupby(
+                fine.select_columns(keys + value_cols), keys,
+                sum_merge(keys, value_cols), buckets=8)
+            levels.append(lvl.map_batches(pad(keys), batch_format="pyarrow"))
+    total = bucketed_groupby(
+        fine.map_batches(total_stamp, batch_format="pyarrow"),
         ["__total"], total_merge, buckets=8)
     levels.append(total.map_batches(pad([]), batch_format="pyarrow"))
 

@@ -108,10 +108,17 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
     under the co-bucketing because a left key with no right rows anywhere
     has no right rows in its bucket either. Right-side integer columns are
     emitted float64 (NaN for no-match) so blocks from match-rich and
-    match-poor buckets share one schema."""
+    match-poor buckets share one schema.
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
+    ``how="outer"`` additionally keeps unmatched RIGHT rows (FULL OUTER
+    JOIN) — also a pure per-bucket decision under co-bucketing. Integer
+    value columns of BOTH sides go float64 (either side can be the
+    unmatched one); the key column itself is always present. The broadcast
+    plan cannot express full-outer (an unmatched right row would surface
+    once per left block), so this plan is the only one offered."""
+
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how={how!r}: expected 'inner', 'left' or 'outer'")
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
     overlap = (set(l_cols) & set(r_cols)) - {on}
@@ -136,14 +143,17 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
 
     r_value_ints = [c for c in r_cols
                     if c != on and getattr(r_dtypes[c], "kind", "") in "iu"]
+    l_value_ints = [c for c in l_cols
+                    if c != on and getattr(l_dtypes[c], "kind", "") in "iu"]
+    nullable_ints = {"left": r_value_ints,
+                     "outer": r_value_ints + l_value_ints}.get(how, [])
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = _side_frame(df, 0, l_cols, l_dtypes)
         r = _side_frame(df, 1, r_cols, r_dtypes)
         out = l.merge(r, on=on, how=how)
-        if how == "left":
-            for c in r_value_ints:
-                out[c] = out[c].astype("float64")
+        for c in nullable_ints:
+            out[c] = out[c].astype("float64")
         return out
 
     return bucketed_groupby(both, [on], merge, buckets=buckets)
@@ -308,3 +318,76 @@ def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     """Left rows with NO match in ``right`` on ``on`` (SQL ``NOT IN`` /
     ``NOT EXISTS``). See ``hash_semi_join``."""
     return hash_semi_join(left, right, on, anti=True, buckets=buckets)
+
+
+def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
+                          hot_threshold: int = 100_000,
+                          buckets: int | None = None) -> rd.Dataset:
+    """Inner equi-join that survives a skewed key distribution — the
+    hybrid plan every 100-TB fact-table join eventually needs: a single
+    hash bucket owning a hot key's entire row set is the one failure mode
+    ``hash_inner_join`` documents but cannot avoid.
+
+    Plan:
+
+    1. EXACT left-key counts via per-block histogram partials (bounded by
+       distinct keys per block, never raw rows) folded in one small
+       exchange; keys with count > ``hot_threshold`` are HOT. At most
+       ``n_left / hot_threshold`` keys can be hot, so the hot-key set is
+       provably tiny.
+    2. Right rows for hot keys are collected and BROADCAST (``ray.put``
+       once); hot left rows join map-side with zero shuffle — the hot
+       key's rows never co-locate anywhere. This assumes the RIGHT side is
+       dimension-shaped on hot keys (bounded rows per key) — the same
+       assumption any skew mitigation that avoids pair blowup must make,
+       guarded here by ``broadcast_limit_rows``.
+    3. Cold rows of both sides run the normal co-bucketed shuffle join.
+    4. Union — blocks stream independently; no barrier between plans.
+
+    With no hot keys this degrades to exactly ``hash_inner_join``."""
+    import ray
+
+    from .agg import bucketed_groupby
+
+    broadcast_limit_rows = 5_000_000
+
+    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(on, sort=False).size().rename("_cnt").reset_index()
+
+    def hot_only(df: pd.DataFrame) -> pd.DataFrame:
+        folded = df.groupby(on, sort=False)["_cnt"].sum().reset_index()
+        return folded[folded["_cnt"] > hot_threshold][[on]]
+
+    hot = bucketed_groupby(
+        left.select_columns([on]).map_batches(key_counts,
+                                              batch_format="pandas"),
+        [on], hot_only).to_pandas()
+    if len(hot) == 0:
+        return hash_inner_join(left, right, on, buckets=buckets)
+
+    hot_keys = set(hot[on].tolist())
+    hot_ref = ray.put(hot_keys)
+
+    def split(keep_hot: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            mask = df[on].isin(ray.get(hot_ref))
+            return df[mask if keep_hot else ~mask]
+        return fn
+
+    right_hot = (right.map_batches(split(True), batch_format="pandas")
+                 .to_pandas())
+    if len(right_hot) > broadcast_limit_rows:
+        raise ValueError(
+            f"skew_aware_inner_join: right side has {len(right_hot)} rows on "
+            f"{len(hot_keys)} hot keys (> {broadcast_limit_rows}); the right "
+            "side is not dimension-shaped on the hot keys — pre-aggregate it "
+            "or raise hot_threshold")
+
+    hot_joined = broadcast_inner_join(
+        left.map_batches(split(True), batch_format="pandas"),
+        right_hot, on)
+    cold_joined = hash_inner_join(
+        left.map_batches(split(False), batch_format="pandas"),
+        right.map_batches(split(False), batch_format="pandas"),
+        on, buckets=buckets)
+    return hot_joined.union(cold_joined)

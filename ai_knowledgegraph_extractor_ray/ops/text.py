@@ -302,3 +302,45 @@ def tfidf_top_terms(ds: rd.Dataset, *, k: int = 3, min_df: int = 1,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def chunk_documents(ds: rd.Dataset, *, chunk_chars: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> rd.Dataset:
+    """Split documents into fixed-size overlapping character chunks — the
+    RAG / embedding-prep chunker. One output row per chunk:
+    ``(id_col, chunk_idx:int64, chunk_text, n_chars:int64)``.
+
+    Chunk i covers ``[i*stride, i*stride + chunk_chars)`` with
+    ``stride = chunk_chars - overlap``; starts run while
+    ``start < len(text) - overlap`` (every chunk contributes >= stride new
+    characters except a possibly-shorter tail), and an empty/short document
+    yields exactly one chunk. Pure per-row flat-map — embarrassingly
+    parallel, no shuffle; the fan-out multiplies rows by ~len/stride, so
+    downstream batch sizes should account for it.
+
+    Slicing is per-row Python (ragged strings have no Arrow kernel), but
+    offsets are precomputed vectorized and the per-chunk work is one
+    O(chunk) slice."""
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap={overlap} must be < chunk_chars={chunk_chars}")
+    stride = chunk_chars - overlap
+
+    def chunks(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        lens = np.array([len(s) if s else 0 for s in texts], dtype=np.int64)
+        n_chunks = np.maximum(1, -(-np.maximum(lens - overlap, 1) // stride))
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_chunks)
+        idx = np.concatenate([np.arange(n) for n in n_chunks]) \
+            if len(n_chunks) else np.array([], dtype=np.int64)
+        out_texts = [
+            (s or "")[i * stride:i * stride + chunk_chars]
+            for s, n in zip(texts, n_chunks) for i in range(n)]
+        return pa.table({
+            id_col: pa.array(ids),
+            "chunk_idx": pa.array(idx, pa.int64()),
+            "chunk_text": pa.array(out_texts, pa.string()),
+            "n_chars": pa.array([len(c) for c in out_texts], pa.int64()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

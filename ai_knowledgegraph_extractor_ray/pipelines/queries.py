@@ -1064,3 +1064,105 @@ def q_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return text_ops.tfidf_top_terms(docs, k=k)
+
+
+# --- round-3 late additions --------------------------------------------------
+
+def q_events_quantiles_cont(sf_dir: str) -> rd.Dataset:
+    """Exact grouped CONTINUOUS (interpolated) quantiles of value-in-cents
+    per event type — same histogram-partial shuffle as q_events_quantiles,
+    with the merge interpolating DuckDB/Postgres ``quantile_cont``
+    semantics bit-for-bit off the cumulative counts."""
+    from ..ops.agg import grouped_quantile_cont
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(cents.astype(np.int64))})
+
+    out = grouped_quantile_cont(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        ["event_type"], "cents", {"p50_cents": 0.5, "p95_cents": 0.95})
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "p50_cents": df["p50_cents"].astype("float64"),
+            "p95_cents": df["p95_cents"].astype("float64"),
+            "n": df["n"].astype("int64")})
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_events_cube(sf_dir: str) -> rd.Dataset:
+    """SQL CUBE(event_type, hour): counts + exact cent sums at all four
+    granularities — the raw data is shuffled ONCE at the finest level,
+    every other level re-aggregates the vocabulary-sized result."""
+    from ..ops.agg import grouped_cube
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+            value_cents=np.round(df["value"].to_numpy() * 100).astype(np.int64))
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum"))
+
+    return grouped_cube(ds.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "hour"],
+                        ["n_events", "value_cents"])
+
+
+def q_join_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER JOIN: even-keyed customers x finished orders — both
+    unmatched sides survive (odd-custkey orders are right-only, even
+    customers without an 'F' order are left-only), exercising the one
+    join shape only the co-bucketed plan can express."""
+    from ..ops.joins import hash_inner_join
+
+    def even_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(pc.bit_wise_and(t["c_custkey"], 1), 0))
+
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_acctbal"])
+            .map_batches(even_only, batch_format="pyarrow"))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderkey",
+                                       "o_totalprice", "o_orderstatus"])
+              .filter(expr="o_orderstatus == 'F'")
+              .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+              .map_batches(lambda df: df.rename(columns={
+                  "o_custkey": "c_custkey"}), batch_format="pandas"))
+    return hash_inner_join(cust, orders, "c_custkey", how="outer")
+
+
+def q_join_skew(sf_dir: str) -> rd.Dataset:
+    """Inner lineitem x orders under the skew-aware hybrid plan: exact
+    left-key counts split the keys into HOT (right rows broadcast, joined
+    map-side with zero shuffle) and COLD (normal co-bucketed shuffle);
+    hot_threshold=4 makes both paths live on this corpus (~1/3 of orders
+    have >4 lineitems). Same oracle SQL as any inner-join plan."""
+    from ..ops.joins import skew_aware_inner_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_totalprice"])
+              .map_batches(lambda df: df.rename(columns={
+                  "o_orderkey": "l_orderkey"}), batch_format="pandas"))
+    return skew_aware_inner_join(li, orders, "l_orderkey", hot_threshold=4)
+
+
+def q_doc_chunks(sf_dir: str) -> rd.Dataset:
+    """RAG-prep document chunking: 512-char chunks with 64-char overlap,
+    one row per chunk — a pure fan-out map, no shuffle."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text_ops.chunk_documents(docs, chunk_chars=512, overlap=64)

@@ -1110,3 +1110,172 @@ def test_partitioned_sink_roundtrip(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_partitioned_parquet(out, partition_col="lang", values=["zz"])
+
+
+# --- round-3 late additions: outer join, cont quantiles, cube, chunks --------
+
+def test_full_outer_join_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import hash_inner_join
+
+    rng = np.random.RandomState(4)
+    left = pd.DataFrame({"k": rng.randint(0, 30, 80).astype("int64"),
+                         "lv": np.arange(80, dtype="int64")})
+    right = pd.DataFrame({"k": rng.randint(15, 45, 60).astype("int64"),
+                          "rv": np.arange(60, dtype="int64") * 10})
+    got = hash_inner_join(rd.from_pandas(left).repartition(3),
+                          rd.from_pandas(right).repartition(2),
+                          "k", how="outer").to_pandas()
+    con = duckdb.connect()
+    con.register("ldf", left)
+    con.register("rdf", right)
+    want = con.execute("""
+        SELECT COALESCE(l.k, r.k) AS k,
+               CAST(lv AS DOUBLE) AS lv, CAST(rv AS DOUBLE) AS rv
+        FROM ldf l FULL OUTER JOIN rdf r ON l.k = r.k
+    """).df()
+    key = ["k", "lv", "rv"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    assert got["k"].dtype == "int64"
+    assert got["lv"].dtype == "float64" and got["rv"].dtype == "float64"
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_quantile_cont_bitexact_vs_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_quantile_cont
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcd"), size=700),
+        "v": rng.randint(0, 97, size=700).astype("int64")})
+    got = grouped_quantile_cont(
+        rd.from_pandas(df).repartition(7), ["g"], "v",
+        {"p50": 0.5, "p90": 0.9, "p07": 0.07}
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    want = duckdb.connect().execute("""
+        SELECT g, quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90,
+               quantile_cont(v, 0.07) AS p07, CAST(count(*) AS BIGINT) AS n
+        FROM df GROUP BY g ORDER BY g""").df()
+    for c in ("p50", "p90", "p07"):
+        # the driver hashes float BITS — require exact equality, not allclose
+        assert list(got[c]) == list(want[c]), c
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_grouped_cube_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_cube
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.choice(list("xy"), 400),
+        "b": rng.choice(list("mnp"), 400),
+        "v": rng.randint(0, 9, 400).astype("int64")})
+
+    def partial(p):
+        return (p.groupby(["a", "b"], sort=False)["v"].sum()
+                .rename("sum_v").reset_index())
+
+    got = grouped_cube(
+        rd.from_pandas(df).repartition(5).map_batches(
+            partial, batch_format="pandas"),
+        ["a", "b"], ["sum_v"]).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT a, b, SUM(v) AS sum_v FROM df GROUP BY CUBE(a, b)
+    """).df()
+    want["sum_v"] = want["sum_v"].astype("int64")
+    for d in (got, want):
+        d["a"] = d["a"].fillna("~"); d["b"] = d["b"].fillna("~")
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b", "sum_v"]]
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b", "sum_v"]]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_chunk_documents_matches_duckdb_and_reassembles():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.text import chunk_documents
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+        "text": ["a" * 10, "", "xyz", "b" * 100 + "c" * 57, "d" * 64]})
+    chunk, overlap = 64, 16
+    got = chunk_documents(rd.from_pandas(docs).repartition(2),
+                          chunk_chars=chunk, overlap=overlap
+                          ).to_pandas()
+    want = duckdb.connect().execute(f"""
+        WITH n AS (SELECT doc_id, text,
+                   greatest(1, CAST(ceil(greatest(length(text) - {overlap}, 1)
+                        / CAST({chunk - overlap} AS DOUBLE)) AS BIGINT)) AS nc
+                   FROM docs)
+        SELECT doc_id, i AS chunk_idx,
+               substr(text, CAST(i * {chunk - overlap} + 1 AS INT), {chunk})
+                 AS chunk_text,
+               length(substr(text, CAST(i * {chunk - overlap} + 1 AS INT),
+                             {chunk})) AS n_chars
+        FROM n, UNNEST(range(nc)) AS t(i)""").df()
+    cols = ["doc_id", "chunk_idx", "chunk_text", "n_chars"]
+    got = got[cols].sort_values(cols[:2]).reset_index(drop=True)
+    want = want[cols].sort_values(cols[:2]).reset_index(drop=True)
+    want["chunk_idx"] = want["chunk_idx"].astype("int64")
+    want["n_chars"] = want["n_chars"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # overlap-aware reassembly recovers every document exactly
+    for did, g in got.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        text = g.iloc[0]["chunk_text"] + "".join(
+            t[overlap:] for t in g["chunk_text"].iloc[1:])
+        assert text == docs.set_index("doc_id")["text"][did]
+
+
+def test_skew_aware_join_matches_plain_and_splits():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        hash_inner_join,
+        skew_aware_inner_join,
+    )
+
+    rng = np.random.RandomState(8)
+    # key 7 is hot: 70% of left rows
+    keys = np.where(rng.rand(2000) < 0.7, 7,
+                    rng.randint(0, 50, 2000)).astype("int64")
+    left = pd.DataFrame({"k": keys, "lv": np.arange(2000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(0, 50, dtype="int64"),
+                          "rv": np.arange(0, 500, 10, dtype="int64")})
+    got = skew_aware_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2), "k",
+        hot_threshold=200).to_pandas()
+    want = hash_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2), "k").to_pandas()
+    key = ["k", "lv", "rv"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # no hot keys -> same result via the degenerate path
+    got2 = skew_aware_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2), "k",
+        hot_threshold=10**9).to_pandas()
+    got2 = got2[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want)
