@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_skew": q.q_join_skew,
         # ordered per-key window functions
         "events_window": q.q_events_window,
+        "events_rank": q.q_events_rank,
         # stratified train/val/test split
         "stratified_split": q.q_stratified_split,
         # TF-IDF distinctive terms
@@ -814,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                      AS roll3_cents
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_rank": r"""
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(rank() OVER wv AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+                   CAST(ntile(4) OVER wt AS BIGINT) AS quartile
+            FROM e WINDOW wv AS (PARTITION BY user_id ORDER BY cents),
+                        wt AS (PARTITION BY user_id ORDER BY cents, event_id)
         """,
         # stratified_split: rank within stratum by (16-bit sha256-of-id
         # prefix, id); fixed-width lowercase hex orders == numerically,

@@ -8,6 +8,8 @@ Supported window kinds (all exact, all vectorized):
 - ``cum_sum``     — running sum within the key (unbounded preceding frame)
 - ``rolling_sum`` — sum over the last ``k`` rows within the key
                     (``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``)
+- ``rank`` / ``dense_rank`` — SQL RANK/DENSE_RANK over ``src`` (ascending)
+- ``ntile``       — SQL NTILE(param) over the window's total order
 
 Scale shape: ONE shuffle. All rows of a key must be ranked against each
 other, so the key is the mandatory co-location unit — rows co-bucket on
@@ -34,7 +36,8 @@ import ray.data as rd
 
 from .agg import bucketed_groupby
 
-_KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum"}
+_KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum",
+          "rank", "dense_rank", "ntile"}
 
 
 @dataclass(frozen=True)
@@ -61,9 +64,9 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
         if s.kind not in _KINDS:
             raise ValueError(f"unknown window kind {s.kind!r}; "
                              f"expected one of {sorted(_KINDS)}")
-        if s.kind != "row_number" and not s.src:
+        if s.kind not in ("row_number", "ntile") and not s.src:
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs src")
-        if s.kind in ("lag", "lead", "rolling_sum") and not s.param:
+        if s.kind in ("lag", "lead", "rolling_sum", "ntile") and not s.param:
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
                              "positive integer param")
     cols = set(ds.schema().names)
@@ -84,6 +87,26 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                 if s.fill is not None:
                     src_dtype = df[s.src].dtype
                     out = out.fillna(s.fill).astype(src_dtype)
+            elif s.kind == "rank":
+                # SQL RANK() OVER (PARTITION BY by ORDER BY src): ties
+                # share the min rank, gaps follow — value-determined, so
+                # deterministic even when src ties under the total order
+                out = g[s.src].rank(method="min").astype("int64")
+            elif s.kind == "dense_rank":
+                out = g[s.src].rank(method="dense").astype("int64")
+            elif s.kind == "ntile":
+                # SQL NTILE(k) over the window's TOTAL order (``order``):
+                # first n%k tiles get ceil(n/k) rows, the rest floor(n/k)
+                rn = g.cumcount().to_numpy()
+                nn = g[by].transform("size").to_numpy()
+                k = s.param
+                base, big = nn // k, nn % k
+                cut = big * (base + 1)
+                tile = np.where(
+                    rn < cut,
+                    rn // np.maximum(base + 1, 1),
+                    big + (rn - cut) // np.maximum(base, 1)) + 1
+                out = pd.Series(tile.astype("int64"), index=df.index)
             elif s.kind == "cum_sum":
                 out = g[s.src].cumsum()
             else:                                   # rolling_sum, exact:

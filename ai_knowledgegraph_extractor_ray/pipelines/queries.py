@@ -1166,3 +1166,30 @@ def q_doc_chunks(sf_dir: str) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return text_ops.chunk_documents(docs, chunk_chars=512, overlap=64)
+
+
+def q_events_rank(sf_dir: str) -> rd.Dataset:
+    """RANK / DENSE_RANK / NTILE window functions per user: rank events by
+    cents (ties share rank), quartile-bucket them by the (cents, event_id)
+    total order — same single keyed_window shuffle as q_events_window."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    w = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["cents", "event_id"],
+        specs=[
+            WindowSpec("rnk", "rank", src="cents"),
+            WindowSpec("drnk", "dense_rank", src="cents"),
+            WindowSpec("quartile", "ntile", param=4),
+        ])
+    return w.select_columns(["event_id", "user_id", "rnk", "drnk",
+                             "quartile"])

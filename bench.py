@@ -154,6 +154,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "join_semi": lambda: q.q_join_semi(sf_dir).count(),
             "join_anti": lambda: q.q_join_anti(sf_dir).count(),
             "events_window": lambda: q.q_events_window(sf_dir).count(),
+            "events_rank": lambda: q.q_events_rank(sf_dir).count(),
             "stratified_split":
                 lambda: q.q_stratified_split(sf_dir).count(),
             "tfidf": lambda: q.q_tfidf(sf_dir).count(),
@@ -173,6 +174,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "join_left": lambda: q.q_join_left(sf_dir).count(),
             "events_pivot": lambda: q.q_events_pivot(sf_dir).count(),
             "user_intersect": lambda: q.q_user_intersect(sf_dir).count(),
+            "events_quantiles_cont":
+                lambda: q.q_events_quantiles_cont(sf_dir).count(),
+            "events_cube": lambda: q.q_events_cube(sf_dir).count(),
+            "join_outer": lambda: q.q_join_outer(sf_dir).count(),
+            "join_skew": lambda: q.q_join_skew(sf_dir).count(),
+            "doc_chunks": lambda: q.q_doc_chunks(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

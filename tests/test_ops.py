@@ -1279,3 +1279,34 @@ def test_skew_aware_join_matches_plain_and_splits():
         hot_threshold=10**9).to_pandas()
     got2 = got2[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_window_rank_dense_ntile_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import WindowSpec, keyed_window
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 7, 300).astype("int64"),
+        "id": np.arange(300, dtype="int64"),
+        "v": rng.randint(0, 12, 300).astype("int64")})   # ties guaranteed
+    got = keyed_window(
+        rd.from_pandas(df).repartition(5), by="k", order=["v", "id"],
+        specs=[WindowSpec("rnk", "rank", src="v"),
+               WindowSpec("drnk", "dense_rank", src="v"),
+               WindowSpec("tile", "ntile", param=4)]).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT k, id, v,
+               CAST(rank() OVER wv AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER wt AS BIGINT) AS tile
+        FROM df WINDOW wv AS (PARTITION BY k ORDER BY v),
+                    wt AS (PARTITION BY k ORDER BY v, id)""").df()
+    cols = ["k", "id", "v", "rnk", "drnk", "tile"]
+    got = got[cols].sort_values(["k", "id"]).reset_index(drop=True)
+    want = want[cols].sort_values(["k", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
