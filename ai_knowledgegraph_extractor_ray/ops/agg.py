@@ -375,6 +375,67 @@ def grouped_quantile_cont(ds: rd.Dataset, key_cols: list[str],
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
 
 
+def _grouping_sets_ladder(partials: rd.Dataset, key_cols: list[str],
+                          value_cols: list[str], subsets: list[list[str]],
+                          buckets: int | None, chain: bool) -> rd.Dataset:
+    """Shared machinery of ROLLUP and CUBE: aggregate ``partials`` once at
+    the finest granularity (the only exchange that sees raw-sized data),
+    then produce one level per entry of ``subsets`` (each a proper subset
+    of ``key_cols``; ``[]`` = grand total), null-padding rolled-away key
+    columns. ``chain=True`` re-aggregates each level from the PREVIOUS one
+    (valid when subsets are nested, as in ROLLUP — slightly less data per
+    step); ``chain=False`` re-aggregates every level from the fine level
+    (CUBE's arbitrary subsets). An EMPTY input yields an empty dataset at
+    every granularity (note: SQL's () grouping set would emit one all-null
+    row; partials of an empty input carry no value to aggregate, so this
+    operator omits it)."""
+    import pyarrow as pa
+
+    fine = bucketed_groupby(partials, key_cols,
+                            sum_merge(key_cols, value_cols), buckets)
+    # every level re-reads this; it is vocabulary-sized by construction
+    fine = fine.materialize()
+    fine_schema = fine.schema()
+    if fine_schema is None or fine.count() == 0:
+        return fine
+    key_types = {c: fine_schema.base_schema.field(c).type for c in key_cols}
+
+    def pad(present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: (t[c] if c in present
+                        else pa.nulls(t.num_rows, type=key_types[c]))
+                    for c in key_cols}
+            for v in value_cols:
+                cols[v] = t[v]
+            return pa.table(cols)
+        return fn
+
+    def total_stamp(t: pa.Table) -> pa.Table:
+        return pa.table({"__total": pa.array(["*"] * t.num_rows),
+                         **{v: t[v] for v in value_cols}})
+
+    def total_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("__total", as_index=False, sort=False)[value_cols].sum()
+        return out.drop(columns=["__total"])
+
+    levels = [fine]
+    cur = fine
+    for keys in subsets:
+        src_lvl = cur if chain else fine
+        if keys:
+            cur = bucketed_groupby(
+                src_lvl.select_columns(keys + value_cols), keys,
+                sum_merge(keys, value_cols), buckets=8)
+            levels.append(cur.map_batches(pad(keys), batch_format="pyarrow"))
+        else:
+            total = bucketed_groupby(
+                src_lvl.map_batches(total_stamp, batch_format="pyarrow"),
+                ["__total"], total_merge, buckets=8)
+            levels.append(total.map_batches(pad([]), batch_format="pyarrow"))
+
+    return levels[0].union(*levels[1:])
+
+
 def grouped_rollup(partials: rd.Dataset, key_cols: list[str],
                    value_cols: list[str], *,
                    buckets: int | None = None) -> rd.Dataset:
@@ -393,47 +454,9 @@ def grouped_rollup(partials: rd.Dataset, key_cols: list[str],
     Caveat: a genuine null VALUE in a key column is indistinguishable from
     a rolled-up marker in the output (same as reading SQL ROLLUP output
     without GROUPING())."""
-    import pyarrow as pa
-
-    fine = bucketed_groupby(partials, key_cols,
-                            sum_merge(key_cols, value_cols), buckets)
-    # every level re-reads this; it is vocabulary-sized by construction
-    fine = fine.materialize()
-    fine_schema = fine.schema()
-    key_types = {c: fine_schema.base_schema.field(c).type for c in key_cols}
-
-    def pad(present: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            cols = {c: (t[c] if c in present
-                        else pa.nulls(t.num_rows, type=key_types[c]))
-                    for c in key_cols}
-            for v in value_cols:
-                cols[v] = t[v]
-            return pa.table(cols)
-        return fn
-
-    levels = [fine]
-    cur = fine
-    for i in range(len(key_cols) - 1, 0, -1):
-        keys = key_cols[:i]
-        cur = bucketed_groupby(cur.select_columns(keys + value_cols), keys,
-                               sum_merge(keys, value_cols), buckets=8)
-        levels.append(cur.map_batches(pad(keys), batch_format="pyarrow"))
-
-    def total_stamp(t: pa.Table) -> pa.Table:
-        return pa.table({"__total": pa.array(["*"] * t.num_rows),
-                         **{v: t[v] for v in value_cols}})
-
-    def total_merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("__total", as_index=False, sort=False)[value_cols].sum()
-        return out.drop(columns=["__total"])
-
-    total = bucketed_groupby(
-        cur.map_batches(total_stamp, batch_format="pyarrow"),
-        ["__total"], total_merge, buckets=8)
-    levels.append(total.map_batches(pad([]), batch_format="pyarrow"))
-
-    return levels[0].union(*levels[1:])
+    subsets = [key_cols[:i] for i in range(len(key_cols) - 1, -1, -1)]
+    return _grouping_sets_ladder(partials, key_cols, value_cols, subsets,
+                                 buckets, chain=True)
 
 
 def grouped_cube(partials: rd.Dataset, key_cols: list[str],
@@ -448,46 +471,11 @@ def grouped_cube(partials: rd.Dataset, key_cols: list[str],
     in the single real shuffle, not the ladder."""
     import itertools
 
-    import pyarrow as pa
-
-    fine = bucketed_groupby(partials, key_cols,
-                            sum_merge(key_cols, value_cols), buckets)
-    fine = fine.materialize()        # every level re-reads it
-    fine_schema = fine.schema()
-    key_types = {c: fine_schema.base_schema.field(c).type for c in key_cols}
-
-    def pad(present: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            cols = {c: (t[c] if c in present
-                        else pa.nulls(t.num_rows, type=key_types[c]))
-                    for c in key_cols}
-            for v in value_cols:
-                cols[v] = t[v]
-            return pa.table(cols)
-        return fn
-
-    def total_stamp(t: pa.Table) -> pa.Table:
-        return pa.table({"__total": pa.array(["*"] * t.num_rows),
-                         **{v: t[v] for v in value_cols}})
-
-    def total_merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("__total", as_index=False, sort=False)[value_cols].sum()
-        return out.drop(columns=["__total"])
-
-    levels = [fine]
-    for r in range(len(key_cols) - 1, 0, -1):
-        for subset in itertools.combinations(key_cols, r):
-            keys = list(subset)
-            lvl = bucketed_groupby(
-                fine.select_columns(keys + value_cols), keys,
-                sum_merge(keys, value_cols), buckets=8)
-            levels.append(lvl.map_batches(pad(keys), batch_format="pyarrow"))
-    total = bucketed_groupby(
-        fine.map_batches(total_stamp, batch_format="pyarrow"),
-        ["__total"], total_merge, buckets=8)
-    levels.append(total.map_batches(pad([]), batch_format="pyarrow"))
-
-    return levels[0].union(*levels[1:])
+    subsets = [list(s) for r in range(len(key_cols) - 1, 0, -1)
+               for s in itertools.combinations(key_cols, r)]
+    subsets.append([])
+    return _grouping_sets_ladder(partials, key_cols, value_cols, subsets,
+                                 buckets, chain=False)
 
 
 _CMS_SEED = np.uint64(0xA0761D6478BD642F)
@@ -524,6 +512,11 @@ def approx_top_k(partials: rd.Dataset, item_col: str, count_col: str, *,
     import ray
 
     from .hashing import crc32_column
+
+    # consumed twice (sketch pass + candidate pass); the partials are slim
+    # (item, count) rows, far cheaper to hold than to recompute the
+    # upstream per-block counting
+    partials = partials.materialize()
 
     def to_cells(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -76,10 +76,9 @@ def broadcast_inner_join(left: rd.Dataset, right: rd.Dataset | pd.DataFrame,
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
     rdf = right.to_pandas() if isinstance(right, rd.Dataset) else right
-    if right_cols is not None:
-        keys = [on] if isinstance(on, str) else list(on)
-        rdf = rdf[list(dict.fromkeys(keys + right_cols))]
     keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is not None:
+        rdf = rdf[list(dict.fromkeys(keys + right_cols))]
     r_value_ints = [c for c in rdf.columns
                     if c not in keys and rdf[c].dtype.kind in "iu"]
     r_ref = ray.put(rdf)

@@ -18,9 +18,19 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+
+
+def _h16(vals) -> np.ndarray:
+    """16-bit sha256 prefix per value — the ONE hash both hash_sample and
+    stratified_split key on; it must stay bit-identical to the DuckDB
+    oracle idiom ``substr(sha256(CAST(x AS VARCHAR)), 1, 4)``."""
+    return np.asarray(
+        [int.from_bytes(hashlib.sha256(str(v).encode()).digest()[:2], "big")
+         for v in vals], dtype=np.int64)
 
 
 def hash_sample(ds: rd.Dataset, *, key_col: str = "text",
@@ -31,9 +41,7 @@ def hash_sample(ds: rd.Dataset, *, key_col: str = "text",
     threshold = int(rate * 65536)
 
     def fn(t: pa.Table) -> pa.Table:
-        mask = [int.from_bytes(
-            hashlib.sha256(str(v).encode()).digest()[:2], "big") < threshold
-            for v in t[key_col].to_pylist()]
+        mask = _h16(t[key_col].to_pylist()) < threshold
         return t.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -82,8 +90,6 @@ def stratified_split(ds: rd.Dataset, *, strata_col: str,
     row (use an id column) — duplicate keys tie under the (hash, key)
     rank and the cut between them would depend on block order.
     """
-    import numpy as np
-
     names = list(ratios)
     fracs = np.asarray([ratios[n] for n in names], dtype=np.float64)
     if abs(fracs.sum() - 1.0) > 1e-9:
@@ -91,10 +97,6 @@ def stratified_split(ds: rd.Dataset, *, strata_col: str,
     if mode not in ("hash", "exact"):
         raise ValueError(f"unknown mode {mode!r}")
 
-    def h16(vals) -> "np.ndarray":
-        return np.asarray(
-            [int.from_bytes(hashlib.sha256(str(v).encode()).digest()[:2],
-                            "big") for v in vals], dtype=np.int64)
 
     if mode == "hash":
         # cut the 16-bit hash space at cumulative thresholds; the last
@@ -103,7 +105,7 @@ def stratified_split(ds: rd.Dataset, *, strata_col: str,
         cuts[-1] = 65536
 
         def assign(df: pd.DataFrame) -> pd.DataFrame:
-            idx = np.searchsorted(cuts, h16(df[key_col]), side="right")
+            idx = np.searchsorted(cuts, _h16(df[key_col]), side="right")
             return df.assign(split=np.asarray(names, dtype=object)[idx])
 
         return ds.map_batches(assign, batch_format="pandas")
@@ -112,7 +114,7 @@ def stratified_split(ds: rd.Dataset, *, strata_col: str,
     cum = np.cumsum(fracs)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(_h=h16(df[key_col]))
+        df = df.assign(_h=_h16(df[key_col]))
         # (hash, key) is a total order: rank is layout-independent
         df = (df.sort_values(["_h", key_col], kind="mergesort")
               .drop(columns="_h"))

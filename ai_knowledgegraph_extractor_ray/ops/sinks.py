@@ -30,10 +30,25 @@ def write_partitioned_parquet(ds: rd.Dataset, path: str, *,
     Scale note: partition-value cardinality should be bounded (languages,
     shards, dates, cluster ids). A near-unique column would create one
     directory per row — key the exchange on a bucket of it instead."""
+    import pyarrow.compute as pc
+
     from .exchange import hash_exchange_dataset
 
-    out = hash_exchange_dataset(ds, num_partitions, lambda t: t,
-                                key=partition_col)
+    # the exchange hashes the key column's BINARY view, so stamp a string
+    # form of the partition column (an int64/date column has no binary
+    # cast; same idiom as bucketed_groupby's composite key)
+    skey = "__pkey"
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(skey, pa.array([], pa.string()))
+        return t.append_column(
+            skey, pc.fill_null(pc.cast(t[partition_col], pa.string()), "None"))
+
+    out = hash_exchange_dataset(ds.map_batches(stamp, batch_format="pyarrow"),
+                                num_partitions,
+                                lambda t: t.drop_columns([skey]),
+                                key=skey)
     out.write_parquet(path, partition_cols=[partition_col])
 
 
@@ -50,14 +65,30 @@ def read_partitioned_parquet(path: str, *, partition_col: str,
 
     if values is None:
         return rd.read_parquet(path, columns=columns)
+    if not values:
+        raise ValueError("values=[] — pass None to read all partitions")
     pairs = [(os.path.join(path, f"{partition_col}={v}"), v) for v in values]
-    pairs = [(d, v) for d, v in pairs if os.path.isdir(d)]
-    if not pairs:
+    missing = [v for d, v in pairs if not os.path.isdir(d)]
+    if missing:
+        # silent partial coverage is worse than an error in a resumable
+        # layout: a typo'd or unfinished shard must be visible
         raise FileNotFoundError(
-            f"no partition directories under {path} for {values!r}")
+            f"partition directories missing under {path}: "
+            f"{partition_col}={missing!r}")
     want_part_col = columns is None or partition_col in columns
-    file_cols = (None if columns is None
-                 else [c for c in columns if c != partition_col] or None)
+    if columns is None:
+        file_cols = None
+    else:
+        file_cols = [c for c in columns if c != partition_col]
+        if not file_cols:
+            # only the partition column was requested; parquet readers can't
+            # project zero columns, so read the narrowest real column and
+            # drop it in the final projection below
+            import pyarrow.parquet as pq
+            d0 = pairs[0][0]
+            f0 = next(os.path.join(d0, f) for f in sorted(os.listdir(d0))
+                      if f.endswith(".parquet"))
+            file_cols = [pq.ParquetFile(f0).schema_arrow.names[0]]
     # a list of DIRECTORIES is not expanded by read_parquet in Ray 2.49 —
     # glob the files per directory. Explicit file paths usually still
     # hive-infer the partition column (as a STRING col), but stamp it from
@@ -79,4 +110,6 @@ def read_partitioned_parquet(path: str, *, partition_col: str,
     ds = parts[0]
     for sub in parts[1:]:
         ds = ds.union(sub)
+    if columns is not None:
+        ds = ds.select_columns(columns)
     return ds

@@ -66,9 +66,10 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                              f"expected one of {sorted(_KINDS)}")
         if s.kind not in ("row_number", "ntile") and not s.src:
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs src")
-        if s.kind in ("lag", "lead", "rolling_sum", "ntile") and not s.param:
+        if s.kind in ("lag", "lead", "rolling_sum", "ntile") and (
+                not isinstance(s.param, int) or s.param <= 0):
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
-                             "positive integer param")
+                             f"positive integer param, got {s.param!r}")
     cols = set(ds.schema().names)
     clash = [s.out for s in specs if s.out in cols]
     if clash:

@@ -1310,3 +1310,59 @@ def test_window_rank_dense_ntile_match_duckdb():
     got = got[cols].sort_values(["k", "id"]).reset_index(drop=True)
     want = want[cols].sort_values(["k", "id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_review_regressions_round3_late(tmp_path):
+    """Pins the fixes for the second round-3 review pass: int64 partition
+    columns, partition-only column projection, missing-partition errors,
+    and negative window params."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.sinks import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+    from ai_knowledgegraph_extractor_ray.ops.window import WindowSpec, keyed_window
+
+    df = pd.DataFrame({"shard": pd.Series([0, 1, 0, 2, 1], dtype="int64"),
+                       "payload": list("abcde")})
+    root = str(tmp_path / "intpart")
+    # int64 partition column: the exchange must stamp a string key
+    write_partitioned_parquet(rd.from_pandas(df).repartition(2), root,
+                              partition_col="shard")
+    back = read_partitioned_parquet(root, partition_col="shard",
+                                    values=[0, 1]).to_pandas()
+    assert sorted(back["payload"]) == ["a", "b", "c", "e"]   # shards 0+1
+    # columns=[partition_col] returns ONLY that column
+    only = read_partitioned_parquet(root, partition_col="shard",
+                                    values=[0], columns=["shard"]).to_pandas()
+    assert list(only.columns) == ["shard"] and len(only) == 2
+    # a requested-but-missing partition value raises instead of silently
+    # returning partial coverage
+    with pytest.raises(FileNotFoundError, match="99"):
+        read_partitioned_parquet(root, partition_col="shard", values=[0, 99])
+    with pytest.raises(ValueError, match=r"values=\[\]"):
+        read_partitioned_parquet(root, partition_col="shard", values=[])
+    # negative / non-int window params are rejected, not silently inverted
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [1], "v": [1]}))
+    for bad in (-1, 0, None, 2.5):
+        with pytest.raises(ValueError, match="positive integer param"):
+            keyed_window(ds, by="k", order=["ts"],
+                         specs=[WindowSpec("x", "lag", "v", bad)])
+
+
+def test_grouping_ladder_empty_input():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_cube, grouped_rollup
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "a": pd.Series([], dtype="string"),
+        "b": pd.Series([], dtype="string"),
+        "v": pd.Series([], dtype="int64")})).repartition(2)
+    for fn in (grouped_rollup, grouped_cube):
+        out = fn(empty, ["a", "b"], ["v"])
+        assert out.count() == 0
