@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q.q_distinct_users,
         "pack_sequences": q.q_pack_sequences,
         "approx_distinct": q.q_approx_distinct,   # HLL sketch: rows-only
+        "approx_quantiles": q.q_approx_quantiles,  # histogram sketch: rows-only
         # general inner join, both physical plans
         "join_broadcast": q.q_join_broadcast,
         "join_shuffle": q.q_join_shuffle,

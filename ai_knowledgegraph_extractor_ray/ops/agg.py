@@ -590,3 +590,91 @@ def pivot_count(ds: rd.Dataset, key_cols: list[str], pivot_col: str,
     return bucketed_groupby(ds.map_batches(partial, batch_format="pandas"),
                             key_cols, sum_merge(key_cols, list(categories)),
                             buckets=buckets)
+
+
+def grouped_approx_quantile(ds: rd.Dataset, key_cols: list[str],
+                            value_col: str, quantiles: dict[str, float],
+                            *, bins: int = 1024,
+                            buckets: int | None = None) -> rd.Dataset:
+    """APPROXIMATE quantiles per group over a CONTINUOUS (unbounded-
+    cardinality) value column — the fixed-state complement to the exact
+    histogram quantiles, the way HLL complements exact count-distinct:
+    ``grouped_quantile_disc/cont`` ship one row per DISTINCT value per
+    block, which is unbounded for raw floats; this op ships exactly one
+    row per (key, block) whose state is a re-binnable equi-width histogram
+    (min, max, ``bins`` counts — ~8 KB at the default), so a 10^12-row
+    key costs the same shuffle bytes as a 10^3-row key.
+
+    Merge re-bins each partial histogram into the group's global [min,
+    max] range by bin center (deterministic, no RNG) and interpolates the
+    quantile within the hit bin. Error is bounded in VALUE terms by about
+    one partial bin width + one final bin width (range/bins each) — tight
+    for smooth distributions, coarse for heavy point masses (a mass at one
+    value spreads over its bin; rank error can reach that bin's mass).
+    Callers needing exact answers on discrete data use the exact
+    operators. Output columns are float64 estimates plus ``n``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
+        for k, g in df.groupby(key, sort=False):
+            v = g[value_col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                continue
+            lo, hi = float(v.min()), float(v.max())
+            if hi > lo:
+                counts = np.histogram(v, bins=bins, range=(lo, hi))[0]
+            else:
+                counts = np.zeros(bins, dtype=np.int64)
+                counts[0] = len(v)
+            row = dict(zip(key_cols, k if isinstance(k, tuple) else (k,)))
+            row.update(_lo=lo, _hi=hi, _counts=counts.astype(np.int64))
+            rows.append(row)
+        cols = key_cols + ["_lo", "_hi", "_counts"]
+        if not rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(rows)[cols]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
+        for k, g in df.groupby(key, sort=False):
+            glo = float(g["_lo"].min())
+            ghi = float(g["_hi"].max())
+            acc = np.zeros(bins, dtype=np.float64)
+            width = (ghi - glo) / bins if ghi > glo else 0.0
+            for lo, hi, counts in zip(g["_lo"], g["_hi"], g["_counts"]):
+                counts = np.asarray(counts, dtype=np.float64)
+                if width == 0.0:
+                    acc[0] += counts.sum()
+                    continue
+                pw = (hi - lo) / bins
+                centers = (lo + (np.arange(bins) + 0.5) * pw if pw > 0
+                           else np.full(bins, lo))
+                idx = np.clip(((centers - glo) / width).astype(np.int64),
+                              0, bins - 1)
+                np.add.at(acc, idx, counts)
+            n = acc.sum()
+            cum = np.cumsum(acc)
+            row = dict(zip(key_cols, k if isinstance(k, tuple) else (k,)))
+            for name, q in quantiles.items():
+                if width == 0.0:
+                    row[name] = glo
+                    continue
+                rank = q * (n - 1) + 1          # 1-indexed continuous rank
+                b = int(np.searchsorted(cum, rank))
+                b = min(b, bins - 1)
+                prev = cum[b - 1] if b > 0 else 0.0
+                inbin = acc[b] if acc[b] > 0 else 1.0
+                frac = np.clip((rank - prev) / inbin, 0.0, 1.0)
+                row[name] = glo + (b + frac) * width
+            row["n"] = int(n)
+            out_rows.append(row)
+        cols = key_cols + list(quantiles) + ["n"]
+        if not out_rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(out_rows)[cols]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)

@@ -1193,3 +1193,26 @@ def q_events_rank(sf_dir: str) -> rd.Dataset:
         ])
     return w.select_columns(["event_id", "user_id", "rnk", "drnk",
                              "quartile"])
+
+
+def q_approx_quantiles(sf_dir: str) -> rd.Dataset:
+    """Sketch quantiles of the RAW double value per event type (no cents
+    discretization) — the fixed-state path for unbounded-cardinality
+    value columns; estimates land within ~1 bin of the exact quantile
+    (accuracy pinned in tests; rows-only at the driver like the other
+    sketches)."""
+    from ..ops.agg import grouped_approx_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    out = grouped_approx_quantile(ev, ["event_type"], "value",
+                                  {"p50_est": 0.5, "p95_est": 0.95})
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "p50_est": df["p50_est"].astype("float64"),
+            "p95_est": df["p95_est"].astype("float64"),
+            "n": df["n"].astype("int64")})
+
+    return out.map_batches(fmt, batch_format="pandas")

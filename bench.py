@@ -149,6 +149,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "distinct_users": lambda: q.q_distinct_users(sf_dir).count(),
             "pack_sequences": lambda: q.q_pack_sequences(sf_dir).count(),
             "approx_distinct": lambda: q.q_approx_distinct(sf_dir).count(),
+            "approx_quantiles":
+                lambda: q.q_approx_quantiles(sf_dir).count(),
             "join_broadcast": lambda: q.q_join_broadcast(sf_dir).count(),
             "join_shuffle": lambda: q.q_join_shuffle(sf_dir).count(),
             "join_semi": lambda: q.q_join_semi(sf_dir).count(),
