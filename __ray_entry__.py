@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered per-key window functions
         "events_window": q.q_events_window,
         "events_rank": q.q_events_rank,
+        "events_argmax": q.q_events_argmax,
+        "lineitem_unpivot": q.q_lineitem_unpivot,
         # stratified train/val/test split
         "stratified_split": q.q_stratified_split,
         # TF-IDF distinctive terms
@@ -827,6 +829,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER wt AS BIGINT) AS quartile
             FROM e WINDOW wv AS (PARTITION BY user_id ORDER BY cents),
                         wt AS (PARTITION BY user_id ORDER BY cents, event_id)
+        """,
+        "events_argmax": r"""
+            SELECT event_type, event_id, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) = 1
+        """,
+        "lineitem_unpivot": r"""
+            SELECT l_orderkey, l_linenumber, name AS metric, value AS val
+            FROM (UNPIVOT lineitem ON l_quantity, l_discount, l_tax
+                  INTO NAME name VALUE value)
         """,
         # stratified_split: rank within stratum by (16-bit sha256-of-id
         # prefix, id); fixed-width lowercase hex orders == numerically,

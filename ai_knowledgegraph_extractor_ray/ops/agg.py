@@ -678,3 +678,39 @@ def grouped_approx_quantile(ds: rd.Dataset, key_cols: list[str],
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+def grouped_argmax(ds: rd.Dataset, key_cols: list[str], value_col: str, *,
+                   tiebreak: str, buckets: int | None = None) -> rd.Dataset:
+    """WHOLE-ROW top-1 per group: the row with the maximum ``value_col``
+    (ties -> smallest ``tiebreak``, which must be unique within a group
+    for a deterministic result) — SQL's ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY value DESC, tiebreak) = 1``.
+
+    Scale shape: the classic combiner — each block ships at most one row
+    per group it contains, so the exchange carries |groups| x |blocks|
+    rows max, never raw data; the merge re-applies the same selection."""
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [*key_cols, value_col, tiebreak],
+            ascending=[*([True] * len(key_cols)), False, True],
+            kind="mergesort")
+        return df.groupby(key_cols, sort=False).head(1)
+
+    partials = ds.map_batches(best, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, best, buckets=buckets)
+
+
+def unpivot(ds: rd.Dataset, *, id_cols: list[str], value_cols: list[str],
+            var_col: str = "name", val_col: str = "value") -> rd.Dataset:
+    """Wide -> long reshape (SQL UNPIVOT / pandas melt): one output row
+    per (input row, value column), with the column name in ``var_col``.
+    Pure per-batch map, no shuffle; value columns must share a type (the
+    melt would otherwise upcast to object)."""
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(id_vars=id_cols, value_vars=value_cols,
+                       var_name=var_col, value_name=val_col)
+
+    return ds.map_batches(melt, batch_format="pandas")

@@ -1216,3 +1216,28 @@ def q_approx_quantiles(sf_dir: str) -> rd.Dataset:
             "n": df["n"].astype("int64")})
 
     return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_events_argmax(sf_dir: str) -> rd.Dataset:
+    """Whole-row grouped argmax: each event type's highest-value event
+    (ties to the smallest event_id) — blocks ship one candidate row per
+    group, the merge re-selects."""
+    from ..ops.agg import grouped_argmax
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    out = grouped_argmax(ev, ["event_type"], "value", tiebreak="event_id")
+    return out.select_columns(["event_type", "event_id", "value"])
+
+
+def q_lineitem_unpivot(sf_dir: str) -> rd.Dataset:
+    """SQL UNPIVOT: lineitem's three rate columns reshaped long — a pure
+    fan-out map (3 rows out per row in, no shuffle)."""
+    from ..ops.agg import unpivot
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity", "l_discount", "l_tax"])
+    return unpivot(li, id_cols=["l_orderkey", "l_linenumber"],
+                   value_cols=["l_quantity", "l_discount", "l_tax"],
+                   var_col="metric", val_col="val")

@@ -157,6 +157,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "join_anti": lambda: q.q_join_anti(sf_dir).count(),
             "events_window": lambda: q.q_events_window(sf_dir).count(),
             "events_rank": lambda: q.q_events_rank(sf_dir).count(),
+            "events_argmax": lambda: q.q_events_argmax(sf_dir).count(),
+            "lineitem_unpivot":
+                lambda: q.q_lineitem_unpivot(sf_dir).count(),
             "stratified_split":
                 lambda: q.q_stratified_split(sf_dir).count(),
             "tfidf": lambda: q.q_tfidf(sf_dir).count(),

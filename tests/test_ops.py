@@ -1400,3 +1400,33 @@ def test_grouped_approx_quantile_rank_error_bounded():
             assert abs(rank - q) <= 0.015 or len(v) <= 1 or v[0] == v[-1], (
                 g, name, est, rank)
     assert got.loc["const", "p50"] == 7.5 and got.loc["tiny", "p99"] == 4.25
+
+
+def test_grouped_argmax_and_unpivot_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_argmax, unpivot
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), 300),
+        "id": np.arange(300, dtype="int64"),
+        "v": rng.randint(0, 50, 300).astype("int64")})  # ties within groups
+    got = grouped_argmax(rd.from_pandas(df).repartition(5), ["g"], "v",
+                         tiebreak="id").to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT g, id, v FROM df
+        QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC, id) = 1
+        ORDER BY g""").df()
+    got = got[["g", "id", "v"]].sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    wide = pd.DataFrame({"k": [1, 2], "a": [1.5, 2.5], "b": [3.5, 4.5]})
+    long = unpivot(rd.from_pandas(wide), id_cols=["k"],
+                   value_cols=["a", "b"]).to_pandas()
+    long = long.sort_values(["k", "name"]).reset_index(drop=True)
+    assert long["value"].tolist() == [1.5, 3.5, 2.5, 4.5]
+    assert long["name"].tolist() == ["a", "b", "a", "b"]
