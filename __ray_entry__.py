@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_anti": q.q_join_anti,
         "join_outer": q.q_join_outer,
         "join_skew": q.q_join_skew,
+        "join_bloom": q.q_join_bloom,
         # ordered per-key window functions
         "events_window": q.q_events_window,
         "events_rank": q.q_events_rank,
@@ -791,6 +792,13 @@ def oracle_sql() -> dict[str, str]:
         "join_skew": r"""
             SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        """,
+        "join_bloom": r"""
+            SELECT o.o_orderkey, o.o_custkey, c.c_name
+            FROM orders o
+            JOIN (SELECT c_custkey, c_name FROM customer
+                  WHERE c_mktsegment = 'BUILDING') c
+              ON c.c_custkey = o.o_custkey
         """,
         # join_left: order columns CAST to DOUBLE because unmatched
         # customers carry NULLs (both sides emit float64)

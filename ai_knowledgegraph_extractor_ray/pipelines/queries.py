@@ -1241,3 +1241,21 @@ def q_lineitem_unpivot(sf_dir: str) -> rd.Dataset:
     return unpivot(li, id_cols=["l_orderkey", "l_linenumber"],
                    value_cols=["l_quantity", "l_discount", "l_tax"],
                    var_col="metric", val_col="val")
+
+
+def q_join_bloom(sf_dir: str) -> rd.Dataset:
+    """Selective inner join under the bloom semi-join reduction: only
+    ~1/5 of orders match the BUILDING-segment customers, and the bloom
+    prefilter drops the rest before the exchange — the all-to-all moves
+    the matching fraction, not the whole fact table."""
+    from ..ops.joins import bloom_filtered_inner_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'")
+            .select_columns(["c_custkey", "c_name"])
+            .map_batches(lambda df: df.rename(columns={
+                "c_custkey": "o_custkey"}), batch_format="pandas"))
+    return bloom_filtered_inner_join(orders, cust, "o_custkey")

@@ -184,6 +184,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_cube": lambda: q.q_events_cube(sf_dir).count(),
             "join_outer": lambda: q.q_join_outer(sf_dir).count(),
             "join_skew": lambda: q.q_join_skew(sf_dir).count(),
+            "join_bloom": lambda: q.q_join_bloom(sf_dir).count(),
             "doc_chunks": lambda: q.q_doc_chunks(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):

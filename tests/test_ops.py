@@ -1430,3 +1430,30 @@ def test_grouped_argmax_and_unpivot_match_duckdb():
     long = long.sort_values(["k", "name"]).reset_index(drop=True)
     assert long["value"].tolist() == [1.5, 3.5, 2.5, 4.5]
     assert long["name"].tolist() == ["a", "b", "a", "b"]
+
+
+def test_bloom_filtered_join_matches_plain_and_prunes():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        bloom_filtered_inner_join,
+        hash_inner_join,
+    )
+
+    rng = np.random.RandomState(12)
+    left = pd.DataFrame({"k": rng.randint(0, 100_000, 5000).astype("int64"),
+                         "lv": np.arange(5000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(0, 500, dtype="int64"),  # selective
+                          "rv": np.arange(500, dtype="int64")})
+    got = bloom_filtered_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2), "k").to_pandas()
+    want = hash_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2), "k").to_pandas()
+    cols = ["k", "lv", "rv"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
