@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "minhash_pairs": q.q_minhash_pairs,
         "ngram_jaccard": q.q_ngram_jaccard,
+        "incr_dedup": q.q_incr_dedup,
         "near_dedup": q.q_near_dedup,
         "corpus_clean": q.q_corpus_clean,
         "data_prep": q.q_data_prep,
@@ -481,6 +482,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+        """,
+        # incr_dedup: same brute-force trigram ground truth restricted to
+        # cross-parity (old=even, new=odd) pairs at j>=0.5
+        "incr_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [array_to_string(t, ' ')] END) AS g
+              FROM toks WHERE len(t) > 0),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS old_id, b.doc_id AS new_id, count(*) AS i
+              FROM grams a JOIN grams b
+                ON a.g = b.g AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY 1, 2)
+            SELECT old_id, new_id,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = old_id
+            JOIN sizes sb ON sb.doc_id = new_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
         """,
         # near_dedup / corpus_clean: brute-force Jaccard ground truth with
         # connected components as a recursive CTE (same recall argument as

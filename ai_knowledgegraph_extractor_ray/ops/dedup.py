@@ -702,3 +702,155 @@ def embedding_near_pairs(ds: rd.Dataset, *, id_col: str = "vec_id",
         ds.map_batches(to_buckets_hot, batch_format="pyarrow"),
         ["bucket"], per_group_apply(["bucket"], verify))
     return bucketed_groupby(pairs, ["id_a", "id_b"], _dedup_pair_merge)
+
+
+def build_minhash_index(ds: rd.Dataset, index_path: str, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 128, bands: int = 32,
+                        ngram: int = 3) -> None:
+    """Persist a corpus's LSH band table — the INCREMENTAL-dedup index.
+    At 100 TB new documents arrive in batches; re-running near-dedup over
+    the whole corpus per batch is quadratic in ingests. The band table
+    ((bucket:int64, id)) is minhash-signature-sized (bands x 8 bytes per
+    doc, ~0.3% of a 100 KB document), persists as parquet under
+    ``index_path/bands/``, and lets :func:`dedup_against_index` block new
+    docs against the existing corpus without touching its text except for
+    the colliding candidates."""
+    import json
+    import os
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        sigs = minhash_sigs_batch(
+            [word_ngrams(s or "", ngram) for s in texts], num_perm)
+        keys = band_keys_matrix(sigs, bands)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), bands)
+        return pa.table({"bucket": pa.array(keys.ravel()),
+                         id_col: pa.array(ids)})
+
+    os.makedirs(index_path, exist_ok=True)
+    ds.map_batches(to_bands, batch_format="pyarrow").write_parquet(
+        f"{index_path}/bands")
+    with open(f"{index_path}/params.json", "w") as f:
+        json.dump({"num_perm": num_perm, "bands": bands, "ngram": ngram,
+                   "id_col": id_col}, f)
+
+
+def dedup_against_index(new_ds: rd.Dataset, index_path: str,
+                        corpus: rd.Dataset, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8,
+                        max_bucket: int = 256) -> rd.Dataset:
+    """Near-duplicate pairs of NEW documents against an INDEXED corpus:
+    ``(old_id, new_id, jaccard)``, exact-verified. The incremental path:
+
+    1. new docs' band keys are computed with the index's persisted
+       parameters and co-bucketed with the stored band table (slim
+       (bucket, id) rows only — neither corpus's text rides the shuffle);
+    2. colliding buckets emit cross-side candidate pairs (capped at
+       ``max_bucket`` ids per side per bucket, like the in-corpus LSH);
+    3. the bounded candidate set is verified exactly: new candidates'
+       texts broadcast once (duplicate-scale), the OLD corpus scanned
+       once with a vectorized id prefilter — old text leaves storage only
+       for colliding candidates.
+
+    Pairs are detection-complete for jaccard comfortably above the banding
+    threshold (same analytic recall as minhash_candidate_pairs)."""
+    import json
+
+    import ray
+
+    from .agg import bucketed_groupby, per_group_apply
+
+    with open(f"{index_path}/params.json") as f:
+        params = json.load(f)
+    num_perm, bands, ngram = (params["num_perm"], params["bands"],
+                              params["ngram"])
+
+    def to_bands_new(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        sigs = minhash_sigs_batch(
+            [word_ngrams(s or "", ngram) for s in texts], num_perm)
+        keys = band_keys_matrix(sigs, bands)
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), bands)
+        return pa.table({"bucket": pa.array(keys.ravel()),
+                         id_col: pa.array(ids),
+                         "_side": pa.array(np.ones(len(ids), dtype=np.int8))})
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    old_bands = rd.read_parquet(f"{index_path}/bands").map_batches(
+        tag_old, batch_format="pyarrow")
+    new_bands = new_ds.map_batches(to_bands_new, batch_format="pyarrow")
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        olds = (df.loc[df["_side"] == 0, id_col].drop_duplicates()
+                .sort_values().head(max_bucket).to_numpy())
+        news = (df.loc[df["_side"] == 1, id_col].drop_duplicates()
+                .sort_values().head(max_bucket).to_numpy())
+        if not len(olds) or not len(news):
+            return pd.DataFrame({"old_id": pd.Series([], dtype="int64"),
+                                 "new_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "old_id": np.repeat(olds, len(news)),
+            "new_id": np.tile(news, len(olds))})
+
+    pairs = bucketed_groupby(
+        old_bands.union(new_bands), ["bucket"],
+        per_group_apply(["bucket"], cross_pairs))
+    pairs = bucketed_groupby(pairs, ["old_id", "new_id"],
+                             lambda df: df.drop_duplicates(
+                                 ["old_id", "new_id"]))
+    # candidate pairs are duplicate-scale (the same boundedness assumption
+    # drop_pair_clusters documents for verified pairs)
+    pairs_df = pairs.to_pandas()
+    empty = pa.table({"old_id": pa.array([], pa.int64()),
+                      "new_id": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not len(pairs_df):
+        return rd.from_arrow(empty)
+
+    # broadcast the NEW candidates' gram sets; scan the OLD corpus once
+    new_ids = pa.array(sorted(set(pairs_df["new_id"].astype(int))),
+                       pa.int64())
+
+    def new_grams(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = t.filter(pc.is_in(t[id_col], value_set=new_ids))
+        return pa.table({
+            id_col: sub[id_col],
+            text_col: sub[text_col]})
+
+    new_texts = (new_ds.map_batches(new_grams, batch_format="pyarrow")
+                 .to_pandas())
+    grams_new = {int(i): word_ngrams(s or "", ngram)
+                 for i, s in zip(new_texts[id_col], new_texts[text_col])}
+    old_to_new: dict[int, list[int]] = {}
+    for o, nw in zip(pairs_df["old_id"], pairs_df["new_id"]):
+        old_to_new.setdefault(int(o), []).append(int(nw))
+    cand_ref = ray.put((old_to_new, grams_new))
+    old_ids = pa.array(sorted(old_to_new), pa.int64())
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = t.filter(pc.is_in(t[id_col], value_set=old_ids))
+        if sub.num_rows == 0:
+            return empty
+        o2n, gnew = ray.get(cand_ref)
+        olds, news, jac = [], [], []
+        for oid, s in zip(sub[id_col].to_pylist(),
+                          sub[text_col].to_pylist()):
+            go = word_ngrams(s or "", ngram)
+            for nid in o2n[int(oid)]:
+                jv = jaccard_of(go, gnew[nid])
+                if jv >= threshold:
+                    olds.append(oid); news.append(nid); jac.append(jv)
+        return pa.table({"old_id": pa.array(olds, pa.int64()),
+                         "new_id": pa.array(news, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return corpus.map_batches(verify, batch_format="pyarrow")

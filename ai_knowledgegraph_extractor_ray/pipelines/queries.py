@@ -1259,3 +1259,31 @@ def q_join_bloom(sf_dir: str) -> rd.Dataset:
             .map_batches(lambda df: df.rename(columns={
                 "c_custkey": "o_custkey"}), batch_format="pandas"))
     return bloom_filtered_inner_join(orders, cust, "o_custkey")
+
+
+def q_incr_dedup(sf_dir: str) -> rd.Dataset:
+    """Incremental dedup: documents split by doc_id parity into an OLD
+    corpus (indexed once via build_minhash_index — persisted band table)
+    and a NEW batch deduped against the index without re-banding the old
+    corpus; verified exact trigram jaccard >= 0.5 per cross pair."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..ops.dedup import build_minhash_index, dedup_against_index
+
+    def parity(keep_even: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+            return t.filter(even if keep_even else pc.invert(even))
+        return fn
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    old = docs.map_batches(parity(True), batch_format="pyarrow")
+    new = docs.map_batches(parity(False), batch_format="pyarrow")
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"incr_idx_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_minhash_index(old, idx)
+    return dedup_against_index(new, idx, old, threshold=0.5)

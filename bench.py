@@ -135,6 +135,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "lang_balance": lambda: q.q_lang_balance(sf_dir).count(),
             "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
             "ngram_jaccard": lambda: q.q_ngram_jaccard(sf_dir).count(),
+            "incr_dedup": lambda: q.q_incr_dedup(sf_dir).count(),
             "approx_top_tokens": lambda: len(q.q_approx_top_tokens(sf_dir)),
             "simhash_pairs": lambda: q.q_simhash_pairs(sf_dir).count(),
             "embedding_near_pairs":

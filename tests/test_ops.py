@@ -1457,3 +1457,36 @@ def test_bloom_filtered_join_matches_plain_and_prunes():
     got = got[cols].sort_values(cols).reset_index(drop=True)
     want = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_incremental_dedup_against_index(tmp_path):
+    """Build an LSH index over an 'old' corpus, then find near-dups of a
+    'new' batch against it — matches brute-force cross jaccard exactly on
+    the verified values, without re-banding the old corpus."""
+    from ai_knowledgegraph_extractor_ray.ops.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        jaccard_of,
+        word_ngrams,
+    )
+
+    old_texts = [BASE, " ".join(reversed(BASE.split())),
+                 "utterly different content about volcanoes and tides today"]
+    new_texts = [BASE.replace("customer", "client"),      # near-dup of old 0
+                 "completely fresh text with novel words and phrases here",
+                 old_texts[2]]                            # exact dup of old 2
+    old = docs_ds(old_texts, ids=[0, 2, 4])
+    new = docs_ds(new_texts, ids=[1, 3, 5])
+    idx = str(tmp_path / "lsh_index")
+    build_minhash_index(old, idx)
+    got = dedup_against_index(new, idx, old, threshold=0.5).to_pandas()
+    got = got.sort_values(["old_id", "new_id"]).reset_index(drop=True)
+    want = []
+    for oid, ot in zip([0, 2, 4], old_texts):
+        for nid, nt in zip([1, 3, 5], new_texts):
+            j = jaccard_of(word_ngrams(ot, 3), word_ngrams(nt, 3))
+            if j >= 0.5:
+                want.append((oid, nid, j))
+    assert list(zip(got["old_id"], got["new_id"], got["jaccard"])) == want
+    assert (0, 1) in {(a, b) for a, b, _ in want}      # near-dup found
+    assert (4, 5) in {(a, b) for a, b, _ in want}      # exact dup found
