@@ -746,10 +746,15 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
     ``(old_id, new_id, jaccard)``, exact-verified. The incremental path:
 
     1. new docs' band keys are computed with the index's persisted
-       parameters and co-bucketed with the stored band table (slim
-       (bucket, id) rows only — neither corpus's text rides the shuffle);
-    2. colliding buckets emit cross-side candidate pairs (capped at
-       ``max_bucket`` ids per side per bucket, like the in-corpus LSH);
+       parameters; the NEW batch's slim (bucket, id) table — ``bands`` x
+       16 bytes per new doc, small by the incremental premise — is sorted
+       and broadcast once via ``ray.put``;
+    2. one vectorized scan of the STORED band table (searchsorted against
+       the broadcast buckets) emits cross-side candidate pairs — no
+       shuffle, no per-bucket task: the 3.5M-mostly-singleton-bucket
+       groupby this replaced cost ~100 µs per pandas sub-frame (~300 s at
+       100k docs; this path is ~2 s). New ids are capped at
+       ``max_bucket`` per bucket globally, old ids per bucket per block;
     3. the bounded candidate set is verified exactly: new candidates'
        texts broadcast once (duplicate-scale), the OLD corpus scanned
        once with a vectorized id prefilter — old text leaves storage only
@@ -760,8 +765,6 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
     import json
 
     import ray
-
-    from .agg import bucketed_groupby, per_group_apply
 
     with open(f"{index_path}/params.json") as f:
         params = json.load(f)
@@ -776,41 +779,52 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
         ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False)
                         .astype(np.int64), bands)
         return pa.table({"bucket": pa.array(keys.ravel()),
-                         id_col: pa.array(ids),
-                         "_side": pa.array(np.ones(len(ids), dtype=np.int8))})
+                         id_col: pa.array(ids)})
 
-    def tag_old(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
-
-    old_bands = rd.read_parquet(f"{index_path}/bands").map_batches(
-        tag_old, batch_format="pyarrow")
-    new_bands = new_ds.map_batches(to_bands_new, batch_format="pyarrow")
-
-    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        olds = (df.loc[df["_side"] == 0, id_col].drop_duplicates()
-                .sort_values().head(max_bucket).to_numpy())
-        news = (df.loc[df["_side"] == 1, id_col].drop_duplicates()
-                .sort_values().head(max_bucket).to_numpy())
-        if not len(olds) or not len(news):
-            return pd.DataFrame({"old_id": pd.Series([], dtype="int64"),
-                                 "new_id": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
-            "old_id": np.repeat(olds, len(news)),
-            "new_id": np.tile(news, len(olds))})
-
-    pairs = bucketed_groupby(
-        old_bands.union(new_bands), ["bucket"],
-        per_group_apply(["bucket"], cross_pairs))
-    pairs = bucketed_groupby(pairs, ["old_id", "new_id"],
-                             lambda df: df.drop_duplicates(
-                                 ["old_id", "new_id"]))
-    # candidate pairs are duplicate-scale (the same boundedness assumption
-    # drop_pair_clusters documents for verified pairs)
-    pairs_df = pairs.to_pandas()
     empty = pa.table({"old_id": pa.array([], pa.int64()),
                       "new_id": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
+
+    nb_df = (new_ds.map_batches(to_bands_new, batch_format="pyarrow")
+             .to_pandas().drop_duplicates())
+    if not len(nb_df):
+        return rd.from_arrow(empty)
+    nb_df = nb_df.sort_values(["bucket", id_col])
+    nb_df = nb_df[nb_df.groupby("bucket", sort=False).cumcount() < max_bucket]
+    nbuckets = nb_df["bucket"].to_numpy(dtype=np.int64)
+    nids = nb_df[id_col].to_numpy(dtype=np.int64)
+    ub, counts = np.unique(nbuckets, return_counts=True)
+    off = np.concatenate(([0], np.cumsum(counts)))
+    new_bands_ref = ray.put((ub, off, nids))
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, o, n = ray.get(new_bands_ref)
+        idx = np.searchsorted(u, b)
+        idx[idx == len(u)] = 0
+        hit = u[idx] == b
+        if not hit.any():
+            return pa.table({"old_id": pa.array([], pa.int64()),
+                             "new_id": pa.array([], pa.int64())})
+        # block-local dedup + old-side cap on the (rare) colliding residue
+        bdf = (pd.DataFrame({"b": b[hit], "o": oid[hit], "i": idx[hit]})
+               .drop_duplicates(["b", "o"]).sort_values(["b", "o"]))
+        bdf = bdf[bdf.groupby("b", sort=False).cumcount() < max_bucket]
+        starts = o[bdf["i"].to_numpy()]
+        cnts = o[bdf["i"].to_numpy() + 1] - starts
+        total = int(cnts.sum())
+        base = np.repeat(np.cumsum(cnts) - cnts, cnts)
+        gather = np.repeat(starts, cnts) + (np.arange(total) - base)
+        return pa.table({
+            "old_id": pa.array(np.repeat(bdf["o"].to_numpy(), cnts)),
+            "new_id": pa.array(n[gather])})
+
+    # candidate pairs are duplicate-scale (the same boundedness assumption
+    # drop_pair_clusters documents for verified pairs)
+    pairs_df = (rd.read_parquet(f"{index_path}/bands")
+                .map_batches(emit_pairs, batch_format="pyarrow")
+                .to_pandas().drop_duplicates())
     if not len(pairs_df):
         return rd.from_arrow(empty)
 
