@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_balance": q.q_lang_balance,
         "normalize": q.q_normalize,
         "repetition": q.q_repetition,
+        "pii_redact": q.q_pii_redact,
         # dedup
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
@@ -401,6 +402,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(round(coalesce(p.r, 0) * 10000) AS BIGINT) AS rep_bp
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        # pii_redact: plants the same doc_id-derived PII strings the Ray
+        # query plants, then applies the same RE2 patterns in the same
+        # order on the progressively-redacted text (counts before each
+        # replacement) — DuckDB and pyarrow both run RE2, so redacted
+        # text and per-pattern counts must match byte-for-byte.
+        "pii_redact": r"""
+            WITH t0 AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com from 10.' || (doc_id % 256) || '.0.' ||
+                     (doc_id % 100) || ' ssn 123-45-' ||
+                     (1000 + doc_id % 9000) || ' tel +1-555-' ||
+                     (1000 + doc_id % 9000) AS t
+              FROM documents),
+            t1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g') AS t
+              FROM t0),
+            t2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '[IP]', 'g') AS t
+              FROM t1),
+            t3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+                       AS n_ssn,
+                     regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b',
+                                    '[SSN]', 'g') AS t
+              FROM t2)
+            SELECT doc_id, n_email, n_ipv4, n_ssn,
+                   len(regexp_extract_all(t, '\+\d[\d-]{7,}\d')) AS n_phone,
+                   regexp_replace(t, '\+\d[\d-]{7,}\d', '[PHONE]', 'g')
+                     AS text_redacted
+            FROM t3
         """,
         "lang_balance": f"""
             WITH l AS ({_lang_id_sql()})

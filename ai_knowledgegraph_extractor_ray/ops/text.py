@@ -210,6 +210,42 @@ def validate_texts(ds: rd.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# PII patterns, applied IN ORDER on the progressively-redacted text (the
+# SSN form is a subset of the phone form; redacting SSNs first keeps the
+# counts disjoint). RE2-safe — pyarrow and DuckDB both run RE2, so the
+# DuckDB oracle reproduces match-for-match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("n_ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("n_ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("n_phone", r"\+\d[\d-]{7,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(ds: rd.Dataset, text_col: str = "text",
+               patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+               out_col: str = "text_redacted") -> rd.Dataset:
+    """Scrub PII before training: append ``out_col`` (text with every
+    pattern match replaced by its token) and one int64 match-count column
+    per pattern. Pure pyarrow re2 kernels (count_substring_regex +
+    replace_substring_regex) — no Python touches a row, so the stage is a
+    zero-copy Arrow map at any scale."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cur = pc.fill_null(t[text_col], "")
+        counts = []
+        for name, pat, token in patterns:
+            counts.append((name, pc.cast(
+                pc.count_substring_regex(cur, pat), pa.int64())))
+            cur = pc.replace_substring_regex(cur, pat, token)
+        t = t.append_column(out_col, cur)
+        for name, arr in counts:
+            t = t.append_column(name, arr)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Append ``fp`` (winnowed rolling-hash fingerprint, uint64 as string for
     Arrow/parquet friendliness) and ``fp64`` (int64 reinterpretation)."""

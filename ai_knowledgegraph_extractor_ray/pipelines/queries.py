@@ -1287,3 +1287,27 @@ def q_incr_dedup(sf_dir: str) -> rd.Dataset:
     shutil.rmtree(idx, ignore_errors=True)
     build_minhash_index(old, idx)
     return dedup_against_index(new, idx, old, threshold=0.5)
+
+
+def q_pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII redaction over the corpus. The synthetic corpus carries no PII,
+    so the query PLANTS deterministic doc_id-derived email/IP/SSN/phone
+    strings first (the DuckDB oracle plants the identical strings in SQL)
+    — the redaction regexes then fire on every row, and the hash check
+    pins pyarrow's RE2 application against DuckDB's."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = lambda a: pa.array(a.astype("U"), pa.string())  # noqa: E731
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), " contact user", s(d),
+            "@example.com from 10.", s(d % 256), ".0.", s(d % 100),
+            " ssn 123-45-", s(1000 + d % 9000),
+            " tel +1-555-", s(1000 + d % 9000), "")
+        return t.drop_columns(["text"]).append_column("text", planted)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = text_ops.redact_pii(docs.map_batches(plant, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "text_redacted", "n_email",
+                               "n_ipv4", "n_ssn", "n_phone"])

@@ -29,6 +29,27 @@ def test_token_stats():
     assert out["n_bpe_tokens"].tolist() == [4, 0, 2]
 
 
+def test_redact_pii():
+    out = text.redact_pii(docs_ds([
+        "mail bob.smith+x@corp.example.org and alice@ex.io now",
+        "host 192.168.0.1 ssn 123-45-6789 tel +1-555-0199100",
+        "clean text, nothing to scrub",
+        None,
+    ])).to_pandas().sort_values("doc_id")
+    assert out["text_redacted"].tolist() == [
+        "mail [EMAIL] and [EMAIL] now",
+        "host [IP] ssn [SSN] tel [PHONE]",
+        "clean text, nothing to scrub",
+        "",
+    ]
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 1, 0, 0]
+    # ordering pins disjoint counts: the SSN is NOT also counted as a phone
+    assert out["n_ssn"].tolist() == [0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0, 0]
+    assert str(out["n_email"].dtype) == "int64"
+
+
 def test_quality_score_orders_sensibly():
     junk = "!!! ??? ### $$$ %%%"
     prose = ("the quick brown fox jumps over the lazy dog and runs to the "
