@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize": q.q_normalize,
         "repetition": q.q_repetition,
         "pii_redact": q.q_pii_redact,
+        "temperature_mix": q.q_temperature_mix,
         # dedup
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
@@ -402,6 +403,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(round(coalesce(p.r, 0) * 10000) AS BIGINT) AS rep_bp
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        # temperature_mix: integer-exact quota arithmetic (floor(sqrt(n))
+        # weights, integer division) so quotas match the engine
+        # bit-for-bit; within-group selection ranks by the same
+        # sha256-hex-of-id string the engine sorts on.
+        "temperature_mix": """
+            WITH c AS (SELECT source, count(*) AS n FROM documents
+                       GROUP BY source),
+            w AS (SELECT source, CAST(floor(sqrt(n)) AS BIGINT) AS w
+                  FROM c),
+            q AS (SELECT source, (100 * w) // (SELECT sum(w) FROM w) AS kg
+                  FROM w),
+            r AS (SELECT d.doc_id, d.source,
+                         row_number() OVER (PARTITION BY d.source
+                             ORDER BY sha256(CAST(d.doc_id AS VARCHAR)),
+                                      d.doc_id) AS rn,
+                         q.kg
+                  FROM documents d JOIN q USING (source))
+            SELECT doc_id, source FROM r WHERE rn <= kg
         """,
         # pii_redact: plants the same doc_id-derived PII strings the Ray
         # query plants, then applies the same RE2 patterns in the same

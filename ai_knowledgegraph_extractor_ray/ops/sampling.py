@@ -67,6 +67,65 @@ def cap_per_group(ds: rd.Dataset, *, group_col: str, order_col: str,
         [group_col], merge, buckets=buckets)
 
 
+def temperature_mix(ds: rd.Dataset, *, group_col: str,
+                    id_col: str = "doc_id", k: int = 100,
+                    alpha: float = 0.5,
+                    buckets: int | None = None) -> rd.Dataset:
+    """Temperature-based corpus mixing: sample ``k`` rows total with group
+    ``g`` (source, language) receiving ``k_g = (k * w_g) // sum(w)`` rows,
+    ``w_g = n_g ** alpha`` — the alpha-sampling that flattens hot sources
+    toward uniform as ``alpha -> 0`` (alpha=1 is proportional, the
+    multilingual-LM mixing knob). Selection inside a group is the ``k_g``
+    smallest ``(sha256(id), id)`` rows: deterministic, rerun- and
+    partitioning-stable, SQL-reproducible.
+
+    For ``alpha=0.5`` weights use exact integer sqrt (``floor(sqrt(n))``
+    — IEEE sqrt is correctly rounded, so the DuckDB oracle's
+    ``floor(sqrt(n))`` agrees bit-for-bit); other alphas use float ``**``
+    with a documented cross-engine last-ulp caveat.
+
+    Scale shape: group counts come from per-block partials (<= groups x
+    blocks rows collected), quotas broadcast; per-block top-``k_g``
+    partials combine through one bucketed merge — a group ships at most
+    ``k_g x blocks`` rows into the exchange, never its full volume."""
+    import math
+
+    from .agg import bucketed_groupby
+
+    def pcount(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(group_col, sort=False).size()
+        return pd.DataFrame({group_col: c.index, "n": c.to_numpy()})
+
+    counts = (ds.select_columns([group_col])
+              .map_batches(pcount, batch_format="pandas")
+              .to_pandas().groupby(group_col)["n"].sum())
+    if alpha == 0.5:
+        w = {g: math.isqrt(int(n)) for g, n in counts.items()}
+        total = sum(w[g] for g in sorted(w))
+        quota = {g: (k * w[g]) // total for g in w} if total else {}
+    else:
+        w = {g: float(n) ** alpha for g, n in counts.items()}
+        total = sum(w[g] for g in sorted(w))
+        quota = {g: int(math.floor(k * w[g] / total)) for g in w} \
+            if total else {}
+
+    def take(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_h=[hashlib.sha256(str(v).encode()).hexdigest()
+                           for v in df[id_col]])
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        kg = df[group_col].map(quota).fillna(0).to_numpy(dtype=np.int64)
+        df = df[df.groupby(group_col, sort=False).cumcount() < kg]
+        return df.drop(columns="_h")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return take(df)
+
+    pruned = ds.select_columns([id_col, group_col])
+    return bucketed_groupby(
+        pruned.map_batches(take, batch_format="pandas"),
+        [group_col], merge, buckets=buckets)
+
+
 def stratified_split(ds: rd.Dataset, *, strata_col: str,
                      key_col: str, ratios: dict[str, float],
                      mode: str = "hash",

@@ -1289,6 +1289,17 @@ def q_incr_dedup(sf_dir: str) -> rd.Dataset:
     return dedup_against_index(new, idx, old, threshold=0.5)
 
 
+def q_temperature_mix(sf_dir: str) -> rd.Dataset:
+    """Temperature-based data mixing: 100 docs alpha=0.5-sampled across
+    sources (hot sources flattened toward uniform), deterministic
+    smallest-sha256 selection per source."""
+    from ..ops.sampling import temperature_mix
+    return temperature_mix(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source"]),
+        group_col="source", id_col="doc_id", k=100, alpha=0.5)
+
+
 def q_pii_redact(sf_dir: str) -> rd.Dataset:
     """PII redaction over the corpus. The synthetic corpus carries no PII,
     so the query PLANTS deterministic doc_id-derived email/IP/SSN/phone

@@ -579,6 +579,33 @@ def test_cap_per_group():
     assert by["cold"] == [90, 91, 92, 93, 94]
 
 
+def test_temperature_mix_flattens_hot_groups():
+    import hashlib
+
+    from ai_knowledgegraph_extractor_ray.ops import sampling
+    df = pd.DataFrame({
+        "doc_id": pd.Series(range(1000), dtype="int64"),
+        "src": ["hot"] * 900 + ["cold"] * 100})
+    out = sampling.temperature_mix(
+        rd.from_pandas(df).repartition(8), group_col="src",
+        id_col="doc_id", k=100, alpha=0.5).to_pandas()
+    by = out.groupby("src").size().to_dict()
+    # w = isqrt(900)=30, isqrt(100)=10; quotas 100*30//40=75, 100*10//40=25
+    # (proportional sampling would give hot 90) — alpha=0.5 flattens
+    assert by == {"hot": 75, "cold": 25}
+    # selection = k smallest sha256(id) per group, layout-independent
+    hot_ids = sorted(out.loc[out["src"] == "hot", "doc_id"])
+    expect = sorted(sorted(
+        range(900),
+        key=lambda i: hashlib.sha256(str(i).encode()).hexdigest())[:75])
+    assert hot_ids == expect
+    # alpha=1 reduces to proportional
+    prop = sampling.temperature_mix(
+        rd.from_pandas(df).repartition(8), group_col="src",
+        id_col="doc_id", k=100, alpha=1.0).to_pandas()
+    assert prop.groupby("src").size().to_dict() == {"hot": 90, "cold": 10}
+
+
 def test_normalize_and_repetition():
     out = text.normalize_text(docs_ds(
         ["  Hello,   WORLD!! (ok) ", "", "a_b-c"])).to_pandas().sort_values("doc_id")
