@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q.q_repetition,
         "pii_redact": q.q_pii_redact,
         "temperature_mix": q.q_temperature_mix,
+        "dup_ngrams": q.q_dup_ngrams,
         # dedup
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
@@ -403,6 +404,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(round(coalesce(p.r, 0) * 10000) AS BIGINT) AS rep_bp
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        # dup_ngrams: the engine identifies grams by a 64-bit hash; the
+        # SQL uses the gram string — identical absent hash collisions
+        # (zero on this vocabulary). Integer-bp division matches '//'.
+        "dup_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS ts
+              FROM documents),
+            pos AS (
+              SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+              FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS u(i)),
+            mm AS (SELECT g, min(doc_id) AS mn, max(doc_id) AS mx
+                   FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g),
+            per AS (SELECT p.doc_id,
+                           count(*) AS ng,
+                           count(*) FILTER (WHERE m.mn <> m.mx) AS nd
+                    FROM pos p JOIN mm m USING (g) GROUP BY p.doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.ng, 0) AS n_gram_positions,
+                   coalesce(per.nd, 0) AS n_dup_positions,
+                   (10000 * coalesce(per.nd, 0)) //
+                     GREATEST(coalesce(per.ng, 0), 1) AS dup_bp
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         """,
         # temperature_mix: integer-exact quota arithmetic (floor(sqrt(n))
         # weights, integer division) so quotas match the engine

@@ -868,3 +868,123 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
                          "jaccard": pa.array(jac, pa.float64())})
 
     return corpus.map_batches(verify, batch_format="pyarrow")
+
+
+# --- duplicated n-gram span statistics ---------------------------------------
+
+_GRAM_B = np.uint64(0x100000001B3)  # odd multiplier; uint64 mul wraps mod 2^64
+
+
+def _block_gram_hashes(t: pa.Table, text_col: str, id_col: str,
+                       n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized word-``n``-gram hashes for a block: 64-bit token ids
+    (two crc32 kernel passes over the FLAT token array — no per-token
+    Python) combined positionally into a polynomial gram hash. Returns
+    ``(gram_hash int64 view, doc_row_index per gram, n_gram_positions
+    per doc row)``. Tokenization = whitespace split, empty tokens dropped
+    (matches the oracle's regexp_split + filter idiom)."""
+    from .hashing import crc32_column
+
+    txt = pc.fill_null(t[text_col], "")
+    lists = pc.utf8_split_whitespace(txt)
+    flat = pc.list_flatten(lists)
+    counts0 = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ndocs = len(counts0)
+    didx = np.repeat(np.arange(ndocs, dtype=np.int64), counts0)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        didx = didx[keep]
+    counts = np.bincount(didx, minlength=ndocs)
+    ngrams_per_doc = np.maximum(counts - n + 1, 0)
+
+    h1 = crc32_column(flat).astype(np.uint64)
+    salted = pc.binary_join_element_wise(flat, "\x01", "")
+    h2 = crc32_column(salted).astype(np.uint64)
+    tokh = h1 | (h2 << np.uint64(32))
+    L = len(tokh)
+    if L < n:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                ngrams_per_doc)
+    acc = np.zeros(L - n + 1, dtype=np.uint64)
+    mult = 1  # python int; masked mod 2^64 (np scalar mul warns on wrap)
+    for j in range(n):
+        acc += tokh[j:L - n + 1 + j] * np.uint64(mult)
+        mult = (mult * int(_GRAM_B)) & 0xFFFFFFFFFFFFFFFF
+    valid = didx[:L - n + 1] == didx[n - 1:]
+    return acc[valid].view(np.int64), didx[:L - n + 1][valid], ngrams_per_doc
+
+
+def dup_ngram_stats(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    buckets: int | None = None) -> rd.Dataset:
+    """Per-document duplicated-span statistics (the measurement behind
+    train-set repetition studies, e.g. Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): for each doc, how many
+    of its word-``n``-gram positions carry a gram that also appears in at
+    least one OTHER document. Output per input row:
+    ``(id_col, n_gram_positions, n_dup_positions, dup_bp)`` with
+    ``dup_bp = (10000 * n_dup) // max(n_grams, 1)`` (integer bp, exact in
+    SQL).
+
+    Scale shape — two corpus scans, one slim exchange, no text shuffle:
+
+    1. per block: gram hashes (vectorized; see ``_block_gram_hashes``),
+       reduced to one ``(gram, min_doc, max_doc)`` row per distinct gram
+       per block — the combiner that collapses within-doc repeats;
+    2. bucketed min/max merge; a gram is cross-doc iff global
+       ``min_doc != max_doc``; ONLY those grams leave the exchange and
+       broadcast as a sorted int64 array (duplication-scale — the same
+       boundedness assumption as decontaminate's test-side grams, with
+       the same Bloom-filter escape hatch if the dup set outgrows the
+       object store; realistic n >= 8 keeps it sparse);
+    3. second scan counts, per doc, gram positions hitting the broadcast
+       set (searchsorted membership).
+
+    Gram identity is a 64-bit hash (two vectorized crc32 passes per token
+    + positional polynomial): collisions mark a false dup at ~1e-10/pair
+    rates — negligible for a statistics operator, and zero on the test
+    vocabularies the oracle pins."""
+    import ray
+
+    from .agg import bucketed_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, gdoc, _ = _block_gram_hashes(t, text_col, id_col, n)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "d": ids[gdoc]}).drop_duplicates()
+        mm = df.groupby("g", sort=False)["d"].agg(["min", "max"])
+        return pa.table({"g": pa.array(mm.index.to_numpy(), pa.int64()),
+                         "mn": pa.array(mm["min"].to_numpy(), pa.int64()),
+                         "mx": pa.array(mm["max"].to_numpy(), pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        mm = df.groupby("g", as_index=False, sort=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"))
+        return mm.loc[mm["mn"] != mm["mx"], ["g"]]
+
+    dup = bucketed_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["g"], merge, buckets=buckets).to_pandas()
+    dup_sorted = np.sort(dup["g"].to_numpy(dtype=np.int64)) \
+        if len(dup) else np.empty(0, np.int64)
+    dup_ref = ray.put(dup_sorted)
+
+    def count(t: pa.Table) -> pa.Table:
+        g, gdoc, ngrams = _block_gram_hashes(t, text_col, id_col, n)
+        dups = ray.get(dup_ref)
+        if len(dups) and len(g):
+            pos = np.searchsorted(dups, g)
+            pos[pos == len(dups)] = 0
+            hit = dups[pos] == g
+            ndup = np.bincount(gdoc[hit], minlength=len(ngrams))
+        else:
+            ndup = np.zeros(len(ngrams), dtype=np.int64)
+        bp = (10000 * ndup) // np.maximum(ngrams, 1)
+        return pa.table({
+            id_col: t[id_col],
+            "n_gram_positions": pa.array(ngrams, pa.int64()),
+            "n_dup_positions": pa.array(ndup.astype(np.int64)),
+            "dup_bp": pa.array(bp.astype(np.int64))})
+
+    return ds.map_batches(count, batch_format="pyarrow")

@@ -1289,6 +1289,16 @@ def q_incr_dedup(sf_dir: str) -> rd.Dataset:
     return dedup_against_index(new, idx, old, threshold=0.5)
 
 
+def q_dup_ngrams(sf_dir: str) -> rd.Dataset:
+    """Duplicated-span statistics: per doc, how many word-trigram
+    positions carry a gram appearing in >= 2 documents (n=3 so the tiny
+    synthetic vocabulary actually collides; production default n=8)."""
+    from ..ops.dedup import dup_ngram_stats
+    return dup_ngram_stats(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]), n=3)
+
+
 def q_temperature_mix(sf_dir: str) -> rd.Dataset:
     """Temperature-based data mixing: 100 docs alpha=0.5-sampled across
     sources (hot sources flattened toward uniform), deterministic

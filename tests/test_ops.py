@@ -579,6 +579,29 @@ def test_cap_per_group():
     assert by["cold"] == [90, 91, 92, 93, 94]
 
 
+def test_dup_ngram_stats():
+    from ai_knowledgegraph_extractor_ray.ops.dedup import dup_ngram_stats
+    docs = [
+        "the quick brown fox jumps over the lazy dog",   # shares 3-gram w/ 1
+        "said the quick brown fox today",                # "the quick brown"+
+        "totally unrelated words here now",
+        "short doc",                                     # < n tokens -> 0
+        "",                                              # empty -> 0
+        "the quick brown",                               # exactly one gram
+    ]
+    out = (dup_ngram_stats(docs_ds(docs).repartition(4), n=3)
+           .to_pandas().sort_values("doc_id"))
+    assert out["n_gram_positions"].tolist() == [7, 4, 3, 0, 0, 1]
+    # shared grams: "the quick brown", "quick brown fox" (docs 0, 1, 5)
+    assert out["n_dup_positions"].tolist() == [2, 2, 0, 0, 0, 1]
+    assert out["dup_bp"].tolist() == [
+        (10000 * 2) // 7, 5000, 0, 0, 0, 10000]
+    # within-doc repetition alone is NOT cross-doc duplication
+    solo = dup_ngram_stats(
+        docs_ds(["a b c a b c a b c", "x y z w"]), n=3).to_pandas()
+    assert solo.sort_values("doc_id")["n_dup_positions"].tolist() == [0, 0]
+
+
 def test_temperature_mix_flattens_hot_groups():
     import hashlib
 
