@@ -1,0 +1,68 @@
+"""Scale probe for dup_ngram_stats: 200k docs (~60 tokens each, n=8) with
+a planted 5% of docs sharing a fixed 12-token span — measures wall, the
+cross-doc gram set size (the broadcast bound), and recall of the planted
+spans (every planted doc must show >= 5 duplicated 8-gram positions).
+
+Usage: PYTHONPATH=/root/repo python tools/dup_ngram_probe.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+WORDS = np.array(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega data graph node edge "
+    "spark batch stream merge table column row key value join filter sort "
+    "window shuffle hash block probe scan".split())
+
+SPAN = "planted span one two three four five six seven eight nine ten"
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    rng = np.random.RandomState(7)
+    toks = rng.choice(WORDS, size=(n_docs, 60))
+    texts = [" ".join(r) for r in toks]
+    planted = rng.rand(n_docs) < 0.05
+    texts = [f"{t} {SPAN}" if p else t for t, p in zip(texts, planted)]
+
+    import ray
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from ai_knowledgegraph_extractor_ray.ops.dedup import dup_ngram_stats
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(range(n_docs), dtype="int64"),
+        "text": pd.Series(texts, dtype="string"),
+    })).repartition(32).materialize()
+
+    t0 = time.perf_counter()
+    out = dup_ngram_stats(ds, n=8).to_pandas()
+    wall = time.perf_counter() - t0
+
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # the 12-token span yields 5 in-span 8-grams plus boundary grams
+    hit = (out.loc[planted, "n_dup_positions"] >= 5).mean()
+    clean_fp = (out.loc[~planted, "n_dup_positions"] > 0).mean()
+    print(json.dumps({
+        "n_docs": n_docs,
+        "wall_s": round(wall, 1),
+        "docs_per_s": int(n_docs / wall),
+        "planted_recall": round(float(hit), 4),
+        "clean_dup_rate": round(float(clean_fp), 4),
+        "mean_dup_bp_planted": int(out.loc[planted, "dup_bp"].mean()),
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
