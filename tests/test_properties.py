@@ -117,6 +117,71 @@ def test_bucketed_groupby_equals_pandas():
         want.astype({"k2": "int64"}))
 
 
+def test_dup_ngram_stats_matches_reference():
+    """Randomized differential: dup_ngram_stats vs a pure-python reference
+    on small skew-vocab corpora (tiny alphabet forces cross-doc repeats,
+    short docs hit the <n and ==n edges)."""
+    import numpy as np
+
+    from ai_knowledgegraph_extractor_ray.ops.dedup import dup_ngram_stats
+
+    rng = np.random.RandomState(11)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    for case in range(4):
+        n = rng.randint(2, 5)
+        docs = [" ".join(rng.choice(vocab, rng.randint(0, 10)))
+                for _ in range(40)]
+        grams = [[tuple(toks[i:i + n])
+                  for i in range(len(toks) - n + 1)]
+                 for toks in (d.split() for d in docs)]
+        docs_of = {}
+        for di, gs in enumerate(grams):
+            for g in gs:
+                docs_of.setdefault(g, set()).add(di)
+        exp_ng = [len(gs) for gs in grams]
+        exp_nd = [sum(1 for g in gs if len(docs_of[g]) > 1) for gs in grams]
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series(range(40), dtype="int64"),
+            "text": pd.Series(docs, dtype="string")})).repartition(5)
+        out = dup_ngram_stats(ds, n=n).to_pandas().sort_values("doc_id")
+        assert out["n_gram_positions"].tolist() == exp_ng, f"case {case}"
+        assert out["n_dup_positions"].tolist() == exp_nd, f"case {case}"
+        assert out["dup_bp"].tolist() == [
+            (10000 * d) // max(g, 1) for d, g in zip(exp_nd, exp_ng)]
+
+
+def test_temperature_mix_matches_reference():
+    """Randomized differential: quotas and per-group selection vs a
+    pure-python reference across skewed group layouts."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from ai_knowledgegraph_extractor_ray.ops.sampling import temperature_mix
+
+    rng = np.random.RandomState(5)
+    for case in range(3):
+        sizes = rng.randint(1, 200, size=4)
+        groups = np.repeat([f"g{i}" for i in range(4)], sizes)
+        ids = np.arange(len(groups), dtype=np.int64)
+        k = int(rng.randint(5, 60))
+        w = {f"g{i}": math.isqrt(int(s)) for i, s in enumerate(sizes)}
+        total = sum(w[g] for g in sorted(w))
+        expect = set()
+        for gname in w:
+            quota = (k * w[gname]) // total
+            members = ids[groups == gname]
+            ranked = sorted(members, key=lambda i: (
+                hashlib.sha256(str(i).encode()).hexdigest(), i))
+            expect.update(ranked[:quota])
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series(ids), "src": groups})).repartition(6)
+        out = temperature_mix(ds, group_col="src", id_col="doc_id",
+                              k=k, alpha=0.5).to_pandas()
+        assert set(out["doc_id"]) == expect, f"case {case}"
+
+
 def test_bucketed_groupby_empty():
     ds = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="string"),
                                       "v": pd.Series(dtype="int64")}))
