@@ -96,9 +96,11 @@ def temperature_mix(ds: rd.Dataset, *, group_col: str,
         c = df.groupby(group_col, sort=False).size()
         return pd.DataFrame({group_col: c.index, "n": c.to_numpy()})
 
-    counts = (ds.select_columns([group_col])
-              .map_batches(pcount, batch_format="pandas")
-              .to_pandas().groupby(group_col)["n"].sum())
+    cdf = (ds.select_columns([group_col])
+           .map_batches(pcount, batch_format="pandas").to_pandas())
+    if not len(cdf):  # empty input: to_pandas may carry no columns at all
+        return ds.select_columns([id_col, group_col]).limit(0)
+    counts = cdf.groupby(group_col)["n"].sum()
     if alpha == 0.5:
         w = {g: math.isqrt(int(n)) for g, n in counts.items()}
         total = sum(w[g] for g in sorted(w))
