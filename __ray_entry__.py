@@ -457,7 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": r"""
             WITH t0 AS (
               SELECT doc_id,
-                     text || ' contact user' || doc_id ||
+                     coalesce(text, '') || ' contact user' || doc_id ||
                      '@example.com from 10.' || (doc_id % 256) || '.0.' ||
                      (doc_id % 100) || ' ssn 123-45-' ||
                      (1000 + doc_id % 9000) || ' tel +1-555-' ||

@@ -753,8 +753,10 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
        the broadcast buckets) emits cross-side candidate pairs — no
        shuffle, no per-bucket task: the 3.5M-mostly-singleton-bucket
        groupby this replaced cost ~100 µs per pandas sub-frame (~300 s at
-       100k docs; this path is ~2 s). New ids are capped at
-       ``max_bucket`` per bucket globally, old ids per bucket per block;
+       100k docs; this path is ~2 s). Both sides are capped at
+       ``max_bucket`` smallest ids per bucket GLOBALLY (blocks emit a
+       pigeonhole superset; the driver applies the exact cap), so the
+       candidate set is layout-independent;
     3. the bounded candidate set is verified exactly: new candidates'
        texts broadcast once (duplicate-scale), the OLD corpus scanned
        once with a vectorized id prefilter — old text leaves storage only
@@ -798,16 +800,21 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
     new_bands_ref = ray.put((ub, off, nids))
 
     def emit_pairs(t: pa.Table) -> pa.Table:
+        from .hashing import sorted_isin
+
         b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         oid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         u, o, n = ray.get(new_bands_ref)
-        idx = np.searchsorted(u, b)
-        idx[idx == len(u)] = 0
-        hit = u[idx] == b
+        hit, idx = sorted_isin(u, b)
         if not hit.any():
-            return pa.table({"old_id": pa.array([], pa.int64()),
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "old_id": pa.array([], pa.int64()),
                              "new_id": pa.array([], pa.int64())})
-        # block-local dedup + old-side cap on the (rare) colliding residue
+        # block-local old-side cap on the (rare) colliding residue: the
+        # global max_bucket smallest old ids per bucket are each among
+        # their own block's max_bucket smallest (pigeonhole), so this is
+        # a SUPERSET of the global winners — the driver applies the exact
+        # global cap below, keeping the result layout-independent.
         bdf = (pd.DataFrame({"b": b[hit], "o": oid[hit], "i": idx[hit]})
                .drop_duplicates(["b", "o"]).sort_values(["b", "o"]))
         bdf = bdf[bdf.groupby("b", sort=False).cumcount() < max_bucket]
@@ -816,15 +823,26 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
         total = int(cnts.sum())
         base = np.repeat(np.cumsum(cnts) - cnts, cnts)
         gather = np.repeat(starts, cnts) + (np.arange(total) - base)
-        return pa.table({
-            "old_id": pa.array(np.repeat(bdf["o"].to_numpy(), cnts)),
-            "new_id": pa.array(n[gather])})
+        out = pd.DataFrame({
+            "bucket": np.repeat(bdf["b"].to_numpy(), cnts),
+            "old_id": np.repeat(bdf["o"].to_numpy(), cnts),
+            "new_id": n[gather]}).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     # candidate pairs are duplicate-scale (the same boundedness assumption
     # drop_pair_clusters documents for verified pairs)
-    pairs_df = (rd.read_parquet(f"{index_path}/bands")
-                .map_batches(emit_pairs, batch_format="pyarrow")
-                .to_pandas().drop_duplicates())
+    cand = (rd.read_parquet(f"{index_path}/bands")
+            .map_batches(emit_pairs, batch_format="pyarrow")
+            .to_pandas().drop_duplicates())
+    if not len(cand):
+        return rd.from_arrow(empty)
+    # exact global per-bucket old-side cap (deterministic, layout-free)
+    ranks = (cand[["bucket", "old_id"]].drop_duplicates()
+             .sort_values(["bucket", "old_id"]))
+    ranks["_r"] = ranks.groupby("bucket", sort=False).cumcount()
+    cand = cand.merge(ranks, on=["bucket", "old_id"])
+    pairs_df = (cand.loc[cand["_r"] < max_bucket, ["old_id", "new_id"]]
+                .drop_duplicates())
     if not len(pairs_df):
         return rd.from_arrow(empty)
 
@@ -971,12 +989,12 @@ def dup_ngram_stats(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
     dup_ref = ray.put(dup_sorted)
 
     def count(t: pa.Table) -> pa.Table:
+        from .hashing import sorted_isin
+
         g, gdoc, ngrams = _block_gram_hashes(t, text_col, id_col, n)
         dups = ray.get(dup_ref)
         if len(dups) and len(g):
-            pos = np.searchsorted(dups, g)
-            pos[pos == len(dups)] = 0
-            hit = dups[pos] == g
+            hit, _ = sorted_isin(dups, g)
             ndup = np.bincount(gdoc[hit], minlength=len(ngrams))
         else:
             ndup = np.zeros(len(ngrams), dtype=np.int64)

@@ -124,3 +124,17 @@ def effective_num_partitions(num_partitions: int,
     if not split_map:
         return num_partitions
     return num_partitions + sum(s for _, s in split_map.values())
+
+
+def sorted_isin(sorted_arr: np.ndarray,
+                vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Membership of ``vals`` in a SORTED array: ``(hit_mask, idx)`` where
+    ``idx`` is each value's searchsorted position (clamped in-range; only
+    meaningful where ``hit_mask``). The searchsorted+clamp+equality idiom
+    used by every broadcast-membership scan — one audited copy."""
+    if not len(sorted_arr):
+        z = np.zeros(len(vals), dtype=bool)
+        return z, np.zeros(len(vals), dtype=np.int64)
+    idx = np.searchsorted(sorted_arr, vals)
+    idx[idx == len(sorted_arr)] = 0
+    return sorted_arr[idx] == vals, idx

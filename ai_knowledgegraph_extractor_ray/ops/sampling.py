@@ -112,15 +112,17 @@ def temperature_mix(ds: rd.Dataset, *, group_col: str,
             if total else {}
 
     def take(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(_h=[hashlib.sha256(str(v).encode()).hexdigest()
-                           for v in df[id_col]])
+        # _h rides the exchange so the merge reuses the per-row sha256
+        # (the operator's dominant per-row cost) instead of rehashing
+        if "_h" not in df.columns:
+            df = df.assign(_h=[hashlib.sha256(str(v).encode()).hexdigest()
+                               for v in df[id_col]])
         df = df.sort_values(["_h", id_col], kind="mergesort")
         kg = df[group_col].map(quota).fillna(0).to_numpy(dtype=np.int64)
-        df = df[df.groupby(group_col, sort=False).cumcount() < kg]
-        return df.drop(columns="_h")
+        return df[df.groupby(group_col, sort=False).cumcount() < kg]
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return take(df)
+        return take(df).drop(columns="_h")
 
     pruned = ds.select_columns([id_col, group_col])
     return bucketed_groupby(

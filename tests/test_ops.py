@@ -1561,3 +1561,26 @@ def test_incremental_dedup_against_index(tmp_path):
     assert list(zip(got["old_id"], got["new_id"], got["jaccard"])) == want
     assert (0, 1) in {(a, b) for a, b, _ in want}      # near-dup found
     assert (4, 5) in {(a, b) for a, b, _ in want}      # exact dup found
+
+
+def test_incremental_dedup_cap_is_layout_independent(tmp_path):
+    """The per-bucket old-side cap must pick the same (smallest) old ids
+    whatever the index's block layout: 40 identical old docs against one
+    identical new doc, capped at 10, indexed at two different partition
+    counts — identical pair sets both times."""
+    from ai_knowledgegraph_extractor_ray.ops.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    old = docs_ds([BASE] * 40, ids=list(range(40)))
+    new = docs_ds([BASE], ids=[100])
+    results = []
+    for parts in (1, 7):
+        idx = str(tmp_path / f"idx_{parts}")
+        build_minhash_index(old.repartition(parts), idx)
+        got = dedup_against_index(new, idx, old, threshold=0.9,
+                                  max_bucket=10).to_pandas()
+        results.append(sorted(zip(got["old_id"], got["new_id"])))
+    assert results[0] == results[1]
+    assert results[0] == [(i, 100) for i in range(10)]  # smallest ids win

@@ -77,6 +77,7 @@ def main() -> int:
     got_pairs = set(zip(got["old_id"].astype(int), got["new_id"].astype(int)))
     truth = set(planted)
     recall = len(got_pairs & truth) / max(len(truth), 1)
+    precision = len(got_pairs & truth) / max(len(got_pairs), 1)
 
     # full re-run comparison: near-dup pairs over old+new combined
     t0 = time.perf_counter()
@@ -90,6 +91,7 @@ def main() -> int:
         "incremental_s": round(t_incr, 1),
         "full_rerun_s": round(t_full, 1),
         "recall": round(recall, 4),
+        "precision": round(precision, 4),
         "found_pairs": len(got_pairs),
         "speedup_vs_full": round(t_full / t_incr, 2)}))
     ray.shutdown()
