@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q.q_pii_redact,
         "temperature_mix": q.q_temperature_mix,
         "dup_ngrams": q.q_dup_ngrams,
+        "dedup_spans": q.q_dedup_spans,
         # dedup
         "exact_dedup": q.q_exact_dedup,
         "dup_groups": q.q_dup_groups,
@@ -429,6 +430,48 @@ def oracle_sql() -> dict[str, str]:
                    (10000 * coalesce(per.nd, 0)) //
                      GREATEST(coalesce(per.ng, 0), 1) AS dup_bp
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        # dedup_spans: same gram-identity caveat as dup_ngrams; coverage
+        # (token within any duplicated trigram window) and single-space
+        # reassembly mirror the engine's diff-array + join exactly.
+        "dedup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS ts
+              FROM documents),
+            tok AS (
+              SELECT doc_id, i AS pos, ts[i] AS w
+              FROM toks, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+            pos AS (
+              SELECT doc_id, i, array_to_string(ts[i:i+2], ' ') AS g
+              FROM toks, LATERAL unnest(range(1, len(ts) - 1)) AS u(i)),
+            dupg AS (SELECT g FROM (
+                       SELECT g, min(doc_id) AS mn, max(doc_id) AS mx
+                       FROM (SELECT DISTINCT doc_id, g FROM pos)
+                       GROUP BY g)
+                     WHERE mn <> mx),
+            hits AS (SELECT p.doc_id, p.i FROM pos p JOIN dupg USING (g)),
+            cover AS (SELECT DISTINCT t.doc_id, t.pos
+                      FROM tok t JOIN hits h
+                        ON h.doc_id = t.doc_id
+                       AND t.pos BETWEEN h.i AND h.i + 2),
+            kept AS (SELECT t.doc_id, t.pos, t.w
+                     FROM tok t LEFT JOIN cover c
+                       ON c.doc_id = t.doc_id AND c.pos = t.pos
+                     WHERE c.pos IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(w, ' ' ORDER BY pos) AS text_clean,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(ts) AS nt FROM toks)
+            SELECT d.doc_id,
+                   coalesce(a.text_clean, '') AS text_clean,
+                   coalesce(a.n_kept, 0) AS n_tokens_kept,
+                   tot.nt - coalesce(a.n_kept, 0) AS n_tokens_removed
+            FROM documents d
+            JOIN tot ON tot.doc_id = d.doc_id
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         # temperature_mix: integer-exact quota arithmetic (floor(sqrt(n))
         # weights, integer division) so quotas match the engine

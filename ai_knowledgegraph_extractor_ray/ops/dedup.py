@@ -893,16 +893,10 @@ def dedup_against_index(new_ds: rd.Dataset, index_path: str,
 _GRAM_B = np.uint64(0x100000001B3)  # odd multiplier; uint64 mul wraps mod 2^64
 
 
-def _block_gram_hashes(t: pa.Table, text_col: str, id_col: str,
-                       n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized word-``n``-gram hashes for a block: 64-bit token ids
-    (two crc32 kernel passes over the FLAT token array — no per-token
-    Python) combined positionally into a polynomial gram hash. Returns
-    ``(gram_hash int64 view, doc_row_index per gram, n_gram_positions
-    per doc row)``. Tokenization = whitespace split, empty tokens dropped
+def _block_tokens(t: pa.Table, text_col: str):
+    """Whitespace tokens for a block as ``(flat tokens Array, doc row
+    index per token, token count per doc row)`` — empty tokens dropped
     (matches the oracle's regexp_split + filter idiom)."""
-    from .hashing import crc32_column
-
     txt = pc.fill_null(t[text_col], "")
     lists = pc.utf8_split_whitespace(txt)
     flat = pc.list_flatten(lists)
@@ -914,24 +908,76 @@ def _block_gram_hashes(t: pa.Table, text_col: str, id_col: str,
     if not keep.all():
         flat = flat.filter(pa.array(keep))
         didx = didx[keep]
-    counts = np.bincount(didx, minlength=ndocs)
-    ngrams_per_doc = np.maximum(counts - n + 1, 0)
+    return flat, didx, np.bincount(didx, minlength=ndocs)
 
+
+def _gram_hash_flat(flat, didx: np.ndarray,
+                    n: int) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit polynomial gram hash at every flat token position (two crc32
+    kernel passes build the token ids — no per-token Python) plus the
+    within-one-doc validity mask. Arrays have length ``L - n + 1``."""
+    from .hashing import crc32_column
+
+    L = len(didx)
+    if L < n:
+        return np.empty(0, np.uint64), np.empty(0, bool)
     h1 = crc32_column(flat).astype(np.uint64)
     salted = pc.binary_join_element_wise(flat, "\x01", "")
     h2 = crc32_column(salted).astype(np.uint64)
     tokh = h1 | (h2 << np.uint64(32))
-    L = len(tokh)
-    if L < n:
-        return (np.empty(0, np.int64), np.empty(0, np.int64),
-                ngrams_per_doc)
     acc = np.zeros(L - n + 1, dtype=np.uint64)
     mult = 1  # python int; masked mod 2^64 (np scalar mul warns on wrap)
     for j in range(n):
         acc += tokh[j:L - n + 1 + j] * np.uint64(mult)
         mult = (mult * int(_GRAM_B)) & 0xFFFFFFFFFFFFFFFF
-    valid = didx[:L - n + 1] == didx[n - 1:]
-    return acc[valid].view(np.int64), didx[:L - n + 1][valid], ngrams_per_doc
+    return acc, didx[:L - n + 1] == didx[n - 1:]
+
+
+def _block_gram_hashes(t: pa.Table, text_col: str, id_col: str,
+                       n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized word-``n``-gram hashes for a block. Returns
+    ``(gram_hash int64 view, doc_row_index per gram, n_gram_positions
+    per doc row)``."""
+    flat, didx, counts = _block_tokens(t, text_col)
+    ngrams_per_doc = np.maximum(counts - n + 1, 0)
+    acc, valid = _gram_hash_flat(flat, didx, n)
+    if not len(acc):
+        return np.empty(0, np.int64), np.empty(0, np.int64), ngrams_per_doc
+    return (acc[valid].view(np.int64), didx[:len(valid)][valid],
+            ngrams_per_doc)
+
+
+def _cross_doc_gram_ref(ds: rd.Dataset, *, n: int, text_col: str,
+                        id_col: str, buckets: int | None):
+    """Broadcast ref of the SORTED int64 hashes of every word-``n``-gram
+    appearing in >= 2 documents. Per block one (gram, min_doc, max_doc)
+    combiner row per distinct gram; bucketed min/max merge; a gram is
+    cross-doc iff global min != max — only those leave the exchange
+    (duplication-scale broadcast; Bloom escape hatch if it outgrows the
+    object store)."""
+    import ray
+
+    from .agg import bucketed_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, gdoc, _ = _block_gram_hashes(t, text_col, id_col, n)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "d": ids[gdoc]}).drop_duplicates()
+        mm = df.groupby("g", sort=False)["d"].agg(["min", "max"])
+        return pa.table({"g": pa.array(mm.index.to_numpy(), pa.int64()),
+                         "mn": pa.array(mm["min"].to_numpy(), pa.int64()),
+                         "mx": pa.array(mm["max"].to_numpy(), pa.int64())})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        mm = df.groupby("g", as_index=False, sort=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"))
+        return mm.loc[mm["mn"] != mm["mx"], ["g"]]
+
+    dup = bucketed_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["g"], merge, buckets=buckets).to_pandas()
+    dup_sorted = np.sort(dup["g"].to_numpy(dtype=np.int64)) \
+        if len(dup) else np.empty(0, np.int64)
+    return ray.put(dup_sorted)
 
 
 def dup_ngram_stats(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
@@ -966,27 +1012,8 @@ def dup_ngram_stats(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
     vocabularies the oracle pins."""
     import ray
 
-    from .agg import bucketed_groupby
-
-    def partial(t: pa.Table) -> pa.Table:
-        g, gdoc, _ = _block_gram_hashes(t, text_col, id_col, n)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = pd.DataFrame({"g": g, "d": ids[gdoc]}).drop_duplicates()
-        mm = df.groupby("g", sort=False)["d"].agg(["min", "max"])
-        return pa.table({"g": pa.array(mm.index.to_numpy(), pa.int64()),
-                         "mn": pa.array(mm["min"].to_numpy(), pa.int64()),
-                         "mx": pa.array(mm["max"].to_numpy(), pa.int64())})
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        mm = df.groupby("g", as_index=False, sort=False).agg(
-            mn=("mn", "min"), mx=("mx", "max"))
-        return mm.loc[mm["mn"] != mm["mx"], ["g"]]
-
-    dup = bucketed_groupby(ds.map_batches(partial, batch_format="pyarrow"),
-                           ["g"], merge, buckets=buckets).to_pandas()
-    dup_sorted = np.sort(dup["g"].to_numpy(dtype=np.int64)) \
-        if len(dup) else np.empty(0, np.int64)
-    dup_ref = ray.put(dup_sorted)
+    dup_ref = _cross_doc_gram_ref(ds, n=n, text_col=text_col,
+                                  id_col=id_col, buckets=buckets)
 
     def count(t: pa.Table) -> pa.Table:
         from .hashing import sorted_isin
@@ -1006,3 +1033,59 @@ def dup_ngram_stats(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
             "dup_bp": pa.array(bp.astype(np.int64))})
 
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     buckets: int | None = None) -> rd.Dataset:
+    """Exact duplicated-span REMOVAL (the dedup action of Lee et al.
+    2022): every token covered by a word-``n``-gram that appears in >= 2
+    documents is dropped; the remaining tokens are re-joined with single
+    spaces. Output per input row: ``(id_col, text_clean, n_tokens_kept,
+    n_tokens_removed)``.
+
+    Same two-scan shape as :func:`dup_ngram_stats` (shared cross-doc gram
+    broadcast); the removal pass marks coverage with a difference array
+    (+1 at each hit position, -1 past its span; cumsum > 0 = covered) —
+    fully vectorized over the block's flat token array, with doc
+    boundaries handled because every hit span lies within one doc. Text
+    reassembly is the one inherently ragged per-doc step (same class as
+    ``normalize_text``)."""
+    dup_ref = _cross_doc_gram_ref(ds, n=n, text_col=text_col,
+                                  id_col=id_col, buckets=buckets)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        import ray
+
+        from .hashing import sorted_isin
+
+        flat, didx, counts = _block_tokens(t, text_col)
+        acc, valid = _gram_hash_flat(flat, didx, n)
+        L = len(didx)
+        cov = np.zeros(L + 1, dtype=np.int64)
+        dups = ray.get(dup_ref)
+        if len(dups) and len(acc):
+            hit, _ = sorted_isin(dups, acc[valid].view(np.int64))
+            hit_pos = np.flatnonzero(valid)[hit]
+            np.add.at(cov, hit_pos, 1)
+            np.add.at(cov, hit_pos + n, -1)
+        covered = np.cumsum(cov[:-1]) > 0
+        kept_mask = ~covered
+        kept_doc = didx[kept_mask]
+        toks = np.asarray(flat.to_pylist(), dtype=object)[kept_mask] \
+            if L else np.empty(0, object)
+        ndocs = len(counts)
+        n_kept = np.bincount(kept_doc, minlength=ndocs)
+        texts, start = [], 0
+        for d in range(ndocs):
+            k = int(n_kept[d])
+            texts.append(" ".join(toks[start:start + k]))
+            start += k
+        return pa.table({
+            id_col: t[id_col],
+            "text_clean": pa.array(texts, pa.string()),
+            "n_tokens_kept": pa.array(n_kept.astype(np.int64)),
+            "n_tokens_removed": pa.array(
+                (counts - n_kept).astype(np.int64))})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

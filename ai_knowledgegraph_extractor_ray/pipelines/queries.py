@@ -1299,6 +1299,15 @@ def q_dup_ngrams(sf_dir: str) -> rd.Dataset:
                         columns=["doc_id", "text"]), n=3)
 
 
+def q_dedup_spans(sf_dir: str) -> rd.Dataset:
+    """Exact duplicated-span removal at n=3: tokens covered by any
+    cross-document trigram are dropped, text re-joined."""
+    from ..ops.dedup import remove_dup_spans
+    return remove_dup_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]), n=3)
+
+
 def q_temperature_mix(sf_dir: str) -> rd.Dataset:
     """Temperature-based data mixing: 100 docs alpha=0.5-sampled across
     sources (hot sources flattened toward uniform), deterministic

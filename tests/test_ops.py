@@ -602,6 +602,28 @@ def test_dup_ngram_stats():
     assert solo.sort_values("doc_id")["n_dup_positions"].tolist() == [0, 0]
 
 
+def test_remove_dup_spans():
+    from ai_knowledgegraph_extractor_ray.ops.dedup import remove_dup_spans
+    docs = [
+        "aa bb cc dd ee ff",        # shares "aa bb cc" with doc 1
+        "zz aa bb cc yy",           # -> tokens aa bb cc covered in both
+        "solo words only here",
+        "aa bb",                    # < n tokens, can't be covered
+        "",
+    ]
+    out = (remove_dup_spans(docs_ds(docs).repartition(3), n=3)
+           .to_pandas().sort_values("doc_id"))
+    assert out["text_clean"].tolist() == [
+        "dd ee ff", "zz yy", "solo words only here", "aa bb", ""]
+    assert out["n_tokens_kept"].tolist() == [3, 2, 4, 2, 0]
+    assert out["n_tokens_removed"].tolist() == [3, 3, 0, 0, 0]
+    # overlapping spans merge: doc fully duplicated -> empty text
+    pair = remove_dup_spans(
+        docs_ds(["p q r s t", "p q r s t"]), n=3).to_pandas()
+    assert pair["text_clean"].tolist() == ["", ""]
+    assert pair["n_tokens_removed"].tolist() == [5, 5]
+
+
 def test_temperature_mix_flattens_hot_groups():
     import hashlib
 
