@@ -1049,8 +1049,9 @@ def remove_dup_spans(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
     (+1 at each hit position, -1 past its span; cumsum > 0 = covered) —
     fully vectorized over the block's flat token array, with doc
     boundaries handled because every hit span lies within one doc. Text
-    reassembly is the one inherently ragged per-doc step (same class as
-    ``normalize_text``)."""
+    reassembly is Arrow-native too: survivors filter zero-copy, a
+    rebuilt ListArray + ``pc.binary_join`` re-joins per doc — no Python
+    touches a token."""
     dup_ref = _cross_doc_gram_ref(ds, n=n, text_col=text_col,
                                   id_col=id_col, buckets=buckets)
 
@@ -1071,19 +1072,18 @@ def remove_dup_spans(ds: rd.Dataset, *, n: int = 8, text_col: str = "text",
             np.add.at(cov, hit_pos + n, -1)
         covered = np.cumsum(cov[:-1]) > 0
         kept_mask = ~covered
-        kept_doc = didx[kept_mask]
-        toks = np.asarray(flat.to_pylist(), dtype=object)[kept_mask] \
-            if L else np.empty(0, object)
         ndocs = len(counts)
-        n_kept = np.bincount(kept_doc, minlength=ndocs)
-        texts, start = [], 0
-        for d in range(ndocs):
-            k = int(n_kept[d])
-            texts.append(" ".join(toks[start:start + k]))
-            start += k
+        n_kept = np.bincount(didx[kept_mask], minlength=ndocs)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        kept_flat = flat.filter(pa.array(kept_mask)) if L else flat
+        offs = np.zeros(ndocs + 1, dtype=np.int32)
+        offs[1:] = np.cumsum(n_kept).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                         kept_flat)
         return pa.table({
             id_col: t[id_col],
-            "text_clean": pa.array(texts, pa.string()),
+            "text_clean": pc.binary_join(lists, " "),
             "n_tokens_kept": pa.array(n_kept.astype(np.int64)),
             "n_tokens_removed": pa.array(
                 (counts - n_kept).astype(np.int64))})
