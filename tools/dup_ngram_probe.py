@@ -48,6 +48,21 @@ def main() -> int:
     out = dup_ngram_stats(ds, n=8).to_pandas()
     wall = time.perf_counter() - t0
 
+    from ai_knowledgegraph_extractor_ray.ops.dedup import remove_dup_spans
+    t0 = time.perf_counter()
+    cleaned = remove_dup_spans(ds, n=8).to_pandas()
+    wall_rm = time.perf_counter() - t0
+    cleaned = cleaned.sort_values("doc_id").reset_index(drop=True)
+    # guarantees: every planted doc loses its whole 12-token span (the
+    # straddle grams near the boundary are ALSO legitimately cross-doc —
+    # only 44 possible prefix words across 10k planted docs — so removal
+    # is >= 12, typically 13-16); chance 8-gram collisions touch only a
+    # handful of clean docs (birthday bound ~4 at 200k x 53 grams / 44^8)
+    span_gone = (~cleaned.loc[planted, "text_clean"]
+                 .str.contains("planted span", regex=False)).all()
+    rm_ge_span = (cleaned.loc[planted, "n_tokens_removed"] >= 12).all()
+    clean_touched = int((cleaned.loc[~planted, "n_tokens_removed"] > 0).sum())
+
     out = out.sort_values("doc_id").reset_index(drop=True)
     # the 12-token span yields 5 in-span 8-grams plus boundary grams
     hit = (out.loc[planted, "n_dup_positions"] >= 5).mean()
@@ -59,6 +74,10 @@ def main() -> int:
         "planted_recall": round(float(hit), 4),
         "clean_dup_rate": round(float(clean_fp), 4),
         "mean_dup_bp_planted": int(out.loc[planted, "dup_bp"].mean()),
+        "remove_wall_s": round(wall_rm, 1),
+        "remove_docs_per_s": int(n_docs / wall_rm),
+        "span_fully_removed": bool(span_gone and rm_ge_span),
+        "clean_docs_touched": clean_touched,
     }))
     ray.shutdown()
     return 0
