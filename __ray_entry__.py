@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "incr_dedup": q.q_incr_dedup,
         "near_dedup": q.q_near_dedup,
+        "near_dedup_best": q.q_near_dedup_best,
         "corpus_clean": q.q_corpus_clean,
         "data_prep": q.q_data_prep,
         "simhash_pairs": q.q_simhash_pairs,
@@ -653,6 +654,20 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_jaccard_dedup_ctes("documents", 0.5)}
             SELECT d.doc_id, d.text FROM documents d
             WHERE d.doc_id NOT IN (SELECT u FROM dropped)
+        """,
+        # near_dedup_best: same CC ground truth, survivor = argmax n_chars
+        # (ties -> smallest id) per component instead of smallest id
+        "near_dedup_best": f"""
+            WITH RECURSIVE {_jaccard_dedup_ctes("documents", 0.5)},
+            comp AS (SELECT u, min(lbl) AS root FROM lp GROUP BY u),
+            best AS (SELECT c.u FROM comp c
+                     JOIN documents d ON d.doc_id = c.u
+                     QUALIFY row_number() OVER (PARTITION BY c.root
+                         ORDER BY d.n_chars DESC, c.u) = 1),
+            dropped_best AS (SELECT u FROM comp
+                             WHERE u NOT IN (SELECT u FROM best))
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT u FROM dropped_best)
         """,
         "corpus_clean": f"""
             WITH RECURSIVE kept AS (

@@ -448,10 +448,15 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5,
 
 def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
                        id_col: str = "doc_id",
-                       cluster_mode: str = "driver") -> rd.Dataset:
+                       cluster_mode: str = "driver",
+                       score_col: str | None = None) -> rd.Dataset:
     """Shared cluster-resolution + survivor filter behind every near-dedup
-    flavor: cluster the (id_a, id_b) pair Dataset, keep the smallest id per
-    cluster, drop the rest with a broadcast anti-join.
+    flavor: cluster the (id_a, id_b) pair Dataset, keep one survivor per
+    cluster, drop the rest with a broadcast anti-join. The survivor is the
+    smallest id, or with ``score_col`` the member with the HIGHEST score
+    (ties -> smallest id) — keep-the-best-duplicate (longest / highest
+    quality), the policy real training pipelines want; member scores are
+    gathered in one pruned corpus scan (duplicate-scale collect).
 
     ``cluster_mode="driver"`` (default): union-find over the collected pair
     list — assumes verified near-dup PAIRS fit in driver memory (they are
@@ -464,11 +469,12 @@ def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
 
     # ds is re-scanned by the keep filter (cheap for parquet inputs; pass
     # a materialized dataset when the upstream is an expensive pipeline)
+    clusters: dict[int, list[int]] = {}
     if cluster_mode == "distributed":
         from .cc import connected_components
         comp = connected_components(pairs_ds).to_pandas()
-        drop = (set(comp.loc[comp["node"] != comp["component"], "node"]
-                    .astype(int)) if len(comp) else set())
+        for node, root in zip(comp.get("node", []), comp.get("component", [])):
+            clusters.setdefault(int(root), []).append(int(node))
     else:
         pairs = pairs_ds.to_pandas()
         parent: dict[int, int] = {}
@@ -485,7 +491,28 @@ def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
                 if ra != rb:
                     lo, hi = min(ra, rb), max(ra, rb)
                     parent[hi] = lo
-        drop = {x for x in parent if find(x) != x}
+        for x in set(parent):
+            clusters.setdefault(find(x), []).append(int(x))
+        for root, ms in clusters.items():
+            if root not in ms:
+                ms.append(root)
+
+    if score_col is None:
+        drop = {m for ms in clusters.values() for m in ms if m != min(ms)}
+    else:
+        member_ids = pa.array(
+            sorted({m for ms in clusters.values() for m in ms}), pa.int64())
+
+        def gather(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.is_in(t[id_col], value_set=member_ids))
+            return pa.table({id_col: sub[id_col], "_s": sub[score_col]})
+
+        sc = (ds.map_batches(gather, batch_format="pyarrow").to_pandas())
+        score = dict(zip(sc[id_col].astype(int), sc["_s"]))
+        drop = set()
+        for ms in clusters.values():
+            best = min(ms, key=lambda m: (-score.get(m, float("-inf")), m))
+            drop.update(m for m in ms if m != best)
 
     drop_ref = ray.put(np.array(sorted(drop), dtype=np.int64))
 
@@ -499,12 +526,13 @@ def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
 
 def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.8,
-                       cluster_mode: str = "driver", **kw) -> rd.Dataset:
+                       cluster_mode: str = "driver",
+                       score_col: str | None = None, **kw) -> rd.Dataset:
     """Drop MinHash-near-duplicates (see drop_pair_clusters)."""
     pairs_ds = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
                                        threshold=threshold, **kw)
     return drop_pair_clusters(ds, pairs_ds, id_col=id_col,
-                              cluster_mode=cluster_mode)
+                              cluster_mode=cluster_mode, score_col=score_col)
 
 
 def near_dedup_simhash(ds: rd.Dataset, *, text_col: str = "text",

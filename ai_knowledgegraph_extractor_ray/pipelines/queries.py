@@ -230,6 +230,16 @@ def q_near_dedup(sf_dir: str) -> rd.Dataset:
         threshold=0.5)
 
 
+def q_near_dedup_best(sf_dir: str) -> rd.Dataset:
+    """Near-dedup keeping the BEST duplicate per cluster (highest
+    n_chars, ties -> smallest id) instead of the smallest id — the
+    keep-the-longest policy real training pipelines use."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    out = dedup.near_dedup_minhash(ds, threshold=0.5, score_col="n_chars")
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def q_corpus_clean(sf_dir: str) -> rd.Dataset:
     """Composed cleaning pipeline over the sf documents (validate -> exact
     dedup -> near dedup -> quality/lang filter)."""

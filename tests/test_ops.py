@@ -602,6 +602,28 @@ def test_dup_ngram_stats():
     assert solo.sort_values("doc_id")["n_dup_positions"].tolist() == [0, 0]
 
 
+def test_near_dedup_keep_best_score():
+    from ai_knowledgegraph_extractor_ray.ops.dedup import drop_pair_clusters
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3, 7, 8, 9], dtype="int64"),
+        "score": pd.Series([5, 9, 9, 1, 1, 1], dtype="int64")})
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id_a": pd.Series([1, 2, 7], dtype="int64"),
+        "id_b": pd.Series([2, 3, 8], dtype="int64")}))
+    ds = rd.from_pandas(df).repartition(3)
+    for mode in ("driver", "distributed"):
+        # cluster {1,2,3}: best score 9 tie -> smallest id 2 survives;
+        # cluster {7,8}: all-tie -> 7; doc 9 unpaired survives
+        best = drop_pair_clusters(ds, pairs, id_col="doc_id",
+                                  cluster_mode=mode,
+                                  score_col="score").to_pandas()
+        assert sorted(best["doc_id"]) == [2, 7, 9], mode
+        # default (no score): smallest id per cluster, unchanged behavior
+        lo = drop_pair_clusters(ds, pairs, id_col="doc_id",
+                                cluster_mode=mode).to_pandas()
+        assert sorted(lo["doc_id"]) == [1, 7, 9], mode
+
+
 def test_remove_dup_spans():
     from ai_knowledgegraph_extractor_ray.ops.dedup import remove_dup_spans
     docs = [
