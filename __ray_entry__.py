@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_dedup": q.q_incr_dedup,
         "near_dedup": q.q_near_dedup,
         "near_dedup_best": q.q_near_dedup_best,
+        "quality_sample": q.q_quality_sample,
         "corpus_clean": q.q_corpus_clean,
         "data_prep": q.q_data_prep,
         "simhash_pairs": q.q_simhash_pairs,
@@ -654,6 +655,17 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_jaccard_dedup_ctes("documents", 0.5)}
             SELECT d.doc_id, d.text FROM documents d
             WHERE d.doc_id NOT IN (SELECT u FROM dropped)
+        """,
+        # quality_sample: keep iff sha256(text)'s 16-bit prefix <
+        # floor(quality * 65536); both sides compare 5-char zero-padded
+        # hex so lexicographic == numeric (threshold can reach 0x10000).
+        "quality_sample": f"""
+            SELECT d.doc_id FROM documents d
+            JOIN ({_quality_full_sql()}) q ON q.doc_id = d.doc_id
+            WHERE lpad(substr(sha256(d.text), 1, 4), 5, '0') <
+                  lpad(lower(hex(CAST(floor(
+                      least(greatest(q.quality_d, 0), 1) * 65536)
+                      AS BIGINT))), 5, '0')
         """,
         # near_dedup_best: same CC ground truth, survivor = argmax n_chars
         # (ties -> smallest id) per component instead of smallest id

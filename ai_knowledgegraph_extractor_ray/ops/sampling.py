@@ -47,6 +47,24 @@ def hash_sample(ds: rd.Dataset, *, key_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample(ds: rd.Dataset, *, weight_col: str,
+                    key_col: str = "text", scale: float = 1.0) -> rd.Dataset:
+    """Per-row deterministic weighted sampling — keep a row with
+    probability ``clamp(weight * scale, 0, 1)`` (quality-proportional
+    downsampling, importance-weighted mixing): kept iff
+    ``sha256(key)``'s 16-bit prefix < ``floor(p * 65536)``. A pure
+    per-block filter like :func:`hash_sample` — no shuffle, identical
+    selection on any rerun/partitioning, and SQL-reproducible (the
+    threshold compares as zero-padded hex both sides)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.clip(df[weight_col].to_numpy(dtype=np.float64) * scale, 0, 1)
+        thr = np.floor(p * 65536).astype(np.int64)
+        return df[_h16(df[key_col]) < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def cap_per_group(ds: rd.Dataset, *, group_col: str, order_col: str,
                   k: int, buckets: int | None = None) -> rd.Dataset:
     """Keep the ``k`` smallest-``order_col`` rows per group. For a

@@ -230,6 +230,17 @@ def q_near_dedup(sf_dir: str) -> rd.Dataset:
         threshold=0.5)
 
 
+def q_quality_sample(sf_dir: str) -> rd.Dataset:
+    """Quality-proportional downsampling: each doc kept with probability
+    equal to its quality score (deterministic hash threshold)."""
+    from ..ops.sampling import weighted_sample
+    ds = text_ops.quality_score(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+    return weighted_sample(ds, weight_col="quality",
+                           key_col="text").select_columns(["doc_id"])
+
+
 def q_near_dedup_best(sf_dir: str) -> rd.Dataset:
     """Near-dedup keeping the BEST duplicate per cluster (highest
     n_chars, ties -> smallest id) instead of the smallest id — the

@@ -137,6 +137,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "dup_ngrams": lambda: q.q_dup_ngrams(sf_dir).count(),
             "dedup_spans": lambda: q.q_dedup_spans(sf_dir).count(),
             "near_dedup_best": lambda: q.q_near_dedup_best(sf_dir).count(),
+            "quality_sample": lambda: q.q_quality_sample(sf_dir).count(),
             "lang_balance": lambda: q.q_lang_balance(sf_dir).count(),
             "minhash_pairs": lambda: q.q_minhash_pairs(sf_dir).count(),
             "ngram_jaccard": lambda: q.q_ngram_jaccard(sf_dir).count(),

@@ -602,6 +602,31 @@ def test_dup_ngram_stats():
     assert solo.sort_values("doc_id")["n_dup_positions"].tolist() == [0, 0]
 
 
+def test_weighted_sample():
+    import hashlib
+
+    from ai_knowledgegraph_extractor_ray.ops.sampling import weighted_sample
+    texts = [f"doc number {i} with content" for i in range(400)]
+    w = [0.0, 1.0] * 200     # p=0 rows never kept, p=1 rows always kept
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(range(400), dtype="int64"),
+        "text": pd.Series(texts, dtype="string"),
+        "w": pd.Series(w, dtype="float64")})).repartition(4)
+    out = weighted_sample(ds, weight_col="w", key_col="text").to_pandas()
+    assert sorted(out["doc_id"]) == list(range(1, 400, 2))
+    # fractional p keeps iff h16 < floor(p*65536), exactly
+    ds2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(range(400), dtype="int64"),
+        "text": pd.Series(texts, dtype="string"),
+        "w": pd.Series([0.3] * 400, dtype="float64")}))
+    got = set(weighted_sample(ds2, weight_col="w",
+                              key_col="text").to_pandas()["doc_id"])
+    exp = {i for i, t in enumerate(texts)
+           if int.from_bytes(hashlib.sha256(t.encode()).digest()[:2],
+                             "big") < int(0.3 * 65536)}
+    assert got == exp and 0 < len(exp) < 400
+
+
 def test_near_dedup_keep_best_score():
     from ai_knowledgegraph_extractor_ray.ops.dedup import drop_pair_clusters
     df = pd.DataFrame({
