@@ -47,63 +47,13 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ai_knowledgegraph_extractor_ray.pipelines import queries as q
 
+    # The driver's CORRECTNESS gate checks the FIRST 50 entries only, so the
+    # window is rotated each round: operators never (or least recently)
+    # driver-gated come first; the stable long-green core and the rows-only
+    # sketches sit in the back half (each still pinned by its own tests).
     return {
-        # conversation assembly / versioning / stats
-        "assemble": q.q_assemble,
-        "assemble_prefix": q.q_assemble_prefix,
-        "transcript_stats": q.q_transcript_stats,
-        "latest_turn": q.q_latest_turn,
-        # text analysis
-        "token_stats": q.q_token_stats,
-        "quality": q.q_quality,
-        "lang_id": q.q_lang_id,
-        "fingerprint": q.q_fingerprint,
-        "top_tokens": q.q_top_tokens,
-        "approx_top_tokens": q.q_approx_top_tokens,   # CMS sketch: rows-only
-        "top_tokens_by_lang": q.q_top_tokens_by_lang,
-        "hash_sample": q.q_hash_sample,
-        "lang_balance": q.q_lang_balance,
-        "normalize": q.q_normalize,
-        "repetition": q.q_repetition,
-        "pii_redact": q.q_pii_redact,
-        "temperature_mix": q.q_temperature_mix,
-        "dup_ngrams": q.q_dup_ngrams,
-        "dedup_spans": q.q_dedup_spans,
-        # dedup
-        "exact_dedup": q.q_exact_dedup,
-        "dup_groups": q.q_dup_groups,
-        "decontaminate": q.q_decontaminate,
-        "minhash_pairs": q.q_minhash_pairs,
-        "ngram_jaccard": q.q_ngram_jaccard,
-        "incr_dedup": q.q_incr_dedup,
-        "near_dedup": q.q_near_dedup,
-        "near_dedup_best": q.q_near_dedup_best,
-        "quality_sample": q.q_quality_sample,
-        "corpus_clean": q.q_corpus_clean,
-        "data_prep": q.q_data_prep,
-        "simhash_pairs": q.q_simhash_pairs,
-        "embedding_near_pairs": q.q_embedding_near_pairs,
-        # windowed aggregate + sessionization (streaming-window operator)
-        "events_hourly": q.q_events_hourly,
-        "events_sliding": q.q_events_sliding,
-        "events_sessions": q.q_events_sessions,
-        "events_asof": q.q_events_asof,
-        "events_range": q.q_events_range,
-        "events_quantiles": q.q_events_quantiles,
-        "events_quantiles_cont": q.q_events_quantiles_cont,
-        "events_rollup": q.q_events_rollup,
-        "events_cube": q.q_events_cube,
-        "events_pivot": q.q_events_pivot,
-        # SQL set operations
-        "user_intersect": q.q_user_intersect,
-        "custkey_except": q.q_custkey_except,
-        "distinct_users": q.q_distinct_users,
-        "pack_sequences": q.q_pack_sequences,
-        "approx_distinct": q.q_approx_distinct,   # HLL sketch: rows-only
-        "approx_quantiles": q.q_approx_quantiles,  # histogram sketch: rows-only
-        # general inner join, both physical plans
-        "join_broadcast": q.q_join_broadcast,
-        "join_shuffle": q.q_join_shuffle,
+        # --- round-4 gate window: never-gated in rounds 1-3 ---
+        # general joins (all physical plans + null-extending variants)
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
         "join_anti": q.q_join_anti,
@@ -126,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": q.q_ivf_knn,
         "ivf_exact": q.q_ivf_exact,
         "ivf_pruned": q.q_ivf_pruned,
-        # entity extraction + canonicalization
+        # entity extraction + canonicalization + graph analytics
         "entities": q.q_entities,
         "edges_sql": q.q_edges_sql,
         "alias_exact": q.q_alias_exact,
@@ -139,6 +89,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_edges": q.q_canonical_edges,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
+        # --- oracled queries rotated into the rest of the 50-window ---
+        "events_hourly": q.q_events_hourly,
+        "events_sliding": q.q_events_sliding,
+        "events_sessions": q.q_events_sessions,
+        "events_asof": q.q_events_asof,
+        "events_range": q.q_events_range,
+        "events_quantiles": q.q_events_quantiles,
+        "events_quantiles_cont": q.q_events_quantiles_cont,
+        "events_rollup": q.q_events_rollup,
+        "events_cube": q.q_events_cube,
+        "events_pivot": q.q_events_pivot,
+        "user_intersect": q.q_user_intersect,
+        "custkey_except": q.q_custkey_except,
+        "distinct_users": q.q_distinct_users,
+        "pack_sequences": q.q_pack_sequences,
+        "join_broadcast": q.q_join_broadcast,
+        "join_shuffle": q.q_join_shuffle,
+        "near_dedup": q.q_near_dedup,
+        "near_dedup_best": q.q_near_dedup_best,
+        "quality_sample": q.q_quality_sample,
+        "incr_dedup": q.q_incr_dedup,
+        "temperature_mix": q.q_temperature_mix,
+        "dup_ngrams": q.q_dup_ngrams,
+        "dedup_spans": q.q_dedup_spans,
+        # --- back half: stable core (green r1-r3) + rows-only sketches ---
+        "assemble": q.q_assemble,
+        "assemble_prefix": q.q_assemble_prefix,
+        "transcript_stats": q.q_transcript_stats,
+        "latest_turn": q.q_latest_turn,
+        "token_stats": q.q_token_stats,
+        "quality": q.q_quality,
+        "lang_id": q.q_lang_id,
+        "fingerprint": q.q_fingerprint,           # rolling-hash: rows-only
+        "top_tokens": q.q_top_tokens,
+        "approx_top_tokens": q.q_approx_top_tokens,   # CMS sketch: rows-only
+        "top_tokens_by_lang": q.q_top_tokens_by_lang,
+        "hash_sample": q.q_hash_sample,
+        "lang_balance": q.q_lang_balance,
+        "normalize": q.q_normalize,
+        "repetition": q.q_repetition,
+        "pii_redact": q.q_pii_redact,
+        "exact_dedup": q.q_exact_dedup,
+        "dup_groups": q.q_dup_groups,
+        "decontaminate": q.q_decontaminate,
+        "minhash_pairs": q.q_minhash_pairs,
+        "ngram_jaccard": q.q_ngram_jaccard,
+        "simhash_pairs": q.q_simhash_pairs,        # hash-specific: rows-only
+        "embedding_near_pairs": q.q_embedding_near_pairs,  # SRP-LSH: rows-only
+        "corpus_clean": q.q_corpus_clean,
+        "data_prep": q.q_data_prep,
+        "approx_distinct": q.q_approx_distinct,   # HLL sketch: rows-only
+        "approx_quantiles": q.q_approx_quantiles,  # histogram sketch: rows-only
     }
 
 
