@@ -77,7 +77,13 @@ def bucketed_groupby(partials: rd.Dataset, key_cols: list[str],
     def merge_tbl(tbl: pa.Table) -> pa.Table:
         df = (tbl.drop_columns([XKEY])
               .replace_schema_metadata(None).to_pandas())
-        return pa.Table.from_pandas(merge(df), preserve_index=False)
+        out = merge(df)
+        # merge may return an Arrow table directly — callers that must pin
+        # exact output types (joins with all-null columns) bypass pandas
+        # inference that way
+        if isinstance(out, pa.Table):
+            return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     stamped = partials.map_batches(stamp, batch_format="pyarrow")
     return hash_exchange_dataset(stamped, buckets, merge_tbl, key=XKEY)
@@ -91,7 +97,10 @@ def per_group_apply(key_cols: list[str], fn: Callable[[pd.DataFrame], pd.DataFra
     map_groups tasks vs ~2 s inside bucketed merges)."""
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         key = key_cols[0] if len(key_cols) == 1 else key_cols
-        outs = [fn(g) for _, g in df.groupby(key, sort=False)]
+        # dropna=False everywhere a reduce groups by user keys: SQL GROUP BY
+        # keeps a NULL group, and the exchange routes null keys consistently
+        # (stamped 'None'), so dropping them here would lose rows silently
+        outs = [fn(g) for _, g in df.groupby(key, sort=False, dropna=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
             return fn(df.iloc[0:0])
@@ -100,9 +109,11 @@ def per_group_apply(key_cols: list[str], fn: Callable[[pd.DataFrame], pd.DataFra
 
 
 def sum_merge(key_cols: list[str], value_cols: list[str]):
-    """merge callback: vectorized groupby-sum of ``value_cols``."""
+    """merge callback: vectorized groupby-sum of ``value_cols``. NULL key
+    values form their own group, as in SQL GROUP BY."""
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key_cols, as_index=False, sort=False)[value_cols].sum()
+        return df.groupby(key_cols, as_index=False, sort=False,
+                          dropna=False)[value_cols].sum()
     return merge
 
 
@@ -199,7 +210,7 @@ def grouped_count_distinct(ds: rd.Dataset, key_cols: list[str],
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.drop_duplicates(key_cols + [value_col])
-               .groupby(key_cols, sort=False)[value_col]
+               .groupby(key_cols, sort=False, dropna=False)[value_col]
                .nunique().rename(out_col).reset_index())
         out[out_col] = out[out_col].astype("int64")
         return out
@@ -231,7 +242,8 @@ def _hll_partial(keys: pd.Series, values: np.ndarray) -> pd.DataFrame:
     bl[nz] = (np.floor(np.log2(w[nz].astype(np.float64))) + 1).astype(np.int8)
     rho = ((64 - _HLL_P) - bl + 1).astype(np.int8)
     df = pd.DataFrame({"_k": keys.to_numpy(), "_reg": idx, "_rho": rho})
-    return df.groupby(["_k", "_reg"], sort=False)["_rho"].max().reset_index()
+    return (df.groupby(["_k", "_reg"], sort=False, dropna=False)["_rho"]
+            .max().reset_index())
 
 
 def _hll_estimate(regs: np.ndarray) -> int:
@@ -265,10 +277,10 @@ def grouped_approx_distinct(ds: rd.Dataset, key_cols: list[str],
         return out.rename(columns={"_k": key})
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        folded = (df.groupby([key, "_reg"], sort=False)["_rho"]
+        folded = (df.groupby([key, "_reg"], sort=False, dropna=False)["_rho"]
                   .max().reset_index())
         rows = []
-        for k, g in folded.groupby(key, sort=False):
+        for k, g in folded.groupby(key, sort=False, dropna=False):
             regs = np.zeros(1 << _HLL_P, dtype=np.int8)
             regs[g["_reg"].to_numpy()] = g["_rho"].to_numpy()
             rows.append({key: k, out_col: _hll_estimate(regs)})
@@ -292,17 +304,18 @@ def grouped_quantile_disc(ds: rd.Dataset, key_cols: list[str],
     first (e.g. cents) — that is what makes the histogram bounded."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(key_cols + [value_col], sort=False)
+        g = (df.groupby(key_cols + [value_col], sort=False, dropna=False)
              .size().rename("_cnt").reset_index())
         return g
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        folded = (df.groupby(key_cols + [value_col], sort=False)["_cnt"]
+        folded = (df.groupby(key_cols + [value_col], sort=False,
+                             dropna=False)["_cnt"]
                   .sum().reset_index().sort_values(key_cols + [value_col],
                                                    kind="mergesort"))
         out_rows = []
         key = key_cols[0] if len(key_cols) == 1 else key_cols
-        for k, g in folded.groupby(key, sort=False):
+        for k, g in folded.groupby(key, sort=False, dropna=False):
             vals = g[value_col].to_numpy()
             counts = g["_cnt"].to_numpy()
             cum = np.cumsum(counts)
@@ -341,16 +354,17 @@ def grouped_quantile_cont(ds: rd.Dataset, key_cols: list[str],
     ``n`` (group row count)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(key_cols + [value_col], sort=False)
+        return (df.groupby(key_cols + [value_col], sort=False, dropna=False)
                 .size().rename("_cnt").reset_index())
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        folded = (df.groupby(key_cols + [value_col], sort=False)["_cnt"]
+        folded = (df.groupby(key_cols + [value_col], sort=False,
+                             dropna=False)["_cnt"]
                   .sum().reset_index().sort_values(key_cols + [value_col],
                                                    kind="mergesort"))
         out_rows = []
         key = key_cols[0] if len(key_cols) == 1 else key_cols
-        for k, g in folded.groupby(key, sort=False):
+        for k, g in folded.groupby(key, sort=False, dropna=False):
             vals = g[value_col].to_numpy().astype(np.float64)
             cum = np.cumsum(g["_cnt"].to_numpy())
             n = int(cum[-1])
@@ -507,6 +521,19 @@ def approx_top_k(partials: rd.Dataset, item_col: str, count_col: str, *,
     estimate >= true count (pinned in tests); with width >> vocabulary the
     estimates are exact.
 
+    RECALL CAVEAT (inherent to the candidate pass, round-3 ADVICE): an
+    item only becomes a candidate if it ranks in the top
+    ``candidates_per_block`` of at least ONE block's partial counts. A
+    true heavy hitter spread so thinly that it is block-locally cold
+    everywhere (possible when per-block vocabulary >> candidates_per_block
+    and the item's mass is uniform) is missed even though its CMS estimate
+    would win. The effective candidate budget therefore scales with ``k``
+    (``max(candidates_per_block, 32 * k)``); callers with adversarially
+    uniform heavy hitters should raise ``candidates_per_block`` toward
+    their per-block vocabulary, or pre-aggregate into fewer, larger
+    blocks (the reference exact path has no such gap — use it when the
+    vocabulary is small enough to shuffle).
+
     ``partials``: per-block pre-aggregated (item, count) rows, same
     contract as every ``bucketed_groupby`` caller."""
     import ray
@@ -536,9 +563,11 @@ def approx_top_k(partials: rd.Dataset, item_col: str, count_col: str, *,
         dense[sketch["cell"].to_numpy()] = sketch["cnt"].to_numpy()
     dense_ref = ray.put(dense)
 
+    cands_budget = max(candidates_per_block, 32 * k)
+
     def to_cands(t: pa.Table) -> pa.Table:
         df = t.select([item_col, count_col]).to_pandas()
-        top = df.nlargest(candidates_per_block, count_col)
+        top = df.nlargest(cands_budget, count_col)
         return pa.table({item_col: pa.array(top[item_col].astype(str),
                                             pa.string())})
 
@@ -579,10 +608,12 @@ def pivot_count(ds: rd.Dataset, key_cols: list[str], pivot_col: str,
         vals = (sub[value_col] if value_col is not None
                 else pd.Series(np.ones(len(sub), dtype=np.int64),
                                index=sub.index))
+        # groupby+unstack, not pivot_table: pivot_table silently drops
+        # NaN index keys, while SQL GROUP BY keeps the NULL group
         wide = (pd.DataFrame({**{c: sub[c] for c in key_cols},
                               "_p": sub[pivot_col], "_v": vals})
-                .pivot_table(index=key_cols, columns="_p", values="_v",
-                             aggfunc="sum", fill_value=0))
+                .groupby(key_cols + ["_p"], sort=False, dropna=False)["_v"]
+                .sum().unstack("_p", fill_value=0))
         wide = wide.reindex(columns=categories, fill_value=0).astype("int64")
         wide.columns = list(categories)
         return wide.reset_index()
@@ -617,7 +648,7 @@ def grouped_approx_quantile(ds: rd.Dataset, key_cols: list[str],
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         key = key_cols[0] if len(key_cols) == 1 else key_cols
-        for k, g in df.groupby(key, sort=False):
+        for k, g in df.groupby(key, sort=False, dropna=False):
             v = g[value_col].to_numpy(dtype=np.float64)
             v = v[~np.isnan(v)]
             if not len(v):
@@ -639,7 +670,7 @@ def grouped_approx_quantile(ds: rd.Dataset, key_cols: list[str],
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
         key = key_cols[0] if len(key_cols) == 1 else key_cols
-        for k, g in df.groupby(key, sort=False):
+        for k, g in df.groupby(key, sort=False, dropna=False):
             glo = float(g["_lo"].min())
             ghi = float(g["_hi"].max())
             acc = np.zeros(bins, dtype=np.float64)
@@ -696,7 +727,7 @@ def grouped_argmax(ds: rd.Dataset, key_cols: list[str], value_col: str, *,
             [*key_cols, value_col, tiebreak],
             ascending=[*([True] * len(key_cols)), False, True],
             kind="mergesort")
-        return df.groupby(key_cols, sort=False).head(1)
+        return df.groupby(key_cols, sort=False, dropna=False).head(1)
 
     partials = ds.map_batches(best, batch_format="pandas")
     return bucketed_groupby(partials, key_cols, best, buckets=buckets)

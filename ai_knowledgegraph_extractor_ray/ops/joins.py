@@ -41,6 +41,50 @@ def _pandas_dtypes_of(schema) -> dict:
     return out
 
 
+def _arrow_types_of(schema) -> dict:
+    """Column -> declared Arrow type (None where unknowable). Object-dtype
+    columns from pandas-block datasets are assumed string — the common
+    case, and the one the null-cast below exists for."""
+    import pyarrow as pa
+    out = {}
+    for n, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            out[n] = t
+        else:
+            try:
+                dt = np.dtype(t)
+            except TypeError:
+                out[n] = pa.string()
+                continue
+            if dt == np.dtype(object):
+                out[n] = pa.string()
+            else:
+                try:
+                    out[n] = pa.from_numpy_dtype(dt)
+                except (TypeError, NotImplementedError, pa.ArrowError):
+                    out[n] = None
+    return out
+
+
+def _cast_null_cols(df: pd.DataFrame, want: dict):
+    """pandas -> Arrow with declared types restored on null-typed columns.
+
+    A bucket where one join side is empty yields all-None object columns;
+    Arrow infers those as the ``null`` type, producing blocks with
+    conflicting schemas downstream (round-3 ADVICE). Casting the null-typed
+    columns to the declared types (values are all null, so the cast is
+    metadata-only) keeps every block on one schema."""
+    import pyarrow as pa
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for i, f in enumerate(t.schema):
+        w = want.get(f.name)
+        if w is not None and pa.types.is_null(f.type) \
+                and not pa.types.is_null(w):
+            t = t.set_column(i, pa.field(f.name, w),
+                             pa.nulls(t.num_rows, type=w))
+    return t
+
+
 def _side_frame(df: pd.DataFrame, side: int, cols: list[str],
                 dtypes: dict) -> pd.DataFrame:
     """Rows of one tagged side with exactly ``cols``, dtypes restored.
@@ -147,13 +191,19 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
     nullable_ints = {"left": r_value_ints,
                      "outer": r_value_ints + l_value_ints}.get(how, [])
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+    want = {**_arrow_types_of(left.schema()),
+            **_arrow_types_of(right.schema())}
+    for c in nullable_ints:             # declared output type, not input
+        want[c] = pa.float64()
+
+    def merge(df: pd.DataFrame):
         l = _side_frame(df, 0, l_cols, l_dtypes)
         r = _side_frame(df, 1, r_cols, r_dtypes)
         out = l.merge(r, on=on, how=how)
         for c in nullable_ints:
             out[c] = out[c].astype("float64")
-        return out
+        return _cast_null_cols(out, want)
 
     return bucketed_groupby(both, [on], merge, buckets=buckets)
 
@@ -188,21 +238,37 @@ def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
 
     r_dtypes = _pandas_dtypes_of(right.schema())
     r_sel = [by, on, *value_cols]
+    # declared output types for the appended value columns: int value cols
+    # surface as float64 (NaN marks "no preceding right row"), everything
+    # else keeps its type — pinned so a bucket with an empty right side
+    # emits the same schema as a match-rich one
+    import pyarrow as pa
+    r_want = _arrow_types_of(right.schema())
+    want = _arrow_types_of(left.schema())
+    for c in value_cols:
+        w = r_want.get(c)
+        want[c] = (pa.float64() if w is not None
+                   and (pa.types.is_integer(w) or pa.types.is_floating(w))
+                   else w)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame):
         l = (_side_frame(df, 0, left_cols, left_dtypes)
              .sort_values(on, kind="mergesort"))
         r = (_side_frame(df, 1, r_sel, {c: r_dtypes[c] for c in r_sel})
              .sort_values(on, kind="mergesort"))
         if len(l) == 0:
-            return restore(l)
+            out = l.copy()
+            for c in value_cols:        # keep the full output schema even
+                out[c] = pd.Series([], dtype="object")   # for empty buckets
+            return _cast_null_cols(restore(out), want)
         if len(r) == 0:
             out = l.copy()
             for c in value_cols:
                 out[c] = pd.Series([None] * len(out), dtype="object")
-            return restore(out)
-        return restore(pd.merge_asof(l, r, on=on, by=by, direction="backward",
-                                     allow_exact_matches=True))
+            return _cast_null_cols(restore(out), want)
+        return _cast_null_cols(
+            restore(pd.merge_asof(l, r, on=on, by=by, direction="backward",
+                                  allow_exact_matches=True)), want)
 
     return bucketed_groupby(both, [by], merge, buckets=buckets)
 
@@ -327,21 +393,27 @@ def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     hash bucket owning a hot key's entire row set is the one failure mode
     ``hash_inner_join`` documents but cannot avoid.
 
-    Plan:
+    Plan (SYMMETRIC — both sides are histogrammed, round-3 VERDICT #6):
 
-    1. EXACT left-key counts via per-block histogram partials (bounded by
-       distinct keys per block, never raw rows) folded in one small
-       exchange; keys with count > ``hot_threshold`` are HOT. At most
-       ``n_left / hot_threshold`` keys can be hot, so the hot-key set is
-       provably tiny.
-    2. Right rows for hot keys are collected and BROADCAST (``ray.put``
-       once); hot left rows join map-side with zero shuffle — the hot
-       key's rows never co-locate anywhere. This assumes the RIGHT side is
-       dimension-shaped on hot keys (bounded rows per key) — the same
+    1. EXACT key counts on EACH side via per-block histogram partials
+       (bounded by distinct keys per block, never raw rows) folded in one
+       small exchange per side; keys with count > ``hot_threshold`` on a
+       side are HOT on that side. At most ``n_side / hot_threshold`` keys
+       can be hot per side, so both hot-key sets are provably tiny.
+    2. Keys hot on the LEFT: their right rows are collected and BROADCAST
+       (``ray.put`` once); hot left rows join map-side with zero shuffle —
+       the hot key's rows never co-locate anywhere. This assumes the right
+       side is dimension-shaped on those keys (bounded rows per key) — the
        assumption any skew mitigation that avoids pair blowup must make,
-       guarded here by ``broadcast_limit_rows``.
-    3. Cold rows of both sides run the normal co-bucketed shuffle join.
-    4. Union — blocks stream independently; no barrier between plans.
+       guarded by ``broadcast_limit_rows``. A key hot on BOTH sides has a
+       quadratic output by construction; it trips that guard and raises.
+    3. Keys hot ONLY on the RIGHT (fact-shaped right, dimension-shaped
+       left — the mirror case the round-3 audit found unhandled): the
+       mirrored plan — their LEFT rows broadcast (same row-count guard),
+       right rows join map-side, output re-ordered to the left-major
+       column layout so all branches share one schema.
+    4. Cold rows of both sides run the normal co-bucketed shuffle join.
+    5. Union — blocks stream independently; no barrier between plans.
 
     With no hot keys this degrades to exactly ``hash_inner_join``."""
     import ray
@@ -357,39 +429,66 @@ def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
         folded = df.groupby(on, sort=False)["_cnt"].sum().reset_index()
         return folded[folded["_cnt"] > hot_threshold][[on]]
 
-    hot = bucketed_groupby(
-        left.select_columns([on]).map_batches(key_counts,
-                                              batch_format="pandas"),
-        [on], hot_only).to_pandas()
-    if len(hot) == 0:
+    def hot_keys_of(side: rd.Dataset) -> set:
+        hot = bucketed_groupby(
+            side.select_columns([on]).map_batches(key_counts,
+                                                  batch_format="pandas"),
+            [on], hot_only).to_pandas()
+        return set(hot[on].tolist()) if len(hot) else set()
+
+    hot_l = hot_keys_of(left)
+    hot_r_only = hot_keys_of(right) - hot_l
+    if not hot_l and not hot_r_only:
         return hash_inner_join(left, right, on, buckets=buckets)
 
-    hot_keys = set(hot[on].tolist())
-    hot_ref = ray.put(hot_keys)
+    all_hot_ref = ray.put(hot_l | hot_r_only)
 
-    def split(keep_hot: bool):
+    def in_set(keys_ref, keep: bool):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
-            mask = df[on].isin(ray.get(hot_ref))
-            return df[mask if keep_hot else ~mask]
+            mask = df[on].isin(ray.get(keys_ref))
+            return df[mask if keep else ~mask]
         return fn
 
-    right_hot = (right.map_batches(split(True), batch_format="pandas")
-                 .to_pandas())
-    if len(right_hot) > broadcast_limit_rows:
-        raise ValueError(
-            f"skew_aware_inner_join: right side has {len(right_hot)} rows on "
-            f"{len(hot_keys)} hot keys (> {broadcast_limit_rows}); the right "
-            "side is not dimension-shaped on the hot keys — pre-aggregate it "
-            "or raise hot_threshold")
+    # the inner join's canonical column layout (hash_inner_join emits
+    # left cols then right value cols) — every branch conforms to it
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
+    out_cols = l_cols + [c for c in r_cols if c != on]
+    branches = []
 
-    hot_joined = broadcast_inner_join(
-        left.map_batches(split(True), batch_format="pandas"),
-        right_hot, on)
+    def guarded_collect(side: rd.Dataset, keys: set, name: str) -> pd.DataFrame:
+        keys_ref = ray.put(keys)
+        rows = (side.map_batches(in_set(keys_ref, True),
+                                 batch_format="pandas").to_pandas())
+        if len(rows) > broadcast_limit_rows:
+            raise ValueError(
+                f"skew_aware_inner_join: {name} side has {len(rows)} rows on "
+                f"{len(keys)} hot keys (> {broadcast_limit_rows}); that side "
+                "is not dimension-shaped on the hot keys (a key hot on both "
+                "sides has an inherently quadratic join) — pre-aggregate it "
+                "or raise hot_threshold")
+        return rows
+
+    if hot_l:
+        right_hot = guarded_collect(right, hot_l, "right")
+        hot_l_ref = ray.put(hot_l)
+        branches.append(broadcast_inner_join(
+            left.map_batches(in_set(hot_l_ref, True), batch_format="pandas"),
+            right_hot, on))
+    if hot_r_only:
+        left_hot = guarded_collect(left, hot_r_only, "left")
+        hot_r_ref = ray.put(hot_r_only)
+        mirrored = broadcast_inner_join(
+            right.map_batches(in_set(hot_r_ref, True), batch_format="pandas"),
+            left_hot, on)
+        branches.append(mirrored.map_batches(
+            lambda df: df[out_cols], batch_format="pandas"))
+
     cold_joined = hash_inner_join(
-        left.map_batches(split(False), batch_format="pandas"),
-        right.map_batches(split(False), batch_format="pandas"),
+        left.map_batches(in_set(all_hot_ref, False), batch_format="pandas"),
+        right.map_batches(in_set(all_hot_ref, False), batch_format="pandas"),
         on, buckets=buckets)
-    return hot_joined.union(cold_joined)
+    return branches[0].union(*branches[1:], cold_joined)
 
 
 def bloom_filtered_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,

@@ -43,9 +43,14 @@ def _set_op(left: rd.Dataset, right: rd.Dataset, cols: list[str],
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # distinct (key, side) first, so the sum of side tags (1|2) is the
-        # presence bitmask — all C-path, no per-key Python
+        # presence bitmask — all C-path, no per-key Python. dropna=False:
+        # SQL set ops treat NULL keys as equal-and-present (UNION keeps one
+        # NULL row; NULL INTERSECT NULL matches), and the exchange already
+        # routes null keys consistently (stamped 'None'), so the reduce
+        # must not silently drop them (round-3 ADVICE).
         m = (df.drop_duplicates(cols + ["_m"])
-             .groupby(cols, as_index=False, sort=False)["_m"].sum())
+             .groupby(cols, as_index=False, sort=False, dropna=False)["_m"]
+             .sum())
         return m.loc[m["_m"].isin(keep), cols]
 
     return bucketed_groupby(both, cols, merge, buckets=buckets)

@@ -91,10 +91,16 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
             elif s.kind == "rank":
                 # SQL RANK() OVER (PARTITION BY by ORDER BY src): ties
                 # share the min rank, gaps follow — value-determined, so
-                # deterministic even when src ties under the total order
-                out = g[s.src].rank(method="min").astype("int64")
+                # deterministic even when src ties under the total order.
+                # na_option="bottom": NULL src values rank after every
+                # non-null (ASC NULLS LAST, DuckDB/Postgres default) and
+                # tie with each other, instead of yielding NaN ranks that
+                # crash the int64 cast (round-3 ADVICE)
+                out = (g[s.src].rank(method="min", na_option="bottom")
+                       .astype("int64"))
             elif s.kind == "dense_rank":
-                out = g[s.src].rank(method="dense").astype("int64")
+                out = (g[s.src].rank(method="dense", na_option="bottom")
+                       .astype("int64"))
             elif s.kind == "ntile":
                 # SQL NTILE(k) over the window's TOTAL order (``order``):
                 # first n%k tiles get ceil(n/k) rows, the rest floor(n/k)

@@ -1653,3 +1653,152 @@ def test_incremental_dedup_cap_is_layout_independent(tmp_path):
         results.append(sorted(zip(got["old_id"], got["new_id"])))
     assert results[0] == results[1]
     assert results[0] == [(i, 100) for i in range(10)]  # smallest ids win
+
+
+# --- round-4 regressions (round-3 ADVICE + VERDICT #6) -----------------------
+
+def test_null_keys_survive_set_ops_and_grouped_reduces():
+    """SQL keeps NULL keys: UNION emits one NULL row, GROUP BY keeps a NULL
+    group. Round-3 ADVICE: the reduce-side pandas groupby's default
+    dropna=True silently dropped them after the exchange."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops import agg, setops
+
+    a = pd.DataFrame({"k": ["a", None, "b"]})
+    b = pd.DataFrame({"k": ["b", "c", None]})
+    u = setops.union_distinct(rd.from_pandas(a), rd.from_pandas(b),
+                              ["k"]).to_pandas()
+    want = duckdb.sql(
+        "SELECT k FROM a UNION SELECT k FROM b").df()
+    assert (sorted(u["k"].fillna("<NULL>")) == sorted(want["k"].fillna("<NULL>")))
+    i = setops.intersect_distinct(rd.from_pandas(a), rd.from_pandas(b),
+                                  ["k"]).to_pandas()
+    assert sorted(i["k"].fillna("<NULL>")) == ["<NULL>", "b"]
+    e = setops.except_distinct(rd.from_pandas(a), rd.from_pandas(b),
+                               ["k"]).to_pandas()
+    assert e["k"].tolist() == ["a"]
+
+    # grouped sum / count-distinct / discrete quantile / pivot
+    df = pd.DataFrame({"k": ["x", None, "x", None], "v": [1, 2, 3, 4]})
+    s = agg.bucketed_groupby(rd.from_pandas(df), ["k"],
+                             agg.sum_merge(["k"], ["v"])).to_pandas()
+    assert ({(r["k"], r["v"]) for _, r in s.iterrows()}
+            == {("x", 4), (None, 6)})
+    ncd = agg.grouped_count_distinct(
+        rd.from_pandas(pd.DataFrame({"k": ["x", None, None],
+                                     "v": [1, 2, 3]})), ["k"], "v").to_pandas()
+    assert len(ncd) == 2
+    assert int(ncd.loc[ncd["k"].isna(), "n_distinct"].iloc[0]) == 2
+    qd = agg.grouped_quantile_disc(
+        rd.from_pandas(pd.DataFrame({"k": [None, None, "y"],
+                                     "v": [10, 20, 5]})),
+        ["k"], "v", {"p50": 0.5}).to_pandas()
+    assert len(qd) == 2
+    assert int(qd.loc[qd["k"].isna(), "p50"].iloc[0]) == 10
+    pv = agg.pivot_count(
+        rd.from_pandas(pd.DataFrame({"k": ["u", None, None],
+                                     "p": ["a", "a", "b"]})),
+        ["k"], "p", ["a", "b"]).to_pandas()
+    assert len(pv) == 2
+    nullrow = pv.loc[pv["k"].isna()]
+    assert nullrow["a"].iloc[0] == 1 and nullrow["b"].iloc[0] == 1
+
+
+def test_window_rank_null_source_matches_duckdb():
+    """rank/dense_rank with NULL in the source column: NULLS LAST (DuckDB
+    default), int64 output — round-3 ADVICE fixed the NaN-rank crash."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec,
+        keyed_window,
+    )
+
+    df = pd.DataFrame({"k": ["g"] * 4 + ["h"] * 2,
+                       "o": [1, 2, 3, 4, 1, 2],
+                       "v": [5.0, np.nan, 5.0, 1.0, np.nan, 2.0]})
+    got = keyed_window(
+        rd.from_pandas(df), by="k", order=["o"],
+        specs=[WindowSpec("rnk", "rank", src="v"),
+               WindowSpec("drnk", "dense_rank", src="v")],
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT k, o,
+               CAST(rank() OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY k ORDER BY v) AS BIGINT)
+                 AS drnk
+        FROM df ORDER BY k, o""").df()
+    assert got["rnk"].tolist() == want["rnk"].tolist()
+    assert got["drnk"].tolist() == want["drnk"].tolist()
+    assert str(got["rnk"].dtype) == "int64"
+
+
+def test_left_outer_join_blocks_share_one_schema():
+    """Round-3 ADVICE: a bucket where one side is empty used to emit
+    all-None object columns that Arrow infers as null type, giving blocks
+    with conflicting schemas. Every non-empty output block must now carry
+    the declared types (string stays string, bool stays bool, nullable
+    int -> float64)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import hash_inner_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": list(range(40)),
+        "lv": [f"L{i}" for i in range(40)],
+        "lb": [True] * 40}))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": [0, 1], "rv": ["ra", "rb"], "ri": [10, 11],
+        "rb": [False, True]}))
+    for how in ("left", "outer"):
+        out = hash_inner_join(left, right, "k", how=how, buckets=16)
+        tabs = [ray.get(r) for r in out.to_arrow_refs()]
+        schemas = {str(t.schema.remove_metadata())
+                   for t in tabs if t.num_rows}
+        assert len(schemas) == 1, schemas
+        only = schemas.pop()
+        assert "rv: string" in only and "rb: bool" in only \
+            and "ri: double" in only
+        df = pd.concat([t.to_pandas() for t in tabs])
+        assert len(df) == 40
+        assert df["rv"].notna().sum() == 2
+
+
+def test_skew_aware_join_right_side_hot_key():
+    """VERDICT #6: hot-key detection is now symmetric — a key hot only on
+    the RIGHT side takes the mirrored broadcast plan and still matches the
+    plain hash join, with the canonical left-major column order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        hash_inner_join,
+        skew_aware_inner_join,
+    )
+
+    left = pd.DataFrame({"k": np.arange(100, dtype="int64"),
+                         "lv": np.arange(100, dtype="int64")})
+    right = pd.DataFrame({
+        "k": np.concatenate([np.full(5000, 7), np.arange(10)]).astype("int64"),
+        "rv": np.arange(5010, dtype="int64")})
+    got = skew_aware_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(4), "k",
+        hot_threshold=100).to_pandas()
+    want = hash_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(4), "k").to_pandas()
+    assert list(got.columns) == ["k", "lv", "rv"]
+    key = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
