@@ -24,18 +24,19 @@ import numpy as np
 import pyarrow as pa
 
 
-def _make_crc_table() -> np.ndarray:
+def _make_crc_table(poly: int = 0xEDB88320) -> np.ndarray:
     t = np.empty(256, dtype=np.uint32)
     for i in range(256):
         c = np.uint32(i)
         for _ in range(8):
-            c = (np.uint32(0xEDB88320) ^ (c >> np.uint32(1))
+            c = (np.uint32(poly) ^ (c >> np.uint32(1))
                  if c & np.uint32(1) else c >> np.uint32(1))
         t[i] = c
     return t
 
 
-_CRC_TABLE = _make_crc_table()
+_CRC_TABLE = _make_crc_table()                      # IEEE 802.3 (zlib)
+_CRC32C_TABLE = _make_crc_table(0x82F63B78)         # Castagnoli
 _VECTOR_MAX_LEN = 1024   # beyond this, per-row zlib (C) beats max_len passes
 
 
@@ -55,8 +56,7 @@ def _binary_view(col) -> pa.Array:
     return col
 
 
-def crc32_column(col) -> np.ndarray:
-    """``zlib.crc32`` of every value in a binary/string column as uint32."""
+def _crc_column(col, table: np.ndarray, scalar_fallback) -> np.ndarray:
     arr = _binary_view(col)
     n = len(arr)
     if n == 0:
@@ -72,7 +72,7 @@ def crc32_column(col) -> np.ndarray:
     if max_len > _VECTOR_MAX_LEN:
         db = data.tobytes()
         return np.fromiter(
-            (zlib.crc32(db[s:s + l]) for s, l in zip(starts, lens)),
+            (scalar_fallback(db[s:s + l]) for s, l in zip(starts, lens)),
             dtype=np.uint32, count=n)
 
     order = np.argsort(lens, kind="stable")
@@ -84,10 +84,31 @@ def crc32_column(col) -> np.ndarray:
             break
         b = data[sstarts[lo:] + j].astype(np.uint32)
         c = crc[lo:]
-        crc[lo:] = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> np.uint32(8))
+        crc[lo:] = table[(c ^ b) & 0xFF] ^ (c >> np.uint32(8))
     out = np.empty(n, dtype=np.uint32)
     out[order] = crc ^ np.uint32(0xFFFFFFFF)
     return out
+
+
+def crc32_column(col) -> np.ndarray:
+    """``zlib.crc32`` of every value in a binary/string column as uint32."""
+    return _crc_column(col, _CRC_TABLE, zlib.crc32)
+
+
+def _crc32c_scalar(b: bytes) -> int:
+    c = 0xFFFFFFFF
+    for byte in b:
+        c = int(_CRC32C_TABLE[(c ^ byte) & 0xFF]) ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def crc32c_column(col) -> np.ndarray:
+    """CRC-32C (Castagnoli) of every value — a second, coprime-polynomial
+    CRC. Concatenated with the IEEE crc32 it behaves like one 64-bit CRC
+    (a pair collides in both only when its XOR-difference is divisible by
+    BOTH generator polynomials), which is what the fast content hash
+    stacks with length into a 128-bit-shaped key."""
+    return _crc_column(col, _CRC32C_TABLE, _crc32c_scalar)
 
 
 def crc32_mod(col, modulus: int) -> np.ndarray:

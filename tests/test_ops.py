@@ -1802,3 +1802,50 @@ def test_skew_aware_join_right_side_hot_key():
     pd.testing.assert_frame_equal(
         got[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True))
+
+
+def test_fast_content_hash_and_crc32c():
+    """fast_content_hash_column: layout-independent, scheme lengths
+    disjoint (24-hex dual-CRC for short rows, 32-hex sha256 for long),
+    long rows byte-identical to sha256; crc32c matches the scalar
+    table-driven reference."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops import dedup
+    from ai_knowledgegraph_extractor_ray.ops.hashing import (
+        _CRC32C_TABLE,
+        crc32c_column,
+    )
+
+    big = "Z" * 5000
+    texts = ["aa", "bb", "aa", big, big, "cc", "", None, "d" * 64, "d" * 65]
+    df = pd.DataFrame({"doc_id": range(len(texts)),
+                       "text": pd.Series(texts, dtype=object)})
+    h1 = (dedup.fast_content_hash_column(rd.from_pandas(df).repartition(1))
+          .to_pandas().sort_values("doc_id")["content_hash"].tolist())
+    h4 = (dedup.fast_content_hash_column(rd.from_pandas(df).repartition(4))
+          .to_pandas().sort_values("doc_id")["content_hash"].tolist())
+    assert h1 == h4
+    assert h1[0] == h1[2] and h1[3] == h1[4]
+    assert len(h1[0]) == 24 and len(h1[8]) == 24     # <=64B: dual-CRC
+    assert len(h1[3]) == 32 and len(h1[9]) == 32     # >64B: sha256
+    assert h1[3] == hashlib.sha256(big.encode()).hexdigest()[:32]
+    assert h1[6] == h1[7]                            # None ≡ ""
+    assert len(set(h1)) == 7
+
+    # crc32c vs the byte-at-a-time scalar reference
+    def scalar(b: bytes) -> int:
+        c = 0xFFFFFFFF
+        for byte in b:
+            c = int(_CRC32C_TABLE[(c ^ byte) & 0xFF]) ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+    import pyarrow as pa
+    vals = [b"", b"a", b"123456789", b"hello world", bytes(range(256))]
+    got = crc32c_column(pa.array(vals, pa.binary())).tolist()
+    assert got == [scalar(v) for v in vals]
+    # known vector: crc32c("123456789") = 0xE3069283
+    assert got[2] == 0xE3069283
