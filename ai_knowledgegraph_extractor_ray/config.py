@@ -46,6 +46,17 @@ class KGConfig:
     # resume, fingerprints and point lookups share the layout.
     auto_split_skew: bool = False
     skew_split_threshold: float = 4.0
+    # Incremental cross-version update (round-3 VERDICT #2): when building
+    # version K, partitions whose CURRENT input fingerprint equals the one
+    # recorded by the latest prior committed version are LINKED (data files
+    # copied with the version column restamped — IO only, no re-assembly,
+    # no re-extraction) instead of recomputed. The reference's update
+    # endpoint re-extracts one document (main.py:202-285); at 10^12 turns
+    # re-running unchanged conversations for version K+1 wastes the
+    # cluster. Requires an identical partition layout (num_partitions +
+    # skew-split map) and extraction config between the versions; anything
+    # else recomputes. Only consulted when run_kg_job(resume=True).
+    reuse_prior_version: bool = True
     max_nodes_per_unit: int = 1000    # validation caps, reference services.py:143-149
     max_edges_per_unit: int = 2000
 

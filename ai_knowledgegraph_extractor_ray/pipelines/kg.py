@@ -114,6 +114,20 @@ def load_split_map(out_dir: str, version: int) -> dict[int, tuple[int, int]]:
         return {}
 
 
+def _config_sig(cfg: KGConfig) -> str:
+    """Partition-layout + extraction-config signature for cross-version
+    reuse. ``version_cutoff`` is deliberately ABSENT: it is the version's
+    definition, and its effect is already inside the input fingerprint
+    (fingerprints hash post-cutoff turns)."""
+    return f"P{cfg.num_partitions}:w{cfg.window_chars}:{cfg.backend}"
+
+
+def _latest_prior_version(out_dir: str, version: int) -> int | None:
+    prior = [m["version"] for m in list_versions(out_dir)
+             if m["version"] < version]
+    return max(prior) if prior else None
+
+
 def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                resume: bool = True, validate_input: bool = True) -> dict:
     """Execute the pipeline with per-partition commit; returns the job
@@ -149,7 +163,17 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
         # for an oversized partition is simply a higher P.
         split_map = load_split_map(out_dir, cfg.version) if resume else {}
         if not split_map:
-            split_map = _compute_split_map(transcripts, cfg)
+            prev_v = (_latest_prior_version(out_dir, cfg.version)
+                      if resume and cfg.reuse_prior_version else None)
+            if prev_v is not None:
+                # adopt the prior version's layout (even an empty one) so
+                # unchanged partitions stay linkable across versions —
+                # recomputing the map from drifted data would silently
+                # re-partition and defeat every fingerprint match; the
+                # cost of a stale map is balance, not correctness
+                split_map = load_split_map(out_dir, prev_v)
+            else:
+                split_map = _compute_split_map(transcripts, cfg)
             if split_map:
                 import json as _json
                 smp = _split_map_path(out_dir, cfg.version)
@@ -172,10 +196,71 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
             lineage.uncommit_partition(out_dir, cfg.version, pid)
             del committed[pid]
 
+    # incremental cross-version update: link the latest prior version's
+    # committed partitions whose input fingerprint is unchanged under the
+    # same layout/config — an IO-only copy with the version restamped, no
+    # re-assembly or re-extraction (round-3 VERDICT #2; the reference's
+    # update endpoint is likewise per-document, main.py:202-285)
+    own_resumed = len(committed)
+    linked: dict[int, dict] = {}
+    if resume and cfg.reuse_prior_version:
+        prev_v = _latest_prior_version(out_dir, cfg.version)
+        if prev_v is not None \
+                and load_split_map(out_dir, prev_v) == split_map:
+            sig = _config_sig(cfg)
+            prevs = lineage.committed_partitions(out_dir, prev_v)
+            cand = {pid: m for pid, m in prevs.items()
+                    if pid not in committed
+                    and m.get("config_sig") == sig}
+            if cand:
+                import ray
+
+                from ..stages.conversation import partition_fingerprints
+                cur_fps = partition_fingerprints(
+                    add_partition_id(transcripts, cfg.num_partitions,
+                                     split_map=split_map),
+                    version_cutoff=cfg.version_cutoff, only=set(cand))
+                from ..stages.extract import edge_id_of
+                new_v = cfg.version
+
+                def _remint(c, s, p, o):
+                    return edge_id_of(c, new_v, s, p, o)
+
+                link = ray.remote(lineage.link_partition)
+                refs = [link.remote(out_dir, prev_v, cfg.version, pid, m,
+                                    edge_id_fn=_remint)
+                        for pid, m in cand.items()
+                        if lineage.validate_manifest(m, cur_fps.get(pid, ""))]
+                for m in ray.get(refs):     # <= P tiny manifests
+                    linked[int(m["partition_id"])] = m
+                committed.update(linked)
+
     if cfg.backend == "rules":
         from ..ops.exchange import hash_exchange
 
         extractor = Extractor(cfg)
+
+        # committed/linked partitions' rows never need to enter the
+        # exchange: prefilter them out so the map wave stamps/sorts/ships
+        # only the uncommitted remainder (``skip`` alone only suppresses
+        # reduces — the map cost over skipped rows was pure waste on a
+        # mostly-committed resume or an incremental version build)
+        if committed:
+            from ..ops.hashing import crc32_column, effective_pids
+            skip_arr = np.array(sorted(committed), dtype=np.int64)
+
+            def drop_committed_rows(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return t
+                pids = effective_pids(crc32_column(t["conv_id"]),
+                                      cfg.num_partitions, split_map or None)
+                keep = ~np.isin(pids, skip_arr)
+                if keep.all():
+                    return t
+                return t.filter(pa.array(keep))
+
+            transcripts = transcripts.map_batches(
+                drop_committed_rows, batch_format="pyarrow")
 
         def reduce_fn(pid: int, tbl: pa.Table):
             import time as _time
@@ -192,7 +277,8 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
                 rows = renumber_conversation_windows(rows)
             return lineage.write_partition(
                 rows, out_dir, cfg.version, input_bytes=tbl.nbytes,
-                started_at=t_start).to_dict("records")[0]
+                started_at=t_start,
+                config_sig=_config_sig(cfg)).to_dict("records")[0]
 
         if cfg.num_partitions > 1024:
             # very large P: two-level exchange keeps driver refs at
@@ -217,7 +303,8 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
             if cfg.window_chars > 0:
                 from ..stages.extract import renumber_conversation_windows
                 df = renumber_conversation_windows(df)
-            return lineage.write_partition(df, out_dir, cfg.version)
+            return lineage.write_partition(df, out_dir, cfg.version,
+                                           config_sig=_config_sig(cfg))
 
         manifests = graph_rows.groupby("partition_id").map_groups(
             write, batch_format="pandas")
@@ -246,7 +333,8 @@ def run_kg_job(transcripts: rd.Dataset, cfg: KGConfig, out_dir: str,
     summary = {
         "version": cfg.version,
         "partitions_total": len(all_manifests),
-        "partitions_resumed": len(committed),
+        "partitions_resumed": own_resumed,
+        "partitions_linked": len(linked),
         "partitions_computed": len(fresh),
         "n_conversations": int(sum(m["n_conversations"] for m in all_manifests)),
         "n_turns": int(sum(m["n_turns"] for m in all_manifests)),

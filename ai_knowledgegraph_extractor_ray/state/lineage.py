@@ -63,7 +63,8 @@ CONV_COLS = ["conv_id", "window_id", "n_turns", "version", "backend"]
 
 def write_partition(group: pd.DataFrame, out_dir: str, version: int,
                     input_bytes: int = 0,
-                    started_at: float | None = None) -> pd.DataFrame:
+                    started_at: float | None = None,
+                    config_sig: str = "") -> pd.DataFrame:
     """Commit one partition's graph rows. Runs inside the partition's
     reduce task, returning the manifest as a one-row DataFrame so the
     manifests themselves form a small Dataset the driver can aggregate.
@@ -94,6 +95,11 @@ def write_partition(group: pd.DataFrame, out_dir: str, version: int,
         "n_edges": int(len(edges)),
         "input_bytes": int(input_bytes),
         "wall_time_s": round(time.perf_counter() - t0, 4),
+        # partition-layout + extraction-config signature: cross-version
+        # reuse links a partition only when this matches (same
+        # num_partitions / window_chars / backend — a fingerprint match
+        # under a different layout or extractor would be meaningless)
+        "config_sig": config_sig,
     }
     mpath = manifest_path(out_dir, version, pid)
     mpath.parent.mkdir(parents=True, exist_ok=True)
@@ -120,6 +126,48 @@ def validate_manifest(manifest: dict, fingerprint: str) -> bool:
     """True iff a committed partition's recorded input fingerprint matches a
     freshly computed one (resume-on-changed-input detection)."""
     return manifest.get("input_fingerprint") == fingerprint
+
+
+def link_partition(out_dir: str, prev_version: int, new_version: int,
+                   pid: int, manifest: dict, edge_id_fn=None) -> dict:
+    """Cross-version partition reuse: copy a prior version's committed
+    data files into the new version with the ``version`` column restamped
+    (pure IO — no assembly, no extraction, no shuffle), then commit a
+    manifest carrying the input fingerprint and counts forward plus
+    ``linked_from_version`` for provenance. The caller has already
+    verified the new version's input fingerprint for this partition
+    equals ``manifest['input_fingerprint']`` under the same layout/config.
+
+    Write order matches ``write_partition``: data first, manifest last
+    (the commit point), so a crash mid-link leaves an uncommitted
+    partition the rerun overwrites."""
+    t0 = time.perf_counter()
+    src = partition_dir(out_dir, prev_version, pid)
+    dst = partition_dir(out_dir, new_version, pid)
+    dst.mkdir(parents=True, exist_ok=True)
+    for name in ("nodes.parquet", "edges.parquet", "convs.parquet"):
+        df = pd.read_parquet(src / name)
+        if "version" in df.columns:
+            df["version"] = np.full(len(df), new_version,
+                                    dtype=df["version"].dtype)
+        if name == "edges.parquet" and edge_id_fn is not None and len(df):
+            # edge ids embed the version (extract.edge_id_of), so a linked
+            # partition re-mints them for the new version — a pure string
+            # hash over already-extracted rows, still no re-extraction
+            df["edge_id"] = [
+                edge_id_fn(c, s, p, o) for c, s, p, o in
+                zip(df["conv_id"], df["subj"], df["pred"], df["obj"])]
+        df.to_parquet(dst / name, index=False)
+    m = dict(manifest)
+    m["version"] = new_version
+    m["linked_from_version"] = prev_version
+    m["wall_time_s"] = round(time.perf_counter() - t0, 4)
+    mpath = manifest_path(out_dir, new_version, pid)
+    mpath.parent.mkdir(parents=True, exist_ok=True)
+    tmp = mpath.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(m))
+    tmp.replace(mpath)
+    return m
 
 
 def uncommit_partition(out_dir: str, version: int, pid: int) -> None:

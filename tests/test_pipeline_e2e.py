@@ -363,3 +363,65 @@ def test_auto_split_skew_rebalances_partitions(tmp_path):
                        resume=True)
     assert s3["partitions_resumed"] == s2["partitions_total"]
     assert s3["partitions_computed"] == 0
+
+
+def test_incremental_cross_version_links_unchanged_partitions(tmp_path):
+    """Round-4 incremental update: building version 2 over a corpus where
+    only a few conversations changed re-extracts ONLY the touched
+    partitions; every other partition is linked from version 1 (IO copy,
+    fingerprint carried forward) and the final output is byte-equal to a
+    from-scratch version-2 run."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "kg")
+    cfg1 = KGConfig(num_partitions=8, extract_concurrency=2, version=1)
+    base = src.synthetic_transcripts_table(n_convs=60, seed=42)
+    p1 = tmp_path / "v1.parquet"
+    pq.write_table(base, p1)
+    kg.run_kg_job(src.read_transcripts(str(p1)), cfg1, out, resume=False)
+
+    # v2 corpus: ONE conversation's text changes
+    df = base.to_pandas()
+    touched_conv = df["conv_id"].iloc[0]
+    mask = df["conv_id"] == touched_conv
+    df.loc[mask, "text"] = df.loc[mask, "text"] + " CHANGED"
+    p2 = tmp_path / "v2.parquet"
+    df.to_parquet(p2, index=False)
+
+    cfg2 = KGConfig(num_partitions=8, extract_concurrency=2, version=2)
+    s2 = kg.run_kg_job(src.read_transcripts(str(p2)), cfg2, out)
+    from ai_knowledgegraph_extractor_ray.stages.conversation import partition_of
+    touched_pid = partition_of(touched_conv, 8)
+    assert s2["partitions_computed"] >= 1
+    assert s2["partitions_linked"] == s2["partitions_total"] - s2["partitions_computed"]
+    assert s2["partitions_linked"] > 0
+    # linked manifests carry provenance; the touched partition was computed
+    from ai_knowledgegraph_extractor_ray.state import lineage
+    ms = lineage.committed_partitions(out, 2)
+    assert "linked_from_version" not in ms[touched_pid]
+    linked_ms = [m for m in ms.values() if m.get("linked_from_version") == 1]
+    assert len(linked_ms) == s2["partitions_linked"]
+
+    # ground truth: from-scratch version-2 run over the same corpus
+    out_ref = str(tmp_path / "kg_ref")
+    kg.run_kg_job(src.read_transcripts(str(p2)), cfg2, out_ref, resume=False)
+    for reader in (kg.read_nodes, kg.read_edges):
+        got = reader(out, 2).to_pandas()
+        want = reader(out_ref, 2).to_pandas()
+        key = list(got.columns)
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            want.sort_values(key).reset_index(drop=True))
+    # version column restamped in linked partitions
+    assert (kg.read_nodes(out, 2).to_pandas()["version"] == 2).all()
+
+    # config change (different window_chars) must NOT link
+    out3 = str(tmp_path / "kg3")
+    kg.run_kg_job(src.read_transcripts(str(p1)),
+                  KGConfig(num_partitions=8, extract_concurrency=2,
+                           version=1), out3, resume=False)
+    s3 = kg.run_kg_job(
+        src.read_transcripts(str(p1)),
+        KGConfig(num_partitions=8, extract_concurrency=2, version=2,
+                 window_chars=2000), out3)
+    assert s3["partitions_linked"] == 0
