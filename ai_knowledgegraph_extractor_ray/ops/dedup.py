@@ -518,10 +518,14 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, threshold: float = 0.5,
                                    num_perm=kw.pop("num_perm", 128), **kw)
 
 
+_DRIVER_PAIRS_MAX = 5_000_000   # auto mode: pairs above this take ops/cc.py
+
+
 def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
                        id_col: str = "doc_id",
-                       cluster_mode: str = "driver",
-                       score_col: str | None = None) -> rd.Dataset:
+                       cluster_mode: str = "auto",
+                       score_col: str | None = None,
+                       driver_pairs_max: int = _DRIVER_PAIRS_MAX) -> rd.Dataset:
     """Shared cluster-resolution + survivor filter behind every near-dedup
     flavor: cluster the (id_a, id_b) pair Dataset, keep one survivor per
     cluster, drop the rest with a broadcast anti-join. The survivor is the
@@ -530,14 +534,24 @@ def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
     quality), the policy real training pipelines want; member scores are
     gathered in one pruned corpus scan (duplicate-scale collect).
 
-    ``cluster_mode="driver"`` (default): union-find over the collected pair
-    list — assumes verified near-dup PAIRS fit in driver memory (they are
-    duplicates; a corpus that is mostly duplicates should be exact-deduped
-    first). ``cluster_mode="distributed"``: min-label-propagation connected
-    components with the pair stream kept distributed (ops/cc.py) — the
-    100 TB path when the pair list itself is large. The drop list is
-    duplicate-sized either way."""
+    ``cluster_mode="auto"`` (default, round-3 VERDICT #5): counts the
+    verified pairs and picks the path — driver union-find below
+    ``driver_pairs_max``, distributed components above it, so callers no
+    longer need to know their duplicate volume up front. Explicit
+    ``"driver"`` (union-find over the collected pair list — assumes the
+    PAIRS fit driver memory; they are duplicates, and a corpus that is
+    mostly duplicates should be exact-deduped first) and
+    ``"distributed"`` (min-label-propagation connected components with
+    the pair stream kept distributed, ops/cc.py — the 100 TB path)
+    remain available. The drop list is duplicate-sized either way."""
     import ray
+
+    if cluster_mode == "auto":
+        # count executes the (usually lazy) pair pipeline; materialize so
+        # the chosen path does not re-run LSH verification a second time
+        pairs_ds = pairs_ds.materialize()
+        cluster_mode = ("distributed"
+                        if pairs_ds.count() > driver_pairs_max else "driver")
 
     # ds is re-scanned by the keep filter (cheap for parquet inputs; pass
     # a materialized dataset when the upstream is an expensive pipeline)
@@ -598,7 +612,7 @@ def drop_pair_clusters(ds: rd.Dataset, pairs_ds: rd.Dataset, *,
 
 def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.8,
-                       cluster_mode: str = "driver",
+                       cluster_mode: str = "auto",
                        score_col: str | None = None, **kw) -> rd.Dataset:
     """Drop MinHash-near-duplicates (see drop_pair_clusters)."""
     pairs_ds = minhash_candidate_pairs(ds, text_col=text_col, id_col=id_col,
@@ -609,7 +623,7 @@ def near_dedup_minhash(ds: rd.Dataset, *, text_col: str = "text",
 
 def near_dedup_simhash(ds: rd.Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       cluster_mode: str = "driver", **kw) -> rd.Dataset:
+                       cluster_mode: str = "auto", **kw) -> rd.Dataset:
     """Drop SimHash-near-duplicates (Hamming <= max_hamming)."""
     pairs_ds = simhash_near_pairs(ds, text_col=text_col, id_col=id_col,
                                   max_hamming=max_hamming, **kw)
@@ -619,7 +633,7 @@ def near_dedup_simhash(ds: rd.Dataset, *, text_col: str = "text",
 
 def near_dedup_embedding(ds: rd.Dataset, *, id_col: str = "vec_id",
                          vec_col: str = "embedding", threshold: float = 0.9,
-                         cluster_mode: str = "driver", **kw) -> rd.Dataset:
+                         cluster_mode: str = "auto", **kw) -> rd.Dataset:
     """Drop embedding-cosine near-duplicates (cosine >= threshold)."""
     pairs_ds = embedding_near_pairs(ds, id_col=id_col, vec_col=vec_col,
                                     threshold=threshold, **kw)

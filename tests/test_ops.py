@@ -1849,3 +1849,43 @@ def test_fast_content_hash_and_crc32c():
     assert got == [scalar(v) for v in vals]
     # known vector: crc32c("123456789") = 0xE3069283
     assert got[2] == 0xE3069283
+
+
+def test_drop_pair_clusters_auto_selects_distributed():
+    """VERDICT r3 #5: cluster_mode='auto' takes the distributed CC path
+    when pairs exceed the budget, with survivors identical to the driver
+    union-find on a planted multi-cluster corpus."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops import dedup
+
+    # 3 planted clusters x 30 members + 60 singletons
+    texts, ids = [], []
+    for c in range(3):
+        base = f"cluster {c} " + " ".join(f"w{c}{i}" for i in range(30))
+        for m in range(30):
+            ids.append(c * 100 + m)
+            texts.append(base + f" tail{m}")
+    for s in range(60):
+        ids.append(1000 + s)
+        texts.append(f"singleton {s} " + " ".join(
+            f"u{s}{i}" for i in range(20)))
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "text": pd.Series(texts, dtype="string")})).repartition(4)
+
+    def survivors(**kw):
+        out = dedup.near_dedup_minhash(ds, threshold=0.5, **kw).to_pandas()
+        return sorted(out["doc_id"].tolist())
+
+    drv = survivors(cluster_mode="driver")
+    dist = survivors(cluster_mode="distributed")
+    assert drv == dist
+    # auto with a zero budget must take the distributed path (pairs > 0)
+    pairs = dedup.minhash_candidate_pairs(ds, threshold=0.5)
+    auto_forced = dedup.drop_pair_clusters(
+        ds, pairs, cluster_mode="auto", driver_pairs_max=0).to_pandas()
+    assert sorted(auto_forced["doc_id"].tolist()) == drv
+    # plain auto (default budget) matches too
+    assert survivors() == drv
