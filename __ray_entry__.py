@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_edges": q.q_canonical_edges,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
+        # round-4 additions (composite-key join, percent_rank/cume_dist)
+        "join_multi": q.q_join_multi,
+        "events_pctrank": q.q_events_pctrank,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -782,6 +785,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars FROM documents d
             WHERE d.doc_id % 97 <> 0
               AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "join_multi": """
+            WITH agg AS (
+              SELECT user_id, event_type,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM events GROUP BY user_id, event_type)
+            SELECT e.event_id, e.user_id, e.event_type, a.cnt, a.cents
+            FROM events e JOIN agg a USING (user_id, event_type)
+        """,
+        "events_pctrank": """
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY cents)
         """,
         "events_hourly": """
             SELECT user_id,

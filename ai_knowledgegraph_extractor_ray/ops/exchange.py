@@ -117,6 +117,26 @@ def _exchange_map_counted(block_refs, key: str, num_partitions: int):
 
 
 @ray.remote
+def _exchange_map_sized(block_refs, key: str, num_partitions: int,
+                        split_map: dict | None = None):
+    """_exchange_map plus a per-partition BYTE-size vector as the LAST
+    return — the driver uses the folded sizes to (a) skip empty
+    partitions without submitting a task and (b) submit reduces
+    largest-first (LPT packing), which shrinks the reduce-wave tail when
+    partition costs are uneven."""
+    from .hashing import effective_num_partitions
+    n_eff = effective_num_partitions(num_partitions, split_map)
+    tbl, cuts = _split_by_pid(block_refs, key, num_partitions, split_map)
+    slices = tuple(tbl.slice(int(cuts[i]), int(cuts[i + 1] - cuts[i]))
+                   for i in range(n_eff))
+    rows = np.diff(cuts).astype(np.int64)
+    nb = np.array([s.nbytes for s in slices], dtype=np.int64)
+    # nonzero rows always report >= 1 byte so the driver's empty-skip
+    # keys off row presence, not Arrow buffer accounting edge cases
+    return (*slices, np.where(rows > 0, np.maximum(nb, 1), 0))
+
+
+@ray.remote
 def _exchange_reduce(reduce_fn, pid: int, *parts):
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -141,19 +161,26 @@ def hash_exchange(ds: rd.Dataset, num_partitions: int,
     mitigation: rows of an oversized base partition are re-hashed across
     ``n_subsplits`` effective partitions ``num_partitions + offset + j``
     (``hashing.effective_pids``), each its own parallel reduce — whole keys
-    stay together, only the partition fans out."""
+    stay together, only the partition fans out.
+
+    Reduce scheduling (round 4): maps also return a per-partition byte
+    vector; the driver folds it (tiny — n_eff ints per map, available the
+    moment the maps finish, which is when reduces could first run anyway)
+    and submits reduces LARGEST-FIRST (longest-processing-time packing —
+    the classic 4/3-bound on the makespan tail vs arbitrary order), and
+    EMPTY partitions never get a task at all."""
     from .hashing import effective_num_partitions
     n_eff = effective_num_partitions(num_partitions, split_map)
     refs_per_pid: list[list] = [[] for _ in range(n_eff)]
+    size_refs: list = []
     pending: list = []
 
     def launch(blocks) -> None:
-        outs = _exchange_map.options(num_returns=n_eff).remote(
+        outs = _exchange_map_sized.options(num_returns=n_eff + 1).remote(
             blocks, key, num_partitions, split_map)
-        if n_eff == 1:
-            outs = [outs]
-        for p, r in enumerate(outs):
+        for p, r in enumerate(outs[:n_eff]):
             refs_per_pid[p].append(r)
+        size_refs.append(outs[n_eff])
 
     for bundle in ds.iter_internal_ref_bundles():
         for blk in bundle.block_refs:
@@ -164,9 +191,15 @@ def hash_exchange(ds: rd.Dataset, num_partitions: int,
     if pending:
         launch(pending)
 
+    sizes = (np.sum(ray.get(size_refs), axis=0) if size_refs
+             else np.zeros(n_eff, dtype=np.int64))
+    order = np.argsort(-sizes, kind="stable")
+    pids = [int(p) for p in order if int(p) not in skip and sizes[p] > 0]
     futures = [_exchange_reduce.remote(reduce_fn, p, *refs_per_pid[p])
-               for p in range(n_eff) if p not in skip]
-    return [r for r in ray.get(futures) if r is not None]
+               for p in pids]
+    results = dict(zip(pids, ray.get(futures)))
+    return [results[p] for p in sorted(results)
+            if results[p] is not None]
 
 
 @ray.remote

@@ -138,14 +138,16 @@ def broadcast_inner_join(left: rd.Dataset, right: rd.Dataset | pd.DataFrame,
 
 
 def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
-                    on: str, *, buckets: int | None = None,
+                    on: str | list[str], *, buckets: int | None = None,
                     how: str = "inner") -> rd.Dataset:
     """Large-large equi-join: both sides tagged and co-bucketed on
     ``crc32(on) % buckets`` (ONE shuffle), then each bucket runs a single
     vectorized ``pandas.merge`` over all its keys — same physical shape as
     the as-of join. Buckets auto-size with input bytes. Skewed join keys
     concentrate in one bucket (inherent to any hash join); pre-aggregate
-    or broadcast the small side for those.
+    or broadcast the small side for those. ``on`` may be a COMPOSITE key
+    (list of columns): the exchange stamps one collision-proof composite
+    bucket key and the merge equi-joins on the full tuple.
 
     ``how="left"`` keeps unmatched left rows (LEFT OUTER JOIN) — correct
     under the co-bucketing because a left key with no right rows anywhere
@@ -162,9 +164,10 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
 
     if how not in ("inner", "left", "outer"):
         raise ValueError(f"how={how!r}: expected 'inner', 'left' or 'outer'")
+    keys = [on] if isinstance(on, str) else list(on)
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
-    overlap = (set(l_cols) & set(r_cols)) - {on}
+    overlap = (set(l_cols) & set(r_cols)) - set(keys)
     if overlap:
         raise ValueError(
             f"hash_inner_join: non-key columns {sorted(overlap)} exist on "
@@ -185,9 +188,11 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
             .union(right.map_batches(tag(1), batch_format="pandas")))
 
     r_value_ints = [c for c in r_cols
-                    if c != on and getattr(r_dtypes[c], "kind", "") in "iu"]
+                    if c not in keys
+                    and getattr(r_dtypes[c], "kind", "") in "iu"]
     l_value_ints = [c for c in l_cols
-                    if c != on and getattr(l_dtypes[c], "kind", "") in "iu"]
+                    if c not in keys
+                    and getattr(l_dtypes[c], "kind", "") in "iu"]
     nullable_ints = {"left": r_value_ints,
                      "outer": r_value_ints + l_value_ints}.get(how, [])
 
@@ -200,12 +205,12 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
     def merge(df: pd.DataFrame):
         l = _side_frame(df, 0, l_cols, l_dtypes)
         r = _side_frame(df, 1, r_cols, r_dtypes)
-        out = l.merge(r, on=on, how=how)
+        out = l.merge(r, on=keys, how=how)
         for c in nullable_ints:
             out[c] = out[c].astype("float64")
         return _cast_null_cols(out, want)
 
-    return bucketed_groupby(both, [on], merge, buckets=buckets)
+    return bucketed_groupby(both, keys, merge, buckets=buckets)
 
 
 def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
@@ -335,13 +340,14 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, *,
     return bucketed_groupby(both, [by], merge, buckets=buckets)
 
 
-def hash_semi_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
-                   anti: bool = False,
+def hash_semi_join(left: rd.Dataset, right: rd.Dataset,
+                   on: str | list[str], *, anti: bool = False,
                    buckets: int | None = None) -> rd.Dataset:
     """Semi join (``anti=False``): left rows whose ``on`` key appears in
     ``right`` — SQL's ``WHERE key IN (SELECT key FROM right)``. Anti join
-    (``anti=True``): left rows whose key does NOT appear. Output keeps the
-    left schema exactly; right rows never appear in the output.
+    (``anti=True``): left rows whose key does NOT appear. ``on`` may be a
+    composite key (list of columns). Output keeps the left schema
+    exactly; right rows never appear in the output.
 
     Scale shape: the right side is projected to its key column and
     per-block deduplicated BEFORE the shuffle (a membership check needs
@@ -350,32 +356,40 @@ def hash_semi_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     one co-bucketed exchange. For a right side small enough to collect,
     prefer the zero-shuffle broadcast form (``decontaminate``-style
     ``ray.put`` + ``isin`` inside ``map_batches``)."""
+    keys = [on] if isinstance(on, str) else list(on)
     l_cols = list(left.schema().names)
     if "_side" in l_cols:
         raise ValueError("input already carries the join's internal "
                          "'_side' column")
     l_dtypes = _pandas_dtypes_of(left.schema())
     r_dtypes = _pandas_dtypes_of(right.schema())
-    if on not in r_dtypes:
-        raise ValueError(f"hash_semi_join: key {on!r} missing from right")
+    missing = [k for k in keys if k not in r_dtypes]
+    if missing:
+        raise ValueError(f"hash_semi_join: key(s) {missing} missing "
+                         "from right")
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_side=np.int8(0))
 
     def slim_right(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({on: df[on].unique()}).assign(_side=np.int8(1))
+        return df[keys].drop_duplicates().assign(_side=np.int8(1))
 
     both = (left.map_batches(tag_left, batch_format="pandas")
-            .union(right.select_columns([on])
+            .union(right.select_columns(keys)
                    .map_batches(slim_right, batch_format="pandas")))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = _side_frame(df, 0, l_cols, l_dtypes)
-        r = _side_frame(df, 1, [on], {on: r_dtypes[on]})
-        mask = l[on].isin(r[on].unique())
+        r = _side_frame(df, 1, keys, {k: r_dtypes[k] for k in keys})
+        if len(keys) == 1:
+            mask = l[keys[0]].isin(r[keys[0]].unique())
+        else:
+            hit = l[keys].merge(r.drop_duplicates(), on=keys,
+                                how="left", indicator=True)
+            mask = (hit["_merge"] == "both").to_numpy()
         return l[~mask if anti else mask]
 
-    return bucketed_groupby(both, [on], merge, buckets=buckets)
+    return bucketed_groupby(both, keys, merge, buckets=buckets)
 
 
 def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,

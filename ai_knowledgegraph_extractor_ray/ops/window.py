@@ -37,7 +37,7 @@ import ray.data as rd
 from .agg import bucketed_groupby
 
 _KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum",
-          "rank", "dense_rank", "ntile"}
+          "rank", "dense_rank", "ntile", "percent_rank", "cume_dist"}
 
 
 @dataclass(frozen=True)
@@ -101,6 +101,15 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
             elif s.kind == "dense_rank":
                 out = (g[s.src].rank(method="dense", na_option="bottom")
                        .astype("int64"))
+            elif s.kind == "percent_rank":
+                # SQL PERCENT_RANK() = (rank - 1) / (n - 1), 0 for n == 1
+                rk = g[s.src].rank(method="min", na_option="bottom")
+                nn = g[by].transform("size")
+                out = (rk - 1) / (nn - 1).clip(lower=1)
+            elif s.kind == "cume_dist":
+                # SQL CUME_DIST() = rows with value <= current / n
+                rk = g[s.src].rank(method="max", na_option="bottom")
+                out = rk / g[by].transform("size")
             elif s.kind == "ntile":
                 # SQL NTILE(k) over the window's TOTAL order (``order``):
                 # first n%k tiles get ceil(n/k) rows, the rest floor(n/k)

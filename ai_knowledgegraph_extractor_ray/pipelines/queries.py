@@ -1362,3 +1362,59 @@ def q_pii_redact(sf_dir: str) -> rd.Dataset:
     out = text_ops.redact_pii(docs.map_batches(plant, batch_format="pyarrow"))
     return out.select_columns(["doc_id", "text_redacted", "n_email",
                                "n_ipv4", "n_ssn", "n_phone"])
+
+
+def q_join_multi(sf_dir: str) -> rd.Dataset:
+    """COMPOSITE-KEY equi-join (round 4): events joined back to their own
+    per-(user_id, event_type) aggregate on the two-column key — exercises
+    hash_inner_join's multi-column path (one collision-proof composite-key
+    shuffle; the aggregate itself is the usual per-block partial +
+    bucketed merge)."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_inner_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "user_id": df["user_id"], "event_type": df["event_type"],
+            "cnt": np.ones(len(df), dtype=np.int64),
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        }).groupby(["user_id", "event_type"], as_index=False, sort=False)
+            .sum())
+
+    agg = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id", "event_type"],
+        sum_merge(["user_id", "event_type"], ["cnt", "cents"]))
+    left = ev.select_columns(["event_id", "user_id", "event_type"])
+    out = hash_inner_join(left, agg, on=["user_id", "event_type"])
+    return out.select_columns(["event_id", "user_id", "event_type",
+                               "cnt", "cents"])
+
+
+def q_events_pctrank(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK / CUME_DIST window functions per user over cents
+    (round 4) — same single keyed_window shuffle as q_events_rank; the
+    rational ranks divide identically in IEEE float64 on both engines."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    w = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["cents", "event_id"],
+        specs=[
+            WindowSpec("pr", "percent_rank", src="cents"),
+            WindowSpec("cd", "cume_dist", src="cents"),
+        ])
+    return w.select_columns(["event_id", "user_id", "pr", "cd"])

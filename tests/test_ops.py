@@ -1889,3 +1889,81 @@ def test_drop_pair_clusters_auto_selects_distributed():
     assert sorted(auto_forced["doc_id"].tolist()) == drv
     # plain auto (default budget) matches too
     assert survivors() == drv
+
+
+def test_composite_key_join_and_semi_match_duckdb():
+    """Round-4: multi-column equi-join keys in hash_inner_join and
+    hash_semi_join (composite bucket key, tuple merge)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        hash_inner_join,
+        hash_semi_join,
+    )
+
+    rng = np.random.RandomState(4)
+    left = pd.DataFrame({
+        "a": rng.randint(0, 10, 200).astype("int64"),
+        "b": rng.choice(["x", "y", "z"], 200),
+        "lv": np.arange(200, dtype="int64")})
+    right = pd.DataFrame({
+        "a": rng.randint(0, 12, 60).astype("int64"),
+        "b": rng.choice(["x", "y", "w"], 60),
+        "rv": np.arange(60, dtype="int64")})
+    right = right.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+    ldf, rdf = left, right
+    got = hash_inner_join(rd.from_pandas(left).repartition(3),
+                          rd.from_pandas(right).repartition(2),
+                          on=["a", "b"], buckets=8).to_pandas()
+    want = duckdb.sql("SELECT l.a, l.b, l.lv, r.rv FROM ldf l "
+                      "JOIN rdf r USING (a, b)").df()
+    key = ["a", "b", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True),
+        check_dtype=False)
+
+    semi = hash_semi_join(rd.from_pandas(left).repartition(3),
+                          rd.from_pandas(right).repartition(2),
+                          on=["a", "b"], buckets=8).to_pandas()
+    want_s = duckdb.sql("SELECT * FROM ldf l WHERE EXISTS (SELECT 1 "
+                        "FROM rdf r WHERE r.a = l.a AND r.b = l.b)").df()
+    assert sorted(semi["lv"]) == sorted(want_s["lv"])
+    anti = hash_semi_join(rd.from_pandas(left).repartition(3),
+                          rd.from_pandas(right).repartition(2),
+                          on=["a", "b"], anti=True, buckets=8).to_pandas()
+    assert sorted(anti["lv"]) + sorted(semi["lv"]) and \
+        len(anti) + len(semi) == len(left)
+
+
+def test_window_percent_rank_cume_dist_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec,
+        keyed_window,
+    )
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "k": rng.choice(["g", "h", "i"], 120),
+        "o": np.arange(120, dtype="int64"),
+        "v": rng.randint(0, 7, 120).astype("int64")})
+    got = keyed_window(
+        rd.from_pandas(df).repartition(3), by="k", order=["o"],
+        specs=[WindowSpec("pr", "percent_rank", src="v"),
+               WindowSpec("cd", "cume_dist", src="v")],
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT k, o, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY v)
+        ORDER BY k, o""").df()
+    assert np.allclose(got["pr"], want["pr"])
+    assert np.allclose(got["cd"], want["cd"])
