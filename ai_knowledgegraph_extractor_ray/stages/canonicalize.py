@@ -546,12 +546,16 @@ def canonical_nodes_table(alias: rd.Dataset | pd.DataFrame):
         out["n_aliases"] = 1
         return _arrow_out(out[cols])
 
-    def clustered_only(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["is_clustered"]]
+    def clustered_only(t):
+        # Arrow in/out: a pandas filter here returned empty object-dtype
+        # blocks that Ray's size estimator warns on ("vectorize on size 0
+        # inputs") — Arrow empties carry their schema silently
+        import pyarrow.compute as pc
+        return t.filter(pc.fill_null(t["is_clustered"], False))
 
     un = alias.map_batches(unclustered_nodes, batch_format="pandas")
     cl_df = alias.map_batches(clustered_only,
-                              batch_format="pandas").to_pandas()
+                              batch_format="pyarrow").to_pandas()
     if len(cl_df) == 0:
         return un
     # pair-bounded, same driver-side justification as the alias build
