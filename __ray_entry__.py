@@ -89,9 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_edges": q.q_canonical_edges,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
-        # round-4 additions (composite-key join, percent_rank/cume_dist)
+        # round-4 additions (composite-key join, percent_rank/cume_dist,
+        # forward as-of direction)
         "join_multi": q.q_join_multi,
         "events_pctrank": q.q_events_pctrank,
+        "events_asof_fwd": q.q_events_asof_fwd,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -785,6 +787,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars FROM documents d
             WHERE d.doc_id % 97 <> 0
               AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "events_asof_fwd": """
+            SELECT c.event_id, c.user_id,
+                   CAST(coalesce(round(e.value * 100), -1) AS BIGINT)
+                     AS next_error_cents
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON c.user_id = e.user_id AND c.ts <= e.ts
         """,
         "join_multi": """
             WITH agg AS (

@@ -213,11 +213,21 @@ def hash_inner_join(left: rd.Dataset, right: rd.Dataset,
     return bucketed_groupby(both, keys, merge, buckets=buckets)
 
 
-def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
-                       on: str, by: str, value_cols: list[str],
-                       buckets: int | None = None) -> rd.Dataset:
-    """Backward as-of join. Returns the left rows with ``value_cols`` from
-    the matched right row appended (NaN/None where no right row precedes)."""
+def asof_join(left: rd.Dataset, right: rd.Dataset, *,
+              on: str, by: str, value_cols: list[str],
+              direction: str = "backward",
+              buckets: int | None = None) -> rd.Dataset:
+    """As-of join in any pandas ``merge_asof`` direction: ``backward``
+    (most recent right row with ``right.on <= left.on`` — the SQL ASOF
+    default), ``forward`` (earliest right row with ``right.on >=
+    left.on``), or ``nearest`` (closest in either direction; ties break
+    backward like pandas — no SQL equivalent, rows-only checkable).
+    Returns the left rows with ``value_cols`` from the matched right row
+    appended (NaN/None where nothing matches). Same single co-bucketed
+    shuffle for every direction."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction={direction!r}: expected backward, "
+                         "forward or nearest")
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -272,10 +282,18 @@ def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
                 out[c] = pd.Series([None] * len(out), dtype="object")
             return _cast_null_cols(restore(out), want)
         return _cast_null_cols(
-            restore(pd.merge_asof(l, r, on=on, by=by, direction="backward",
+            restore(pd.merge_asof(l, r, on=on, by=by, direction=direction,
                                   allow_exact_matches=True)), want)
 
     return bucketed_groupby(both, [by], merge, buckets=buckets)
+
+
+def asof_join_backward(left: rd.Dataset, right: rd.Dataset, *,
+                       on: str, by: str, value_cols: list[str],
+                       buckets: int | None = None) -> rd.Dataset:
+    """Backward as-of join (see :func:`asof_join`)."""
+    return asof_join(left, right, on=on, by=by, value_cols=value_cols,
+                     direction="backward", buckets=buckets)
 
 
 def range_join_count(left: rd.Dataset, right: rd.Dataset, *,
@@ -436,22 +454,28 @@ def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
 
     broadcast_limit_rows = 5_000_000
 
-    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(on, sort=False).size().rename("_cnt").reset_index()
+    def key_counts(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = (df.groupby(on, sort=False).size().rename("_cnt")
+                   .reset_index())
+            return out.assign(_s=np.int8(side))
+        return fn
 
     def hot_only(df: pd.DataFrame) -> pd.DataFrame:
-        folded = df.groupby(on, sort=False)["_cnt"].sum().reset_index()
-        return folded[folded["_cnt"] > hot_threshold][[on]]
+        folded = df.groupby([on, "_s"], sort=False)["_cnt"].sum().reset_index()
+        return folded.loc[folded["_cnt"] > hot_threshold, [on, "_s"]]
 
-    def hot_keys_of(side: rd.Dataset) -> set:
-        hot = bucketed_groupby(
-            side.select_columns([on]).map_batches(key_counts,
-                                                  batch_format="pandas"),
-            [on], hot_only).to_pandas()
-        return set(hot[on].tolist()) if len(hot) else set()
-
-    hot_l = hot_keys_of(left)
-    hot_r_only = hot_keys_of(right) - hot_l
+    # BOTH sides' histograms ride one exchange (side-tagged partials) —
+    # two sequential slim exchanges doubled the fixed pre-pass cost
+    tagged = (left.select_columns([on])
+              .map_batches(key_counts(0), batch_format="pandas")
+              .union(right.select_columns([on])
+                     .map_batches(key_counts(1), batch_format="pandas")))
+    hot = bucketed_groupby(tagged, [on], hot_only).to_pandas()
+    hot_l = (set(hot.loc[hot["_s"] == 0, on].tolist())
+             if len(hot) else set())
+    hot_r_only = (set(hot.loc[hot["_s"] == 1, on].tolist())
+                  if len(hot) else set()) - hot_l
     if not hot_l and not hot_r_only:
         return hash_inner_join(left, right, on, buckets=buckets)
 

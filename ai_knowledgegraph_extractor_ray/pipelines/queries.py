@@ -1418,3 +1418,36 @@ def q_events_pctrank(sf_dir: str) -> rd.Dataset:
             WindowSpec("cd", "cume_dist", src="cents"),
         ])
     return w.select_columns(["event_id", "user_id", "pr", "cd"])
+
+
+def q_events_asof_fwd(sf_dir: str) -> rd.Dataset:
+    """FORWARD as-of join (round 4): for every click, the user's NEXT
+    error at-or-after the click — same single co-bucketed shuffle as the
+    backward direction, mirrored merge."""
+    from ..ops.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts", "value"])
+
+    def side(kind):
+        def fn(t):
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(t["event_type"], kind))
+        return fn
+
+    clicks = (ev.map_batches(side("click"), batch_format="pyarrow")
+              .select_columns(["event_id", "user_id", "ts"]))
+    errors = (ev.map_batches(side("error"), batch_format="pyarrow")
+              .select_columns(["user_id", "ts", "value"]))
+    joined = asof_join(clicks, errors, on="ts", by="user_id",
+                       value_cols=["value"], direction="forward")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["value"].to_numpy(dtype=np.float64) * 100)
+        cents = np.where(np.isnan(cents), -1, cents).astype(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "next_error_cents": cents})
+
+    return joined.map_batches(finish, batch_format="pandas")

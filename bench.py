@@ -193,6 +193,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "join_skew": lambda: q.q_join_skew(sf_dir).count(),
             "join_bloom": lambda: q.q_join_bloom(sf_dir).count(),
             "doc_chunks": lambda: q.q_doc_chunks(sf_dir).count(),
+            "join_multi": lambda: q.q_join_multi(sf_dir).count(),
+            "events_pctrank": lambda: q.q_events_pctrank(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box
