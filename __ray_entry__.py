@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_multi": q.q_join_multi,
         "events_pctrank": q.q_events_pctrank,
         "events_asof_fwd": q.q_events_asof_fwd,
+        "events_gsets": q.q_events_gsets,
+        "events_moments": q.q_events_moments,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -787,6 +789,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.n_chars FROM documents d
             WHERE d.doc_id % 97 <> 0
               AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "events_gsets": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events GROUP BY GROUPING SETS ((event_type), (hour))
+        """,
+        # events_moments: closed formula over exact BIGINT sums, evaluated
+        # in the same float64 operation order as the engine (mul, mul,
+        # sub, div) — bit-identical, unlike streaming var_pop
+        "events_moments": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events),
+            f AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(c) AS BIGINT) AS s,
+                         CAST(sum(c * c) AS BIGINT) AS s2
+                  FROM e GROUP BY event_type)
+            SELECT event_type, n,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop,
+                   sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_pop
+            FROM f
         """,
         "events_asof_fwd": """
             SELECT c.event_id, c.user_id,

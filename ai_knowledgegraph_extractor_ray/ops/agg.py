@@ -745,3 +745,85 @@ def unpivot(ds: rd.Dataset, *, id_cols: list[str], value_cols: list[str],
                        var_name=var_col, value_name=val_col)
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def grouped_grouping_sets(partials: rd.Dataset, key_cols: list[str],
+                          value_cols: list[str], sets: list[list[str]], *,
+                          buckets: int | None = None) -> rd.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)`` — the general form behind
+    ROLLUP (nested prefixes) and CUBE (all subsets): aggregates at each
+    requested granularity, rolled-away key columns emitted as nulls.
+    Same scale shape as the ladder both special cases share: the raw
+    input is exchanged once at the finest granularity; every requested
+    set re-aggregates that vocabulary-sized level with a tiny 8-bucket
+    exchange. Each set must be a subset of ``key_cols``; the full set is
+    allowed (and cheap — it IS the fine level). ``[]`` = grand total."""
+    subsets, with_fine = [], False
+    for s_ in sets:
+        extra = set(s_) - set(key_cols)
+        if extra:
+            raise ValueError(f"grouping set {s_} has non-key columns "
+                             f"{sorted(extra)}")
+        if list(s_) == list(key_cols):
+            with_fine = True
+        else:
+            subsets.append(list(s_))
+    out = _grouping_sets_ladder(partials, key_cols, value_cols, subsets,
+                                buckets, chain=False)
+    if not with_fine:
+        # ladder always materializes the fine level first; drop it from
+        # the output when the caller did not ask for it
+        import pyarrow.compute as pc
+
+        def drop_fine(t: pa.Table) -> pa.Table:
+            mask = None
+            for c in key_cols:
+                isnull = pc.is_null(t[c])
+                mask = isnull if mask is None else pc.or_(mask, isnull)
+            return t.filter(mask)
+
+        out = out.map_batches(drop_fine, batch_format="pyarrow")
+    return out
+
+
+def grouped_moments(ds: rd.Dataset, key_cols: list[str], value_col: str, *,
+                    buckets: int | None = None) -> rd.Dataset:
+    """Mean / population variance / stddev per group from EXACT integer
+    combiner sums: per-block partials carry (n, sum, sum-of-squares) per
+    key — one row per key per block regardless of row count — and the
+    merge evaluates ``mean = S/n`` and ``var = (n*S2 - S^2)/n^2`` in
+    float64 from the exact int64 sums, so the result is bit-reproducible
+    and an explicit-formula SQL oracle matches it exactly (streaming
+    var_pop implementations differ in last-ulp; the closed formula over
+    exact sums does not). ``value_col`` must be integer-valued (discretize
+    floats to cents first, the engine's usual idiom); |S2| must stay
+    below 2^63 — at cents scale that is ~10^14 rows per group."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy()
+        if v.dtype.kind not in "iu":
+            raise ValueError(
+                f"grouped_moments: {value_col!r} must be integer-valued "
+                f"(got {v.dtype}); discretize first")
+        g = pd.DataFrame({**{k: df[k] for k in key_cols},
+                          "_n": np.ones(len(df), dtype=np.int64),
+                          "_s": v.astype(np.int64),
+                          "_s2": v.astype(np.int64) ** 2})
+        return g.groupby(key_cols, as_index=False, sort=False,
+                         dropna=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby(key_cols, as_index=False, sort=False,
+                       dropna=False)[["_n", "_s", "_s2"]].sum()
+        n = f["_n"].to_numpy(dtype=np.float64)
+        s = f["_s"].to_numpy(dtype=np.float64)
+        s2 = f["_s2"].to_numpy(dtype=np.float64)
+        out = f[key_cols].copy()
+        out["n"] = f["_n"].astype("int64")
+        out["mean"] = s / n
+        out["var_pop"] = (n * s2 - s * s) / (n * n)
+        out["std_pop"] = np.sqrt(out["var_pop"].to_numpy())
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)

@@ -1451,3 +1451,49 @@ def q_events_asof_fwd(sf_dir: str) -> rd.Dataset:
                              "next_error_cents": cents})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_events_gsets(sf_dir: str) -> rd.Dataset:
+    """GROUP BY GROUPING SETS ((event_type), (hour)) (round 4): the
+    general grouping-sets ladder behind ROLLUP/CUBE — raw input exchanged
+    once at the finest granularity, each requested set re-aggregated from
+    that vocabulary-sized level."""
+    from ..ops.agg import grouped_grouping_sets
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+            "n_events": np.ones(len(df), dtype=np.int64),
+            "value_cents": np.round(df["value"].to_numpy() * 100)
+            .astype(np.int64),
+        }).groupby(["event_type", "hour"], as_index=False, sort=False)
+            .sum())
+
+    return grouped_grouping_sets(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour"], ["n_events", "value_cents"],
+        sets=[["event_type"], ["hour"]])
+
+
+def q_events_moments(sf_dir: str) -> rd.Dataset:
+    """Mean / population variance / stddev of cents per event type from
+    exact integer combiner sums (round 4) — closed-formula float64
+    evaluation over exact int64 (n, S, S2), bit-reproducible against the
+    same formula in SQL (streaming var_pop would drift in the last ulp)."""
+    from ..ops.agg import grouped_moments
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return grouped_moments(ev.map_batches(prep, batch_format="pandas"),
+                           ["event_type"], "cents")

@@ -1967,3 +1967,87 @@ def test_window_percent_rank_cume_dist_match_duckdb():
         ORDER BY k, o""").df()
     assert np.allclose(got["pr"], want["pr"])
     assert np.allclose(got["cd"], want["cd"])
+
+
+def test_grouped_grouping_sets_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_grouping_sets
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "a": rng.choice(list("xyz"), 500),
+        "b": rng.choice(list("pq"), 500),
+        "v": rng.randint(0, 50, 500).astype("int64")})
+    partials = (rd.from_pandas(df).repartition(6)
+                .map_batches(lambda d: d.groupby(["a", "b"], as_index=False)
+                             .agg(n=("v", "size"), v=("v", "sum")),
+                             batch_format="pandas"))
+    # sets deliberately exclude the fine level (a,b) and include []
+    got = grouped_grouping_sets(partials, ["a", "b"], ["n", "v"],
+                                sets=[["a"], ["b"], []]).to_pandas()
+    want = duckdb.connect().execute("""
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n, sum(v) AS v
+        FROM df GROUP BY GROUPING SETS ((a), (b), ())""").df()
+
+    def canon(d):
+        d = d.copy()
+        for c in ("a", "b"):
+            d[c] = d[c].astype(object).where(d[c].notna(), "~").astype(str)
+        return (d.astype({"n": "int64", "v": "int64"})
+                .sort_values(["a", "b"]).reset_index(drop=True)
+                [["a", "b", "n", "v"]])
+
+    pd.testing.assert_frame_equal(canon(got), canon(want))
+
+    # fine level requested explicitly must also come back
+    got2 = grouped_grouping_sets(partials, ["a", "b"], ["n", "v"],
+                                 sets=[["a", "b"], []]).to_pandas()
+    want2 = duckdb.connect().execute("""
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n, sum(v) AS v
+        FROM df GROUP BY GROUPING SETS ((a, b), ())""").df()
+    pd.testing.assert_frame_equal(canon(got2), canon(want2))
+
+    import pytest
+    with pytest.raises(ValueError):
+        grouped_grouping_sets(partials, ["a", "b"], ["n"], sets=[["zz"]])
+
+
+def test_grouped_moments_exact_vs_duckdb_closed_formula():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_moments
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcd"), 800),
+        "c": rng.randint(-500, 500, 800).astype("int64")})
+    got = (grouped_moments(rd.from_pandas(df).repartition(7), ["g"], "c")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH f AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(c) AS BIGINT) AS s,
+                          CAST(sum(c * c) AS BIGINT) AS s2
+                   FROM df GROUP BY g)
+        SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop
+        FROM f ORDER BY g""").df()
+    # bit-exact: same closed formula in the same float64 operation order
+    assert list(got["n"]) == list(want["n"])
+    assert list(got["mean"]) == list(want["mean"])
+    assert list(got["var_pop"]) == list(want["var_pop"])
+    assert np.array_equal(got["std_pop"].to_numpy(),
+                          np.sqrt(want["var_pop"].to_numpy()))
+
+    import pytest
+    floats = rd.from_pandas(pd.DataFrame({"g": ["a"], "c": [1.5]}))
+    with pytest.raises(Exception):
+        grouped_moments(floats, ["g"], "c").to_pandas()
