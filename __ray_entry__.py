@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_fwd": q.q_events_asof_fwd,
         "events_gsets": q.q_events_gsets,
         "events_moments": q.q_events_moments,
+        "events_funnel": q.q_events_funnel,
+        "events_retention": q.q_events_retention,
+        "kg_components": q.q_kg_components,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -819,6 +822,46 @@ def oracle_sql() -> dict[str, str]:
                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_pop
             FROM f
+        """,
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts >= v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+                  GROUP BY e.user_id)
+            SELECT v.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS funnel_stage
+            FROM v LEFT JOIN c ON v.user_id = c.user_id
+                   LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "events_retention": """
+            WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                       FROM events GROUP BY user_id)
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE))
+                        AS BIGINT) AS day_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM events e JOIN f ON e.user_id = f.user_id
+            GROUP BY 1, 2
+        """,
+        "kg_components": f"""
+            WITH RECURSIVE ce AS ({_CANON_EDGES_SQL}),
+            und AS (
+              SELECT canonical_src AS s, canonical_dst AS d FROM ce
+              UNION
+              SELECT canonical_dst, canonical_src FROM ce),
+            lbl(node, l) AS (
+              SELECT s, s FROM und
+              UNION
+              SELECT u.d, lbl.l FROM und u JOIN lbl ON lbl.node = u.s)
+            SELECT node, min(l) AS component FROM lbl GROUP BY node
         """,
         "events_asof_fwd": """
             SELECT c.event_id, c.user_id,

@@ -117,3 +117,53 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
                         "rank": pd.Series(list(ranks.values()),
                                           dtype="float64")})
     return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+def components_table(edges: rd.Dataset, *, src_col: str = "canonical_src",
+                     dst_col: str = "canonical_dst") -> rd.Dataset:
+    """Undirected connected components over a string-keyed edge list:
+    (node, component), component = lexicographically smallest node id in
+    the node's component (matching SQL ``min`` over VARCHAR for ASCII
+    ids, which canonical entity ids are by construction).
+
+    Same boundedness contract as the module header: the NODE vocabulary
+    is driver-resident (distinct collected via per-block dedup), edges
+    stream. Node strings are mapped to their sorted ranks — so the int
+    min-label of ``ops/cc.connected_components`` IS the lexicographic
+    min — the pair list is rewritten block-wise against the broadcast
+    rank index, and labels map back through the same vocabulary."""
+    import ray
+
+    from .cc import connected_components
+
+    def distinct_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(
+            np.concatenate([df[src_col].to_numpy(dtype=object),
+                            df[dst_col].to_numpy(dtype=object)]))})
+
+    edges = edges.materialize()  # consumed twice: vocab pass + pair pass
+    nodes_df = edges.map_batches(distinct_nodes,
+                                 batch_format="pandas").to_pandas()
+    if len(nodes_df) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series(dtype="string"),
+            "component": pd.Series(dtype="string")}))
+    vocab = np.unique(nodes_df["node"].to_numpy(dtype=object)).astype(str)
+    rank_of = pd.Series(np.arange(len(vocab), dtype=np.int64), index=vocab)
+    rank_ref = ray.put(rank_of)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        return pd.DataFrame({
+            "id_a": r[df[src_col].to_numpy(dtype=object)].to_numpy(),
+            "id_b": r[df[dst_col].to_numpy(dtype=object)].to_numpy()})
+
+    cc = connected_components(
+        edges.map_batches(to_pairs, batch_format="pandas"))
+
+    def back(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": vocab[df["node"].to_numpy(dtype=np.int64)],
+            "component": vocab[df["component"].to_numpy(dtype=np.int64)]})
+
+    return cc.map_batches(back, batch_format="pandas")

@@ -1497,3 +1497,39 @@ def q_events_moments(sf_dir: str) -> rd.Dataset:
 
     return grouped_moments(ev.map_batches(prep, batch_format="pandas"),
                            ["event_type"], "cents")
+
+
+def q_events_funnel(sf_dir: str) -> rd.Dataset:
+    """Funnel analysis (round 4): deepest view -> click -> purchase stage
+    each user reaches, with cascading first-occurrence semantics (a click
+    counts only at/after the user's first view, a purchase only at/after
+    that click). One user-bucketed shuffle, vectorized per-stage mins."""
+    from ..ops.events import funnel_stages
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_stages(ev, user_col="user_id", ts_col="ts",
+                         type_col="event_type",
+                         stages=["view", "click", "purchase"])
+
+
+def q_events_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix (round 4): users grouped by first-activity
+    day, distinct active users per (cohort_day, day_offset). User-bucketed
+    distinct pass + calendar-sized count sum."""
+    from ..ops.events import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ev, user_col="user_id", ts_col="ts")
+
+
+def q_kg_components(sf_dir: str) -> rd.Dataset:
+    """Connected components over the deterministic canonical graph
+    (round 4): distributed min-label propagation (ops/cc.py) with the
+    vocabulary-rank mapping of ops/graph.components_table; component id =
+    lexicographically smallest canonical node id, matching the recursive-
+    CTE closure oracle."""
+    from ..ops.graph import components_table
+
+    return components_table(q_canon_sql(sf_dir))

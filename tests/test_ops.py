@@ -2051,3 +2051,112 @@ def test_grouped_moments_exact_vs_duckdb_closed_formula():
     floats = rd.from_pandas(pd.DataFrame({"g": ["a"], "c": [1.5]}))
     with pytest.raises(Exception):
         grouped_moments(floats, ["g"], "c").to_pandas()
+
+
+def test_funnel_stages_cascading_semantics():
+    """A click BEFORE the user's first view must not advance the funnel;
+    equal timestamps do. Cross-checked against the cascading-CTE SQL."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.events import funnel_stages
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: full funnel in order -> stage 3
+        (1, t0, "view"), (1, t0 + pd.Timedelta("1h"), "click"),
+        (1, t0 + pd.Timedelta("2h"), "purchase"),
+        # u2: click before first view -> stage 1 (purchase needs click)
+        (2, t0, "click"), (2, t0 + pd.Timedelta("1h"), "view"),
+        (2, t0 + pd.Timedelta("2h"), "purchase"),
+        # u3: view+click same instant (>= counts) then nothing -> stage 2
+        (3, t0, "view"), (3, t0, "click"),
+        # u4: purchase only -> not in output (never reached stage 1)
+        (4, t0, "purchase"),
+        # u5: view, then a too-early purchase, then a valid click -> 2
+        (5, t0, "purchase"), (5, t0 + pd.Timedelta("1h"), "view"),
+        (5, t0 + pd.Timedelta("2h"), "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    got = (funnel_stages(rd.from_pandas(df).repartition(3),
+                         user_col="user_id", ts_col="ts",
+                         type_col="event_type",
+                         stages=["view", "click", "purchase"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert list(got["user_id"]) == [1, 2, 3, 5]
+    assert list(got["funnel_stage"]) == [3, 1, 2, 2]
+
+    want = duckdb.connect().execute("""
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM df
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM df e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.t1
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM df e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+              GROUP BY e.user_id)
+        SELECT v.user_id,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS funnel_stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id""").df()
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["funnel_stage"]) == list(want["funnel_stage"])
+
+
+def test_cohort_retention_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.events import cohort_retention
+
+    rng = np.random.RandomState(13)
+    n = 900
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 60, n),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.randint(0, 30 * 24 * 3600, n), unit="s")})
+    got = (cohort_retention(rd.from_pandas(df).repartition(5),
+                            user_col="user_id", ts_col="ts")
+           .to_pandas().sort_values(["cohort_day", "day_offset"])
+           .reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                   FROM df GROUP BY user_id)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE))
+                    AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM df e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(
+        got[["cohort_day", "day_offset", "n_users"]].astype(
+            {"day_offset": "int64", "n_users": "int64"}),
+        want)
+
+
+def test_components_table_string_graph():
+    """Two multi-node components + an isolated self-referencing pair;
+    component id must be the lexicographically smallest node id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.graph import components_table
+
+    edges = pd.DataFrame({
+        "canonical_src": ["e_b", "e_c", "e_x", "e_m", "e_q"],
+        "canonical_dst": ["e_a", "e_b", "e_y", "e_a", "e_q"]})
+    got = (components_table(rd.from_pandas(edges).repartition(2))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    comp = dict(zip(got["node"], got["component"]))
+    # {a,b,c,m} connected; {x,y}; {q} self-loop
+    assert comp == {"e_a": "e_a", "e_b": "e_a", "e_c": "e_a",
+                    "e_m": "e_a", "e_q": "e_q",
+                    "e_x": "e_x", "e_y": "e_x"}
