@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.q_events_funnel,
         "events_retention": q.q_events_retention,
         "kg_components": q.q_kg_components,
+        "tpch_q1": q.q_tpch_q1,
+        "tpch_q3": q.q_tpch_q3,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -822,6 +824,50 @@ def oracle_sql() -> dict[str, str]:
                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_pop
             FROM f
+        """,
+        "tpch_q1": """
+            WITH l AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+                     CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+                     CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(ext_c) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(ext_c * (100 - disc_p)) AS BIGINT) AS sum_disc_e4,
+                   CAST(sum(ext_c * (100 - disc_p) * (100 + tax_p))
+                        AS BIGINT) AS sum_charge_e6,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   CAST(sum(qty) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   CAST(sum(ext_c) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avg_price_cents,
+                   CAST(sum(disc_p) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avg_disc_pct
+            FROM l GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS revenue_e4
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'
+              GROUP BY l_orderkey),
+            o AS (
+              SELECT o_orderkey,
+                     strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                     o_orderpriority
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-03-15')
+            SELECT rev.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(rev.revenue_e4 AS BIGINT) AS revenue_e4
+            FROM rev JOIN o ON rev.l_orderkey = o.o_orderkey
+            ORDER BY revenue_e4 DESC, o.o_orderdate, rev.l_orderkey
+            LIMIT 10
         """,
         "events_funnel": """
             WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

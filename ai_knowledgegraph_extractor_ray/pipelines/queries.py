@@ -1533,3 +1533,133 @@ def q_kg_components(sf_dir: str) -> rd.Dataset:
     from ..ops.graph import components_table
 
     return components_table(q_canon_sql(sf_dir))
+
+
+# --- TPC-H-style showcase pipelines (round 4) --------------------------------
+# Money math stays in INTEGER units (cents / 1e-4 / 1e-6 dollars) so the
+# distributed sums are order-independent and the SQL oracle is bit-exact.
+
+Q1_CUTOFF = "1998-09-02"
+Q3_CUTOFF = "1998-03-15"
+
+
+def q_tpch_q1(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 pricing summary over lineitem: filter at the read, ONE
+    per-block partial groupby on the 6-value (returnflag, linestatus) key,
+    tiny bucketed merge, closed-formula float64 averages from exact int64
+    sums. Integer headroom: charge units are 1e-6 dollars, so per-group
+    sums stay under 2^63 to ~7e7 qualifying rows per group (sf ~10);
+    beyond that run the same partials at 1e-4 units with an exact /100
+    only on the final tiny table."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    cutoff = pd.Timestamp(Q1_CUTOFF)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        ext_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_p = np.round(df["l_tax"].to_numpy() * 100).astype(np.int64)
+        disc_price = ext_c * (100 - disc_p)
+        return (pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["l_quantity"].to_numpy().astype(np.int64),
+            "sum_base_cents": ext_c,
+            "sum_disc_e4": disc_price,
+            "sum_charge_e6": disc_price * (100 + tax_p),
+            "sum_disc_pct": disc_p,
+            "count_order": np.ones(len(df), dtype=np.int64),
+        }).groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                   sort=False).sum())
+
+    merged = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        sum_merge(["l_returnflag", "l_linestatus"],
+                  ["sum_qty", "sum_base_cents", "sum_disc_e4",
+                   "sum_charge_e6", "sum_disc_pct", "count_order"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"].to_numpy(dtype=np.float64)
+        out = df[["l_returnflag", "l_linestatus", "sum_qty",
+                  "sum_base_cents", "sum_disc_e4", "sum_charge_e6",
+                  "count_order"]].copy()
+        out["avg_qty"] = df["sum_qty"].to_numpy(np.float64) / n
+        out["avg_price_cents"] = df["sum_base_cents"].to_numpy(np.float64) / n
+        out["avg_disc_pct"] = df["sum_disc_pct"].to_numpy(np.float64) / n
+        return out
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shipping priority: revenue is PRE-AGGREGATED per order
+    inside the lineitem scan before any join (the combiner-before-shuffle
+    rule), the BUILDING customer keys are a broadcast semi-filter on the
+    orders scan (zero shuffle for the dimension side), the order⋈revenue
+    equi-join is the one co-bucketed exchange, and top-10 is per-block
+    local top-10 then a driver merge of ≤10·blocks rows. Deterministic
+    total order: revenue desc, o_orderdate asc, l_orderkey asc."""
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_inner_join
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = np.unique(cust.filter(expr="c_mktsegment == 'BUILDING'")
+                     .to_pandas()["c_custkey"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def keep_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderdate"] < cutoff]
+        df = df[np.isin(df["o_custkey"].to_numpy(np.int64),
+                        ray.get(keys_ref))]
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            "o_orderpriority": df["o_orderpriority"]})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
+        ext_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                              "revenue_e4": ext_c * (100 - disc_p)})
+                .groupby("l_orderkey", as_index=False, sort=False).sum())
+
+    rev = bucketed_groupby(
+        li.map_batches(li_partial, batch_format="pandas"),
+        ["l_orderkey"], sum_merge(["l_orderkey"], ["revenue_e4"]))
+
+    joined = hash_inner_join(
+        rev, orders.map_batches(keep_orders, batch_format="pandas"),
+        "l_orderkey")
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_e4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort").head(10)
+
+    cand = joined.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = (cand.sort_values(["revenue_e4", "o_orderdate", "l_orderkey"],
+                            ascending=[False, True, True], kind="mergesort")
+           .head(10).reset_index(drop=True))
+    return out[["l_orderkey", "o_orderdate", "o_orderpriority",
+                "revenue_e4"]].astype({"l_orderkey": "int64",
+                                       "revenue_e4": "int64"})

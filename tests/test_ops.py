@@ -2160,3 +2160,74 @@ def test_components_table_string_graph():
     assert comp == {"e_a": "e_a", "e_b": "e_a", "e_c": "e_a",
                     "e_m": "e_a", "e_q": "e_q",
                     "e_x": "e_x", "e_y": "e_x"}
+
+
+def _write_tpch_mini(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(17)
+    n_cust, n_ord, n_li = 40, 200, 900
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype="int64"),
+        "c_mktsegment": rng.choice(
+            ["BUILDING", "MACHINERY", "HOUSEHOLD"], n_cust),
+        "c_name": [f"cust{i}" for i in range(n_cust)],
+        "c_nationkey": rng.randint(0, 5, n_cust).astype("int64"),
+        "c_acctbal": rng.uniform(0, 9999, n_cust).round(2)})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype="int64"),
+        "o_custkey": rng.randint(0, n_cust, n_ord).astype("int64"),
+        "o_orderdate": pd.Timestamp("1997-01-01")
+        + pd.to_timedelta(rng.randint(0, 900, n_ord), unit="D"),
+        "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n_ord),
+        "o_orderstatus": rng.choice(["F", "O"], n_ord),
+        "o_totalprice": rng.uniform(100, 9999, n_ord).round(2)})
+    li = pd.DataFrame({
+        "l_orderkey": rng.randint(0, n_ord, n_li).astype("int64"),
+        "l_quantity": rng.randint(1, 50, n_li).astype("float64"),
+        "l_extendedprice": rng.uniform(100, 99999, n_li).round(2),
+        "l_discount": (rng.randint(0, 11, n_li) / 100.0),
+        "l_tax": (rng.randint(0, 9, n_li) / 100.0),
+        "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+        "l_linestatus": rng.choice(["F", "O"], n_li),
+        "l_shipdate": pd.Timestamp("1997-01-01")
+        + pd.to_timedelta(rng.randint(0, 1100, n_li), unit="D")})
+    for name, df in (("customer", cust), ("orders", orders),
+                     ("lineitem", li)):
+        df.to_parquet(tmp_path / f"{name}.parquet")
+    return cust, orders, li
+
+
+def test_tpch_q1_q3_match_duckdb(tmp_path):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines.queries import (
+        q_tpch_q1,
+        q_tpch_q3,
+    )
+
+    cust, orders, li = _write_tpch_mini(tmp_path)
+    con = duckdb.connect()
+    con.register("customer", cust)
+    con.register("orders", orders)
+    con.register("lineitem", li)
+    sql = entry.oracle_sql()
+
+    got1 = (q_tpch_q1(str(tmp_path)).to_pandas()
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+    want1 = (con.execute(sql["tpch_q1"]).df()
+             .sort_values(["l_returnflag", "l_linestatus"])
+             .reset_index(drop=True))
+    for c in ("sum_qty", "sum_base_cents", "sum_disc_e4", "sum_charge_e6",
+              "count_order", "avg_qty", "avg_price_cents", "avg_disc_pct"):
+        assert list(got1[c]) == list(want1[c]), c
+
+    got3 = q_tpch_q3(str(tmp_path)).reset_index(drop=True)
+    want3 = con.execute(sql["tpch_q3"]).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got3[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_e4"]],
+        want3.astype({"l_orderkey": "int64", "revenue_e4": "int64"}))
