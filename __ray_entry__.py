@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q.q_kg_components,
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
+        "events_corr": q.q_events_corr,
+        "user_paths": q.q_user_paths,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -824,6 +826,41 @@ def oracle_sql() -> dict[str, str]:
                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_pop
             FROM f
+        """,
+        # events_corr: closed formula over exact BIGINT sums in the same
+        # float64 operation order as the engine — bit-identical, unlike
+        # streaming corr()
+        "events_corr": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS x,
+                              CAST(hour(ts) AS BIGINT) AS y
+                       FROM events),
+            f AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sx2,
+                         CAST(sum(y * y) AS BIGINT) AS sy2
+                  FROM e GROUP BY event_type)
+            SELECT event_type, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_pop,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     AS corr
+            FROM f
+        """,
+        "user_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                     AS path
+            FROM events GROUP BY user_id
         """,
         "tpch_q1": """
             WITH l AS (

@@ -827,3 +827,79 @@ def grouped_moments(ds: rd.Dataset, key_cols: list[str], value_col: str, *,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+def grouped_corr(ds: rd.Dataset, key_cols: list[str], x_col: str,
+                 y_col: str, *, buckets: int | None = None) -> rd.Dataset:
+    """Population covariance and Pearson correlation per group from EXACT
+    integer combiner sums — the bivariate sibling of ``grouped_moments``:
+    per-block partials carry (n, Sx, Sy, Sxy, Sx2, Sy2) per key, one row
+    per key per block, and the merge evaluates
+
+        cov_pop = (n*Sxy - Sx*Sy) / n^2
+        corr    = (n*Sxy - Sx*Sy) / (sqrt(n*Sx2 - Sx^2) * sqrt(n*Sy2 - Sy^2))
+
+    in float64 from the exact int64 sums (bit-reproducible against the
+    same closed formula in SQL). Zero-variance groups get corr = NULL
+    (NaN), matching SQL corr(). Both columns must be integer-valued;
+    cross-products must stay below 2^63."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy()
+        y = df[y_col].to_numpy()
+        for name, v in ((x_col, x), (y_col, y)):
+            if v.dtype.kind not in "iu":
+                raise ValueError(
+                    f"grouped_corr: {name!r} must be integer-valued "
+                    f"(got {v.dtype}); discretize first")
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        g = pd.DataFrame({**{k: df[k] for k in key_cols},
+                          "_n": np.ones(len(df), dtype=np.int64),
+                          "_sx": x, "_sy": y, "_sxy": x * y,
+                          "_sx2": x * x, "_sy2": y * y})
+        return g.groupby(key_cols, as_index=False, sort=False,
+                         dropna=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby(key_cols, as_index=False, sort=False, dropna=False)[
+            ["_n", "_sx", "_sy", "_sxy", "_sx2", "_sy2"]].sum()
+        n = f["_n"].to_numpy(dtype=np.float64)
+        sx = f["_sx"].to_numpy(dtype=np.float64)
+        sy = f["_sy"].to_numpy(dtype=np.float64)
+        sxy = f["_sxy"].to_numpy(dtype=np.float64)
+        sx2 = f["_sx2"].to_numpy(dtype=np.float64)
+        sy2 = f["_sy2"].to_numpy(dtype=np.float64)
+        num = n * sxy - sx * sy
+        out = f[key_cols].copy()
+        out["n"] = f["_n"].astype("int64")
+        out["cov_pop"] = num / (n * n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["corr"] = num / (np.sqrt(n * sx2 - sx * sx)
+                                 * np.sqrt(n * sy2 - sy * sy))
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+def grouped_string_agg(ds: rd.Dataset, key_cols: list[str], value_col: str,
+                       order_cols: list[str], *, sep: str = ">",
+                       out_col: str = "path",
+                       buckets: int | None = None) -> rd.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key: one
+    bucketed shuffle on the key, then a whole-bucket mergesort + per-group
+    join. ``order_cols`` must be a total order within each key (add a
+    unique id as tiebreak) or the concatenation is not deterministic.
+    Per-key output length is unbounded by construction — callers cap the
+    per-key row count upstream when keys can be hot (the event-path use
+    caps sessions, not lifetimes, at 100-TB scale)."""
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*key_cols, *order_cols], kind="mergesort")
+        out = (df.groupby(key_cols, as_index=False, sort=False,
+                          dropna=False)[value_col]
+               .agg(lambda s: sep.join(s.astype(str))))
+        return out.rename(columns={value_col: out_col})
+
+    return bucketed_groupby(ds, key_cols, merge, buckets=buckets)

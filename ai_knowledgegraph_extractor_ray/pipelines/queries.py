@@ -1663,3 +1663,36 @@ def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
     return out[["l_orderkey", "o_orderdate", "o_orderpriority",
                 "revenue_e4"]].astype({"l_orderkey": "int64",
                                        "revenue_e4": "int64"})
+
+
+def q_events_corr(sf_dir: str) -> rd.Dataset:
+    """Per-event-type Pearson correlation and population covariance
+    between value (cents) and hour-of-day (round 4) — bivariate exact
+    integer combiner sums, closed-formula float64 finish bit-matched by
+    the identical SQL expression."""
+    from ..ops.agg import grouped_corr
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+            "hour": df["ts"].dt.hour.astype("int64")})
+
+    return grouped_corr(ev.map_batches(prep, batch_format="pandas"),
+                        ["event_type"], "cents", "hour")
+
+
+def q_user_paths(sf_dir: str) -> rd.Dataset:
+    """Chronological event-type path per user (round 4): ordered
+    string_agg under the (ts, event_id) total order — behavioral-sequence
+    building block; one user-bucketed shuffle."""
+    from ..ops.agg import grouped_string_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return grouped_string_agg(ev, ["user_id"], "event_type",
+                              ["ts", "event_id"], sep=">", out_col="path")

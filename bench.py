@@ -195,6 +195,16 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "doc_chunks": lambda: q.q_doc_chunks(sf_dir).count(),
             "join_multi": lambda: q.q_join_multi(sf_dir).count(),
             "events_pctrank": lambda: q.q_events_pctrank(sf_dir).count(),
+            "events_asof_fwd": lambda: q.q_events_asof_fwd(sf_dir).count(),
+            "events_gsets": lambda: q.q_events_gsets(sf_dir).count(),
+            "events_moments": lambda: q.q_events_moments(sf_dir).count(),
+            "events_funnel": lambda: q.q_events_funnel(sf_dir).count(),
+            "events_retention": lambda: q.q_events_retention(sf_dir).count(),
+            "kg_components": lambda: q.q_kg_components(sf_dir).count(),
+            "tpch_q1": lambda: q.q_tpch_q1(sf_dir).count(),
+            "tpch_q3": lambda: len(q.q_tpch_q3(sf_dir)),
+            "events_corr": lambda: q.q_events_corr(sf_dir).count(),
+            "user_paths": lambda: q.q_user_paths(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

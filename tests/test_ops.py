@@ -2231,3 +2231,82 @@ def test_tpch_q1_q3_match_duckdb(tmp_path):
     pd.testing.assert_frame_equal(
         got3[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_e4"]],
         want3.astype({"l_orderkey": "int64", "revenue_e4": "int64"}))
+
+
+def test_grouped_corr_exact_vs_duckdb_closed_formula():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_corr
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), 700),
+        "x": rng.randint(-100, 100, 700).astype("int64"),
+        "y": rng.randint(0, 24, 700).astype("int64")})
+    # a constant-y group: corr must be NaN (zero variance), cov 0
+    df = pd.concat([df, pd.DataFrame({"g": ["z"] * 5,
+                                      "x": np.arange(5, dtype="int64"),
+                                      "y": np.int64(7)})], ignore_index=True)
+    got = (grouped_corr(rd.from_pandas(df).repartition(6), ["g"], "x", "y")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH f AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x*y) AS BIGINT) AS sxy,
+                          CAST(sum(x*x) AS BIGINT) AS sx2,
+                          CAST(sum(y*y) AS BIGINT) AS sy2
+                   FROM df GROUP BY g)
+        SELECT g, n,
+               (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS cov_pop,
+               (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE)*CAST(sx2 AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE)*CAST(sy2 AS DOUBLE)
+                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr
+        FROM f ORDER BY g""").df()
+    assert list(got["n"]) == list(want["n"])
+    assert list(got["cov_pop"]) == list(want["cov_pop"])  # bit-exact
+    gz = got.set_index("g"); wz = want.set_index("g")
+    for g_ in "abc":
+        assert gz.loc[g_, "corr"] == wz.loc[g_, "corr"]
+    assert np.isnan(gz.loc["z", "corr"]) and np.isnan(wz.loc["z", "corr"])
+    assert gz.loc["z", "cov_pop"] == 0.0
+
+    import pytest
+    floats = rd.from_pandas(pd.DataFrame(
+        {"g": ["a"], "x": [1.5], "y": [1]}))
+    with pytest.raises(Exception):
+        grouped_corr(floats, ["g"], "x", "y").to_pandas()
+
+
+def test_grouped_string_agg_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_string_agg
+
+    rng = np.random.RandomState(29)
+    n = 400
+    df = pd.DataFrame({
+        "u": rng.randint(0, 25, n).astype("int64"),
+        "seq": np.arange(n, dtype="int64"),
+        "ev": rng.choice(["a", "b", "c", "d"], n)})
+    # shuffle row order so the engine's sort does the work
+    df = df.sample(frac=1.0, random_state=rng).reset_index(drop=True)
+    got = (grouped_string_agg(rd.from_pandas(df).repartition(5), ["u"],
+                              "ev", ["seq"], sep=">")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        SELECT u, string_agg(ev, '>' ORDER BY seq) AS path
+        FROM df GROUP BY u ORDER BY u""").df()
+    assert list(got["u"]) == list(want["u"])
+    assert list(got["path"]) == list(want["path"])
