@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q.q_tpch_q3,
         "events_corr": q.q_events_corr,
         "user_paths": q.q_user_paths,
+        "events_mode": q.q_events_mode,
+        "events_firstlast": q.q_events_firstlast,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -861,6 +863,29 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' ORDER BY ts, event_id)
                      AS path
             FROM events GROUP BY user_id
+        """,
+        "events_mode": """
+            WITH c AS (SELECT event_type,
+                              CAST(hour(ts) AS BIGINT) AS modal_hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, modal_hour, n
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY n DESC, modal_hour ASC) AS rn
+                  FROM c)
+            WHERE rn = 1
+        """,
+        "events_firstlast": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events)
+            SELECT DISTINCT user_id,
+                   first_value(c) OVER w AS first_cents,
+                   last_value(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING)
+                     AS last_cents
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "tpch_q1": """
             WITH l AS (

@@ -903,3 +903,32 @@ def grouped_string_agg(ds: rd.Dataset, key_cols: list[str], value_col: str,
         return out.rename(columns={value_col: out_col})
 
     return bucketed_groupby(ds, key_cols, merge, buckets=buckets)
+
+
+def grouped_mode(ds: rd.Dataset, key_cols: list[str], value_col: str, *,
+                 buckets: int | None = None) -> rd.Dataset:
+    """Most frequent value per group, deterministic tiebreak = smallest
+    value. Combiner shape: per-block (key, value) partial counts — one row
+    per distinct (key, value) per block — then a bucketed merge that sums
+    counts and takes the per-key argmax. Output: key_cols + (value_col,
+    n = the winner's exact count). The shuffle carries the (key x value)
+    vocabulary, not rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([*key_cols, value_col], as_index=False,
+                       sort=False, dropna=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby([*key_cols, value_col], as_index=False, sort=False,
+                       dropna=False)["n"].sum()
+        f = f.sort_values([*key_cols, "n", value_col],
+                          ascending=[*(True,) * len(key_cols), False, True],
+                          kind="mergesort")
+        out = f.groupby(key_cols, as_index=False, sort=False,
+                        dropna=False).head(1)
+        out["n"] = out["n"].astype("int64")
+        return out.reset_index(drop=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)

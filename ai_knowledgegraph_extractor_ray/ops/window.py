@@ -37,7 +37,8 @@ import ray.data as rd
 from .agg import bucketed_groupby
 
 _KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum",
-          "rank", "dense_rank", "ntile", "percent_rank", "cume_dist"}
+          "rank", "dense_rank", "ntile", "percent_rank", "cume_dist",
+          "first_value", "last_value"}
 
 
 @dataclass(frozen=True)
@@ -123,6 +124,15 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                     rn // np.maximum(base + 1, 1),
                     big + (rn - cut) // np.maximum(base, 1)) + 1
                 out = pd.Series(tile.astype("int64"), index=df.index)
+            elif s.kind == "first_value":
+                # SQL FIRST_VALUE(src) over the window's total order with
+                # the default frame (rows to current): the key's first row
+                out = g[s.src].transform("first")
+            elif s.kind == "last_value":
+                # SQL LAST_VALUE(src) ... ROWS BETWEEN UNBOUNDED PRECEDING
+                # AND UNBOUNDED FOLLOWING (the useful frame): the key's
+                # last row under the total order
+                out = g[s.src].transform("last")
             elif s.kind == "cum_sum":
                 out = g[s.src].cumsum()
             else:                                   # rolling_sum, exact:

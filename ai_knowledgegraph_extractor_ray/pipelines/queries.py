@@ -1696,3 +1696,51 @@ def q_user_paths(sf_dir: str) -> rd.Dataset:
                                   "event_type"])
     return grouped_string_agg(ev, ["user_id"], "event_type",
                               ["ts", "event_id"], sep=">", out_col="path")
+
+
+def q_events_mode(sf_dir: str) -> rd.Dataset:
+    """Modal hour-of-day per event type (round 4): grouped_mode's
+    (key x value)-vocabulary combiner + per-key argmax with a
+    deterministic smallest-value tiebreak."""
+    from ..ops.agg import grouped_mode
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "modal_hour": df["ts"].dt.hour.astype("int64")})
+
+    return grouped_mode(ev.map_batches(prep, batch_format="pandas"),
+                        ["event_type"], "modal_hour")
+
+
+def q_events_firstlast(sf_dir: str) -> rd.Dataset:
+    """First and last event value (cents) per user under the (ts,
+    event_id) total order (round 4) — exercises the first_value /
+    last_value window kinds, then collapses to one row per user inside
+    the same bucket-aligned blocks the window shuffle produced."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"], "ts": df["ts"],
+            "event_id": df["event_id"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64)})
+
+    w = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["ts", "event_id"],
+        specs=[WindowSpec("first_cents", "first_value", src="cents"),
+               WindowSpec("last_cents", "last_value", src="cents")])
+
+    # one row per user: a user's rows share a bucket == block, so a
+    # per-block dedup is exact (batch_size=None keeps block boundaries)
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["user_id", "first_cents", "last_cents"]]
+                .drop_duplicates("user_id"))
+
+    return w.map_batches(collapse, batch_format="pandas", batch_size=None)

@@ -205,6 +205,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "tpch_q3": lambda: len(q.q_tpch_q3(sf_dir)),
             "events_corr": lambda: q.q_events_corr(sf_dir).count(),
             "user_paths": lambda: q.q_user_paths(sf_dir).count(),
+            "events_mode": lambda: q.q_events_mode(sf_dir).count(),
+            "events_firstlast":
+                lambda: q.q_events_firstlast(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -2310,3 +2310,66 @@ def test_grouped_string_agg_matches_duckdb():
         FROM df GROUP BY u ORDER BY u""").df()
     assert list(got["u"]) == list(want["u"])
     assert list(got["path"]) == list(want["path"])
+
+
+def test_grouped_mode_tiebreak_and_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_mode
+
+    # planted tie: group 't' has values 3 and 5 both x4 -> winner 3
+    rng = np.random.RandomState(31)
+    base = pd.DataFrame({
+        "g": rng.choice(list("ab"), 300),
+        "v": rng.randint(0, 9, 300).astype("int64")})
+    tie = pd.DataFrame({"g": ["t"] * 8,
+                        "v": np.array([3, 5] * 4, dtype="int64")})
+    df = pd.concat([base, tie], ignore_index=True)
+    got = (grouped_mode(rd.from_pandas(df).repartition(5), ["g"], "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        WITH c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+                   FROM df GROUP BY 1, 2)
+        SELECT g, v, n FROM (
+            SELECT *, row_number() OVER (PARTITION BY g
+                                         ORDER BY n DESC, v ASC) AS rn
+            FROM c) WHERE rn = 1 ORDER BY g""").df()
+    assert list(got["g"]) == list(want["g"])
+    assert list(got["v"]) == list(want["v"].astype("int64"))
+    assert list(got["n"]) == list(want["n"])
+    assert got.set_index("g").loc["t", "v"] == 3
+
+
+def test_first_last_value_window_kinds():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec,
+        keyed_window,
+    )
+
+    rng = np.random.RandomState(37)
+    df = pd.DataFrame({
+        "k": rng.choice(["g", "h", "i"], 150),
+        "o": rng.permutation(150).astype("int64"),
+        "v": rng.randint(0, 99, 150).astype("int64")})
+    got = keyed_window(
+        rd.from_pandas(df).repartition(4), by="k", order=["o"],
+        specs=[WindowSpec("fv", "first_value", src="v"),
+               WindowSpec("lv", "last_value", src="v")],
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT k, o,
+               first_value(v) OVER w AS fv,
+               last_value(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS lv
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o)
+        ORDER BY k, o""").df()
+    assert list(got["fv"]) == list(want["fv"].astype("int64"))
+    assert list(got["lv"]) == list(want["lv"].astype("int64"))
