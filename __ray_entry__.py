@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
+        "type_encode": q.q_type_encode,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -875,6 +876,12 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n DESC, modal_hour ASC) AS rn
                   FROM c)
             WHERE rn = 1
+        """,
+        "type_encode": """
+            SELECT event_id, event_type,
+                   CAST(dense_rank() OVER (ORDER BY event_type)
+                        AS BIGINT) AS type_id
+            FROM events
         """,
         "events_firstlast": """
             WITH e AS (SELECT user_id, ts, event_id,

@@ -211,3 +211,37 @@ def stratified_split(ds: rd.Dataset, *, strata_col: str,
             [], dtype="object"))
 
     return bucketed_groupby(ds, [strata_col], merge, buckets=buckets)
+
+
+def vocab_encode(ds: rd.Dataset, col: str, *, out_col: str | None = None,
+                 start: int = 1) -> rd.Dataset:
+    """Categorical/label encoding: map a bounded-vocabulary string column
+    to dense int64 ids assigned in LEXICOGRAPHIC order (id = start +
+    sorted rank), so the mapping is deterministic and a SQL
+    ``dense_rank() OVER (ORDER BY col)`` oracle reproduces it exactly.
+
+    Scale shape: the vocabulary is collected via per-block dedup (rows
+    shipped = distinct-per-block, not corpus rows), sorted driver-side
+    (caller asserts boundedness — the same contract as every broadcast
+    lookup in this engine), and shipped back once via ``ray.put``; the
+    corpus pass is a zero-shuffle map. NULL values encode as NULL."""
+    import ray
+
+    out_col = out_col or f"{col}_id"
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[col]].dropna().drop_duplicates()
+
+    vocab_df = ds.map_batches(distinct, batch_format="pandas").to_pandas()
+    vocab = np.unique(vocab_df[col].to_numpy(dtype=object).astype(str))
+    code_of = pd.Series(np.arange(start, start + len(vocab),
+                                  dtype=np.int64), index=vocab)
+    ref = ray.put(code_of)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        codes = df[col].map(ray.get(ref))
+        df = df.copy()
+        df[out_col] = codes.astype("Int64")
+        return df
+
+    return ds.map_batches(encode, batch_format="pandas")

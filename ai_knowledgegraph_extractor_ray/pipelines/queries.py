@@ -1744,3 +1744,14 @@ def q_events_firstlast(sf_dir: str) -> rd.Dataset:
                 .drop_duplicates("user_id"))
 
     return w.map_batches(collapse, batch_format="pandas", batch_size=None)
+
+
+def q_type_encode(sf_dir: str) -> rd.Dataset:
+    """Label-encode event_type to dense lexicographic ids (round 4):
+    bounded-vocabulary broadcast encode, zero shuffle on the corpus pass;
+    id assignment pinned by a dense_rank SQL oracle."""
+    from ..ops.sampling import vocab_encode
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    return vocab_encode(ev, "event_type", out_col="type_id")

@@ -2373,3 +2373,18 @@ def test_first_last_value_window_kinds():
         ORDER BY k, o""").df()
     assert list(got["fv"]) == list(want["fv"].astype("int64"))
     assert list(got["lv"]) == list(want["lv"].astype("int64"))
+
+
+def test_vocab_encode_lexicographic_and_nulls():
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.sampling import vocab_encode
+
+    df = pd.DataFrame({"k": list(range(7)),
+                       "c": ["m", "a", None, "z", "a", "m", "b"]})
+    got = (vocab_encode(rd.from_pandas(df).repartition(3), "c")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # lexicographic ids from 1: a=1, b=2, m=3, z=4; NULL stays NULL
+    want = [3, 1, None, 4, 1, 3, 2]
+    assert [None if pd.isna(v) else int(v) for v in got["c_id"]] == want
