@@ -589,3 +589,35 @@ def bloom_filtered_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
     return hash_inner_join(
         left.map_batches(prefilter, batch_format="pyarrow"),
         right, on, buckets=buckets)
+
+
+def auto_inner_join(left: rd.Dataset, right: rd.Dataset,
+                    on: str | list[str], *,
+                    broadcast_max_bytes: int = 64 * 1024 * 1024,
+                    buckets: int | None = None) -> rd.Dataset:
+    """Cost-based plan choice for an inner equi-join: measure the RIGHT
+    side's actual materialized bytes and dispatch —
+
+    * ``<= broadcast_max_bytes`` → ``broadcast_inner_join`` (right side
+      collected once, shipped once via ``ray.put``, ZERO shuffle on the
+      left; the plan of choice for dimension tables), or
+    * larger → ``hash_inner_join`` (both sides co-bucketed, one
+      exchange).
+
+    The measurement costs one execution of ``right`` (it is materialized
+    and reused by whichever plan wins), so put the cheap/filtered side on
+    the right — the same discipline a cost-based optimizer's statistics
+    would encode. The default threshold is deliberately conservative:
+    64 MiB × num-left-map-tasks of in-flight copies is what the broadcast
+    actually costs across a cluster's object stores; raise it on big-RAM
+    nodes, lower it for wide rows.
+
+    The chosen plan is recorded driver-side in
+    ``auto_inner_join.last_plan`` ('broadcast' | 'shuffle') for tests and
+    plan debugging."""
+    r = right.materialize()
+    if r.size_bytes() <= broadcast_max_bytes:
+        auto_inner_join.last_plan = "broadcast"
+        return broadcast_inner_join(left, r, on)
+    auto_inner_join.last_plan = "shuffle"
+    return hash_inner_join(left, r, on, buckets=buckets)

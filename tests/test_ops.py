@@ -2388,3 +2388,34 @@ def test_vocab_encode_lexicographic_and_nulls():
     # lexicographic ids from 1: a=1, b=2, m=3, z=4; NULL stays NULL
     want = [3, 1, None, 4, 1, 3, 2]
     assert [None if pd.isna(v) else int(v) for v in got["c_id"]] == want
+
+
+def test_auto_inner_join_dispatches_both_plans():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import auto_inner_join
+
+    rng = np.random.RandomState(41)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 500).astype("int64"),
+                         "x": np.arange(500, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                          "y": rng.randint(0, 9, 50).astype("int64")})
+    want = (left.merge(right, on="k").sort_values(["x"])
+            .reset_index(drop=True))
+
+    got_b = auto_inner_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right).repartition(2), "k")
+    assert auto_inner_join.last_plan == "broadcast"
+    got_b = (got_b.to_pandas().sort_values(["x"]).reset_index(drop=True)
+             [["k", "x", "y"]].astype("int64"))
+    pd.testing.assert_frame_equal(got_b, want[["k", "x", "y"]])
+
+    got_s = auto_inner_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right).repartition(2), "k",
+                            broadcast_max_bytes=1)
+    assert auto_inner_join.last_plan == "shuffle"
+    got_s = (got_s.to_pandas().sort_values(["x"]).reset_index(drop=True)
+             [["k", "x", "y"]].astype("int64"))
+    pd.testing.assert_frame_equal(got_s, want[["k", "x", "y"]])
