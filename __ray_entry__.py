@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
         "type_encode": q.q_type_encode,
+        "user_types": q.q_user_types,
         # --- oracled queries rotated into the rest of the 50-window ---
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
@@ -882,6 +883,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dense_rank() OVER (ORDER BY event_type)
                         AS BIGINT) AS type_id
             FROM events
+        """,
+        "user_types": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ','
+                              ORDER BY event_type) AS types
+            FROM events GROUP BY user_id
         """,
         "events_firstlast": """
             WITH e AS (SELECT user_id, ts, event_id,

@@ -885,7 +885,7 @@ def grouped_corr(ds: rd.Dataset, key_cols: list[str], x_col: str,
 
 def grouped_string_agg(ds: rd.Dataset, key_cols: list[str], value_col: str,
                        order_cols: list[str], *, sep: str = ">",
-                       out_col: str = "path",
+                       out_col: str = "path", distinct: bool = False,
                        buckets: int | None = None) -> rd.Dataset:
     """SQL ``string_agg(value, sep ORDER BY order_cols)`` per key: one
     bucketed shuffle on the key, then a whole-bucket mergesort + per-group
@@ -893,10 +893,19 @@ def grouped_string_agg(ds: rd.Dataset, key_cols: list[str], value_col: str,
     unique id as tiebreak) or the concatenation is not deterministic.
     Per-key output length is unbounded by construction — callers cap the
     per-key row count upstream when keys can be hot (the event-path use
-    caps sessions, not lifetimes, at 100-TB scale)."""
+    caps sessions, not lifetimes, at 100-TB scale).
+
+    ``distinct=True`` = SQL ``string_agg(DISTINCT value ...)``
+    (collect-set): duplicate (key, value) rows collapse to the first
+    under the sort order — SQL only allows ORDER BY the DISTINCT
+    expression itself, so pass ``order_cols=[value_col]`` for parity.
+    Callers may pre-dedup per block to slim the shuffle; the merge-side
+    dedup here is what makes it exact across blocks."""
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([*key_cols, *order_cols], kind="mergesort")
+        if distinct:
+            df = df.drop_duplicates([*key_cols, value_col])
         out = (df.groupby(key_cols, as_index=False, sort=False,
                           dropna=False)[value_col]
                .agg(lambda s: sep.join(s.astype(str))))

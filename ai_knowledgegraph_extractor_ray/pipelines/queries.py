@@ -1755,3 +1755,22 @@ def q_type_encode(sf_dir: str) -> rd.Dataset:
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type"])
     return vocab_encode(ev, "event_type", out_col="type_id")
+
+
+def q_user_types(sf_dir: str) -> rd.Dataset:
+    """Sorted distinct event types per user as one string (collect-set
+    semantics, round 4): per-BLOCK distinct slims the shuffle, merge-side
+    distinct makes it exact across blocks; SQL string_agg(DISTINCT ...
+    ORDER BY ...) pins it exactly."""
+    from ..ops.agg import grouped_string_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    return grouped_string_agg(
+        ev.map_batches(distinct, batch_format="pandas"),
+        ["user_id"], "event_type", ["event_type"], sep=",",
+        out_col="types", distinct=True)

@@ -2419,3 +2419,59 @@ def test_auto_inner_join_dispatches_both_plans():
     got_s = (got_s.to_pandas().sort_values(["x"]).reset_index(drop=True)
              [["k", "x", "y"]].astype("int64"))
     pd.testing.assert_frame_equal(got_s, want[["k", "x", "y"]])
+
+
+def test_round4_ops_empty_input():
+    """Every round-4 grouped op must return an empty, well-typed result
+    on an empty input instead of crashing mid-merge."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import (
+        grouped_corr,
+        grouped_mode,
+        grouped_moments,
+        grouped_string_agg,
+    )
+    from ai_knowledgegraph_extractor_ray.ops.events import (
+        cohort_retention,
+        funnel_stages,
+    )
+
+    empty = pd.DataFrame({
+        "u": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "et": pd.Series(dtype="string"),
+        "v": pd.Series(dtype="int64")})
+    ds = rd.from_pandas(empty)
+
+    assert funnel_stages(ds, user_col="u", ts_col="ts", type_col="et",
+                         stages=["a", "b"]).count() == 0
+    assert cohort_retention(ds, user_col="u", ts_col="ts").count() == 0
+    assert grouped_moments(ds, ["et"], "v").count() == 0
+    assert grouped_corr(ds, ["et"], "u", "v").count() == 0
+    assert grouped_mode(ds, ["et"], "v").count() == 0
+    assert grouped_string_agg(ds, ["u"], "et", ["ts"]).count() == 0
+
+
+def test_grouped_string_agg_distinct_cross_block():
+    """collect-set: duplicates of (key, value) arriving in DIFFERENT
+    blocks must still collapse (merge-side dedup, not just per-block)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_string_agg
+
+    df = pd.DataFrame({"u": [1, 1, 1, 2, 2, 1],
+                       "v": ["b", "a", "b", "c", "c", "a"]})
+    # repartition(6) puts ~1 row per block -> every duplicate pair is
+    # cross-block
+    got = (grouped_string_agg(rd.from_pandas(df).repartition(6), ["u"],
+                              "v", ["v"], sep=",", distinct=True)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    want = duckdb.connect().execute("""
+        SELECT u, string_agg(DISTINCT v, ',' ORDER BY v) AS path
+        FROM df GROUP BY u ORDER BY u""").df()
+    assert list(got["u"]) == list(want["u"])
+    assert list(got["path"]) == list(want["path"])
