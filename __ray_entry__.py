@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q.q_kg_components,
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
+        "tpch_q5": q.q_tpch_q5,
+        "tpch_q6": q.q_tpch_q6,
         "events_corr": q.q_events_corr,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
@@ -944,6 +946,29 @@ def oracle_sql() -> dict[str, str]:
             FROM rev JOIN o ON rev.l_orderkey = o.o_orderkey
             ORDER BY revenue_e4 DESC, o.o_orderdate, rev.l_orderkey
             LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue_e4 DESC
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """,
         "events_funnel": """
             WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -1774,3 +1774,115 @@ def q_user_types(sf_dir: str) -> rd.Dataset:
         ev.map_batches(distinct, batch_format="pandas"),
         ["user_id"], "event_type", ["event_type"], sep=",",
         out_col="types", distinct=True)
+
+
+def q_tpch_q5(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 local-supplier revenue (round 4). Distributed shape:
+    nation⋈region and the ASIA supplier map are driver-tiny broadcasts;
+    orders⋈customer goes through ``auto_inner_join`` (cost-based — the
+    filtered customer slice broadcasts at test scale, co-buckets at 100-TB
+    scale); the only mandatory exchange is the orderkey join between the
+    pre-aggregated lineitem partials and the dated orders. The
+    ``c_nationkey = s_nationkey`` locality predicate is applied post-join,
+    then a 25-row nation rollup finishes driver-side. Money math is exact
+    integer e4 (cents × discount bp), matching the oracle bit-for-bit."""
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import auto_inner_join, hash_inner_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    asia_keys = nat[nat["n_regionkey"].isin(
+        reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])]
+    nation_name = dict(zip(asia_keys["n_nationkey"].astype(int),
+                           asia_keys["n_name"]))
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nation_name)]
+    sup_map_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                   sup["s_nationkey"].astype(int))))
+    asia_ref = ray.put(frozenset(nation_name))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin(ray.get(asia_ref))]
+        return pd.DataFrame({
+            "o_custkey": df["c_custkey"].to_numpy(np.int64),
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def dated(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64)})
+
+    ord_cust = auto_inner_join(
+        orders.map_batches(dated, batch_format="pandas"),
+        cust.map_batches(cust_slim, batch_format="pandas"), "o_custkey")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(sup_map_ref)
+        nk = df["l_suppkey"].map(smap)
+        keep = nk.notna().to_numpy()
+        df = df[keep]
+        ext_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                              "s_nationkey": nk[keep].to_numpy(np.int64),
+                              "revenue_e4": ext_c * (100 - disc_p)})
+                .groupby(["l_orderkey", "s_nationkey"], as_index=False,
+                         sort=False).sum())
+
+    joined = hash_inner_join(
+        li.map_batches(li_partial, batch_format="pandas"), ord_cust,
+        "l_orderkey")
+
+    def local_sum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].to_numpy() == df["s_nationkey"].to_numpy()]
+        return (df[["s_nationkey", "revenue_e4"]]
+                .groupby("s_nationkey", as_index=False, sort=False).sum())
+
+    per_nation = bucketed_groupby(
+        joined.map_batches(local_sum, batch_format="pandas"),
+        ["s_nationkey"], sum_merge(["s_nationkey"], ["revenue_e4"]),
+        buckets=4).to_pandas()
+    per_nation["n_name"] = per_nation["s_nationkey"].map(nation_name)
+    out = (per_nation.sort_values("revenue_e4", ascending=False,
+                                  kind="mergesort").reset_index(drop=True))
+    return out[["n_name", "revenue_e4"]].astype({"revenue_e4": "int64"})
+
+
+def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 forecast revenue (round 4): the canonical pruned-scan +
+    combiner pipeline — 4 columns leave storage, each block folds to one
+    int64 partial, the driver sums ≤num_blocks scalars. Zero shuffle."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+             & (df["l_discount"] >= 0.05) & (df["l_discount"] <= 0.07)
+             & (df["l_quantity"] < 24))
+        df = df[m]
+        ext_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"revenue_e4": [int((ext_c * disc_p).sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue_e4": [np.int64(parts["revenue_e4"].sum())]})

@@ -2178,7 +2178,7 @@ def _write_tpch_mini(tmp_path):
     orders = pd.DataFrame({
         "o_orderkey": np.arange(n_ord, dtype="int64"),
         "o_custkey": rng.randint(0, n_cust, n_ord).astype("int64"),
-        "o_orderdate": pd.Timestamp("1997-01-01")
+        "o_orderdate": pd.Timestamp("1996-01-01")
         + pd.to_timedelta(rng.randint(0, 900, n_ord), unit="D"),
         "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-LOW"], n_ord),
         "o_orderstatus": rng.choice(["F", "O"], n_ord),
@@ -2191,10 +2191,24 @@ def _write_tpch_mini(tmp_path):
         "l_tax": (rng.randint(0, 9, n_li) / 100.0),
         "l_returnflag": rng.choice(["A", "N", "R"], n_li),
         "l_linestatus": rng.choice(["F", "O"], n_li),
-        "l_shipdate": pd.Timestamp("1997-01-01")
-        + pd.to_timedelta(rng.randint(0, 1100, n_li), unit="D")})
+        "l_shipdate": pd.Timestamp("1996-01-01")
+        + pd.to_timedelta(rng.randint(0, 1100, n_li), unit="D"),
+        "l_suppkey": rng.randint(0, 12, n_li).astype("int64")})
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(2, dtype="int64"),
+        "r_name": ["ASIA", "EUROPE"]})
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(5, dtype="int64"),
+        "n_name": [f"NATION_{i}" for i in range(5)],
+        "n_regionkey": np.array([0, 0, 0, 1, 1], dtype="int64")})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(12, dtype="int64"),
+        "s_name": [f"supp{i}" for i in range(12)],
+        "s_nationkey": rng.randint(0, 5, 12).astype("int32"),
+        "s_acctbal": rng.uniform(0, 9999, 12).round(2)})
     for name, df in (("customer", cust), ("orders", orders),
-                     ("lineitem", li)):
+                     ("lineitem", li), ("region", region),
+                     ("nation", nation), ("supplier", supplier)):
         df.to_parquet(tmp_path / f"{name}.parquet")
     return cust, orders, li
 
@@ -2475,3 +2489,41 @@ def test_grouped_string_agg_distinct_cross_block():
         FROM df GROUP BY u ORDER BY u""").df()
     assert list(got["u"]) == list(want["u"])
     assert list(got["path"]) == list(want["path"])
+
+
+def test_tpch_q5_q6_match_duckdb(tmp_path):
+    """Q5 (auto-planned 6-table star join) and Q6 (pruned-scan combiner)
+    must bit-match DuckDB running the registered oracle SQL on the same
+    synthetic tables — including the c_nationkey = s_nationkey locality
+    predicate applied after the orderkey exchange."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines.queries import (
+        q_tpch_q5,
+        q_tpch_q6,
+    )
+
+    _write_tpch_mini(tmp_path)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    sql = entry.oracle_sql()
+
+    got5 = q_tpch_q5(str(tmp_path)).reset_index(drop=True)
+    want5 = con.execute(sql["tpch_q5"]).df().reset_index(drop=True)
+    assert len(want5) > 0, "fixture must produce ASIA revenue rows"
+    pd.testing.assert_frame_equal(
+        got5.sort_values(["revenue_e4", "n_name"],
+                         ascending=[False, True]).reset_index(drop=True),
+        want5.sort_values(["revenue_e4", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+        .astype({"revenue_e4": "int64"}))
+
+    got6 = q_tpch_q6(str(tmp_path))
+    want6 = con.execute(sql["tpch_q6"]).df()
+    assert int(want6["revenue_e4"][0]) > 0
+    assert int(got6["revenue_e4"][0]) == int(want6["revenue_e4"][0])
