@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q.q_tpch_q5,
         "tpch_q6": q.q_tpch_q6,
         "events_corr": q.q_events_corr,
+        "events_topn": q.q_events_topn,
+        "events_regr": q.q_events_regr,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -861,6 +863,46 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                      AS corr
             FROM f
+        """,
+        "events_topn": """
+            SELECT event_id, user_id, cents, rn FROM (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(row_number() OVER (
+                          PARTITION BY user_id
+                          ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                   event_id) AS BIGINT) AS rn
+              FROM events) t WHERE rn <= 3
+        """,
+        "events_regr": """
+            WITH e AS (SELECT event_type,
+                              CAST(hour(ts) AS BIGINT) AS x,
+                              CAST(round(value * 100) AS BIGINT) AS y
+                       FROM events),
+            f AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sx2,
+                         CAST(sum(y * y) AS BIGINT) AS sy2
+                  FROM e GROUP BY event_type),
+            g AS (SELECT event_type, n,
+                         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+                         (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS varx,
+                         (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vary,
+                         CAST(sx AS DOUBLE) AS sxd,
+                         CAST(sy AS DOUBLE) AS syd
+                  FROM f)
+            SELECT event_type, n,
+                   num / varx AS slope,
+                   (syd - (num / varx) * sxd) / CAST(n AS DOUBLE)
+                     AS intercept,
+                   (num * num) / (varx * vary) AS r2
+            FROM g
         """,
         "user_paths": """
             SELECT user_id,

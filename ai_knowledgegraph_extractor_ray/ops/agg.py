@@ -941,3 +941,95 @@ def grouped_mode(ds: rd.Dataset, key_cols: list[str], value_col: str, *,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+def grouped_top_n(ds: rd.Dataset, key_cols: list[str], value_col: str, *,
+                  n: int, tie_cols: list[str] | None = None,
+                  ascending: bool = False,
+                  buckets: int | None = None) -> rd.Dataset:
+    """Top-``n`` rows per key — the combiner form of
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY value) <= n``: each
+    block keeps only its local top-``n`` per key (at most ``n·keys`` rows
+    leave any block), the bucketed merge re-ranks the surviving
+    ``<= n·keys·blocks`` rows and stamps ``rn`` (1-based). Orders by
+    ``value_col`` (desc by default) with ``tie_cols`` ascending as the
+    deterministic tiebreak — together they must form a total order within
+    each key or ``rn`` is nondeterministic. Far cheaper than a full
+    window shuffle: the exchange moves candidate rows only, never the
+    whole table."""
+    ties = tie_cols or []
+    sort_cols = key_cols + [value_col] + ties
+    asc = [True] * len(key_cols) + [ascending] + [True] * len(ties)
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+                .groupby(key_cols, sort=False, dropna=False).head(n))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+               .groupby(key_cols, sort=False, dropna=False).head(n)
+               .reset_index(drop=True))
+        out["rn"] = (out.groupby(key_cols, sort=False, dropna=False)
+                     .cumcount().to_numpy(np.int64) + 1)
+        return out
+
+    partials = ds.map_batches(local_top, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+def grouped_regression(ds: rd.Dataset, key_cols: list[str], x_col: str,
+                       y_col: str, *,
+                       buckets: int | None = None) -> rd.Dataset:
+    """Per-group simple linear regression (SQL ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2``) from EXACT integer combiner sums —
+    the fitting sibling of ``grouped_corr``: per-block partials carry
+    (n, Sx, Sy, Sxy, Sx2, Sy2) per key and the merge evaluates
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sx2 - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+        r2        = (n*Sxy - Sx*Sy)^2 / ((n*Sx2 - Sx^2) * (n*Sy2 - Sy^2))
+
+    in float64 from the exact int64 sums, bit-reproducible against the
+    same closed formula in SQL. Zero-x-variance groups get NaN. Both
+    columns must be integer-valued; cross-products below 2^63."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy()
+        y = df[y_col].to_numpy()
+        for name, v in ((x_col, x), (y_col, y)):
+            if v.dtype.kind not in "iu":
+                raise ValueError(
+                    f"grouped_regression: {name!r} must be integer-valued "
+                    f"(got {v.dtype}); discretize first")
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        g = pd.DataFrame({**{k: df[k] for k in key_cols},
+                          "_n": np.ones(len(df), dtype=np.int64),
+                          "_sx": x, "_sy": y, "_sxy": x * y,
+                          "_sx2": x * x, "_sy2": y * y})
+        return g.groupby(key_cols, as_index=False, sort=False,
+                         dropna=False).sum()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.groupby(key_cols, as_index=False, sort=False, dropna=False)[
+            ["_n", "_sx", "_sy", "_sxy", "_sx2", "_sy2"]].sum()
+        n = f["_n"].to_numpy(dtype=np.float64)
+        sx = f["_sx"].to_numpy(dtype=np.float64)
+        sy = f["_sy"].to_numpy(dtype=np.float64)
+        sxy = f["_sxy"].to_numpy(dtype=np.float64)
+        sx2 = f["_sx2"].to_numpy(dtype=np.float64)
+        sy2 = f["_sy2"].to_numpy(dtype=np.float64)
+        num = n * sxy - sx * sy
+        varx = n * sx2 - sx * sx
+        vary = n * sy2 - sy * sy
+        out = f[key_cols].copy()
+        out["n"] = f["_n"].astype("int64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num / varx
+            out["slope"] = slope
+            out["intercept"] = (sy - slope * sx) / n
+            out["r2"] = (num * num) / (varx * vary)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)

@@ -1886,3 +1886,45 @@ def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
 
     parts = li.map_batches(partial, batch_format="pandas").to_pandas()
     return pd.DataFrame({"revenue_e4": [np.int64(parts["revenue_e4"].sum())]})
+
+
+def q_events_topn(sf_dir: str) -> rd.Dataset:
+    """Top-3 events per user by cents (round 4) via the combiner top-N —
+    each block ships at most 3 candidate rows per user, the bucketed
+    merge re-ranks survivors; equivalent to ROW_NUMBER() <= 3 without a
+    full window shuffle."""
+    from ..ops.agg import grouped_top_n
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return grouped_top_n(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"], "cents",
+        n=3, tie_cols=["event_id"])
+
+
+def q_events_regr(sf_dir: str) -> rd.Dataset:
+    """Per-event-type linear regression of cents on hour-of-day (round
+    4): exact integer combiner sums, closed-formula float64 finish
+    bit-matched by the identical SQL expression."""
+    from ..ops.agg import grouped_regression
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.hour.to_numpy(np.int64),
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return grouped_regression(
+        ev.map_batches(prep, batch_format="pandas"), ["event_type"],
+        "hour", "cents")

@@ -212,6 +212,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
                 lambda: q.q_events_firstlast(sf_dir).count(),
             "type_encode": lambda: q.q_type_encode(sf_dir).count(),
             "user_types": lambda: q.q_user_types(sf_dir).count(),
+            "events_topn": lambda: q.q_events_topn(sf_dir).count(),
+            "events_regr": lambda: q.q_events_regr(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -2527,3 +2527,60 @@ def test_tpch_q5_q6_match_duckdb(tmp_path):
     want6 = con.execute(sql["tpch_q6"]).df()
     assert int(want6["revenue_e4"][0]) > 0
     assert int(got6["revenue_e4"][0]) == int(want6["revenue_e4"][0])
+
+
+def test_grouped_top_n_cross_block_and_ties():
+    """Candidates for one key arriving in DIFFERENT blocks must be
+    re-ranked globally in the merge; ties on value break by tie_cols
+    ascending, and rn is a dense 1..n per key."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_top_n
+
+    a = pd.DataFrame({"k": ["u1", "u1", "u2"], "v": [5, 9, 7],
+                      "id": ["a", "b", "c"]})
+    b = pd.DataFrame({"k": ["u1", "u1", "u2"], "v": [9, 8, 1],
+                      "id": ["a0", "d", "e"]})
+    ds = rd.from_pandas([a, b])  # two blocks
+    out = (grouped_top_n(ds, ["k"], "v", n=2, tie_cols=["id"], buckets=2)
+           .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True))
+    # u1 top2 across blocks: v=9 id=a0 (tie a0<b), then v=9 id=b
+    assert list(out[out["k"] == "u1"]["id"]) == ["a0", "b"]
+    assert list(out[out["k"] == "u1"]["rn"]) == [1, 2]
+    assert list(out[out["k"] == "u2"]["id"]) == ["c", "e"]
+    # ascending=True flips to bottom-n
+    low = (grouped_top_n(ds, ["k"], "v", n=1, tie_cols=["id"],
+                         ascending=True, buckets=2).to_pandas())
+    assert list(low[low["k"] == "u1"]["v"]) == [5]
+
+
+def test_grouped_regression_matches_polyfit():
+    """Exact-sums regression must agree with numpy lstsq per group and
+    produce NaN slope for a zero-x-variance group."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import grouped_regression
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 200),
+        "x": rng.randint(0, 24, 400).astype("int64"),
+        "y": rng.randint(-50, 500, 400).astype("int64")})
+    flat = pd.DataFrame({"g": ["c"] * 5, "x": np.int64(3),
+                         "y": np.arange(5, dtype="int64")})
+    ds = rd.from_pandas([df.iloc[:150], df.iloc[150:], flat])
+    out = (grouped_regression(ds, ["g"], "x", "y", buckets=2)
+           .to_pandas().set_index("g"))
+    for g in ("a", "b"):
+        sub = df[df["g"] == g]
+        slope, intercept = np.polyfit(sub["x"], sub["y"], 1)
+        assert abs(out.loc[g, "slope"] - slope) < 1e-9
+        assert abs(out.loc[g, "intercept"] - intercept) < 1e-9
+        r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(out.loc[g, "r2"] - r * r) < 1e-9
+    assert np.isnan(out.loc["c", "slope"])
+    assert out.loc["c", "n"] == 5
