@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr": q.q_events_corr,
         "events_topn": q.q_events_topn,
         "events_regr": q.q_events_regr,
+        "events_global_rank": q.q_events_global_rank,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -903,6 +904,14 @@ def oracle_sql() -> dict[str, str]:
                      AS intercept,
                    (num * num) / (varx * vary) AS r2
             FROM g
+        """,
+        "events_global_rank": """
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (
+                        ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                 event_id) AS BIGINT) AS rn
+            FROM events
         """,
         "user_paths": """
             SELECT user_id,

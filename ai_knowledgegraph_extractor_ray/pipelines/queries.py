@@ -1928,3 +1928,24 @@ def q_events_regr(sf_dir: str) -> rd.Dataset:
     return grouped_regression(
         ev.map_batches(prep, batch_format="pandas"), ["event_type"],
         "hour", "cents")
+
+
+def q_events_global_rank(sf_dir: str) -> rd.Dataset:
+    """GLOBAL row number over every event by (cents desc, event_id) —
+    the range-partitioned sample-sort exchange (round 4): sampled cuts
+    route the one total-order shuffle, ranks stamp from prefix-summed
+    partition counts with no extra pass."""
+    from ..ops.sort import global_row_number
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return global_row_number(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["cents", "event_id"], ascending=[False, True])

@@ -214,6 +214,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "user_types": lambda: q.q_user_types(sf_dir).count(),
             "events_topn": lambda: q.q_events_topn(sf_dir).count(),
             "events_regr": lambda: q.q_events_regr(sf_dir).count(),
+            "events_global_rank":
+                lambda: q.q_events_global_rank(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -2584,3 +2584,48 @@ def test_grouped_regression_matches_polyfit():
         assert abs(out.loc[g, "r2"] - r * r) < 1e-9
     assert np.isnan(out.loc["c", "slope"])
     assert out.loc["c", "n"] == 5
+
+
+def test_range_sort_global_order_and_ranks():
+    """Sample-sort: output blocks must concatenate into the exact global
+    order; rn must be the dense 1..N total-order rank for ascending,
+    descending, and string-primary inputs; empty input yields an empty
+    dataset."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.sort import (
+        global_row_number,
+        range_sort,
+    )
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "v": rng.randint(0, 40, 500).astype("int64"),   # heavy ties
+        "id": [f"r{i:04d}" for i in rng.permutation(500)]})
+    ds = rd.from_pandas([df.iloc[:200], df.iloc[200:350], df.iloc[350:]])
+
+    out = (global_row_number(ds, ["v", "id"], num_partitions=5)
+           .to_pandas())
+    want = (df.sort_values(["v", "id"], kind="mergesort")
+            .reset_index(drop=True))
+    got_in_block_order = out.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_in_block_order[["v", "id"]], want)          # global block order
+    assert list(out["rn"]) == list(range(1, 501))        # dense ranks
+
+    desc = (global_row_number(ds, ["v", "id"], ascending=[False, True],
+                              num_partitions=4).to_pandas())
+    want_d = (df.sort_values(["v", "id"], ascending=[False, True],
+                             kind="mergesort").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        desc[["v", "id"]].reset_index(drop=True), want_d)
+    assert list(desc["rn"]) == list(range(1, 501))
+
+    s = range_sort(rd.from_pandas([df.iloc[:100]]), ["id"],
+                   num_partitions=3).to_pandas()
+    assert list(s["id"]) == sorted(df.iloc[:100]["id"])  # string primary
+
+    empty = rd.from_pandas([df.iloc[:0]])
+    assert global_row_number(empty, ["v"]).count() == 0
