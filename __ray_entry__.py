@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canon_sql": q.q_canon_sql,
         "kg_degrees": q.q_kg_degrees,
         "kg_pagerank": q.q_kg_pagerank,
+        "kg_triangles": q.q_kg_triangles,
         # full KG pipeline (not SQL-expressible)
         "kg_nodes": q.q_kg_nodes,
         "kg_edges": q.q_kg_edges,
@@ -1458,6 +1459,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT canonical_dst AS node, 0, 0, 1, weight FROM edges)
             GROUP BY node
+        """,
+        "kg_triangles": f"""
+            WITH edges AS ({_CANON_EDGES_SQL}),
+            und AS (SELECT DISTINCT
+                      least(canonical_src, canonical_dst) AS u,
+                      greatest(canonical_src, canonical_dst) AS v
+                    FROM edges WHERE canonical_src <> canonical_dst)
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
         """,
         "kg_pagerank": f"""
             WITH edges AS ({_CANON_EDGES_SQL}),

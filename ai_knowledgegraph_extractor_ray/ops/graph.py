@@ -167,3 +167,94 @@ def components_table(edges: rd.Dataset, *, src_col: str = "canonical_src",
             "component": vocab[df["component"].to_numpy(dtype=np.int64)]})
 
     return cc.map_batches(back, batch_format="pandas")
+
+
+def triangle_count(edges: rd.Dataset, *, src_col: str = "canonical_src",
+                   dst_col: str = "canonical_dst",
+                   buckets: int | None = None) -> pd.DataFrame:
+    """Exact triangle count of the undirected simple graph underlying
+    ``edges`` — the degree-ordered wedge algorithm (node-iterator++):
+
+    1. distinct undirected edge set (one bucketed dedup shuffle);
+    2. orient every edge from the LOWER (degree, node) endpoint to the
+       higher — each triangle then has exactly one vertex with both
+       out-edges, and every out-neighborhood is O(sqrt(m)) for the
+       worst block, bounding wedge fan-out at O(m^1.5) instead of the
+       hub-quadratic naive count;
+    3. emit wedges (b, c) per source from its rank-sorted out-neighbors
+       (vectorized triu pairs) and semi-join them against the oriented
+       edge keys — surviving wedges ARE the triangles.
+
+    Degrees live driver-side (vocabulary-sized node set — the module's
+    documented boundedness assumption) and broadcast via ``ray.put``;
+    the edge passes stay distributed. Returns a 1-row frame
+    ``{"triangles": n}``; orientation-invariant, so it equals the
+    lexicographic SQL self-join oracle exactly."""
+    import ray
+
+    from .agg import bucketed_groupby
+    from .joins import hash_semi_join
+
+    def und_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].astype(str).to_numpy()
+        d = df[dst_col].astype(str).to_numpy()
+        m = s != d
+        s, d = s[m], d[m]
+        lo = np.where(s < d, s, d)
+        hi = np.where(s < d, d, s)
+        return pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+
+    und = bucketed_groupby(
+        edges.map_batches(und_partial, batch_format="pandas"),
+        ["u", "v"], lambda df: df.drop_duplicates(), buckets=buckets)
+    und = und.materialize()      # reused by degrees, orientation, join
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.concat([df["u"], df["v"]]).rename("node").to_frame()
+                .assign(d=1).groupby("node", as_index=False).sum())
+
+    deg = (und.map_batches(deg_partial, batch_format="pandas").to_pandas()
+           .groupby("node", as_index=False).sum()
+           .sort_values(["d", "node"], kind="mergesort"))
+    rank = dict(zip(deg["node"], range(len(deg))))
+    rank_ref = ray.put(rank)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rank_ref)
+        ru = df["u"].map(r).to_numpy(np.int64)
+        rv = df["v"].map(r).to_numpy(np.int64)
+        flip = ru > rv
+        a = np.where(flip, df["v"], df["u"])
+        b = np.where(flip, df["u"], df["v"])
+        rb = np.where(flip, ru, rv)
+        return pd.DataFrame({"a": a, "b": b, "rb": rb})
+
+    oriented = und.map_batches(orient, batch_format="pandas").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket frame: every out-edge of a source is in this bucket
+        out_b, out_c = [], []
+        for _, g in df.sort_values(["a", "rb"],
+                                   kind="mergesort").groupby("a", sort=False):
+            nb = g["b"].to_numpy()
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            out_b.append(nb[i])
+            out_c.append(nb[j])
+        if not out_b:
+            return pd.DataFrame({"wkey": pd.Series([], dtype=str)})
+        b = np.concatenate(out_b)
+        c = np.concatenate(out_c)
+        return pd.DataFrame(
+            {"wkey": pd.Series(b).str.cat(pd.Series(c), sep="\x00")})
+
+    wedge_ds = bucketed_groupby(oriented, ["a"], wedges, buckets=buckets)
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"wkey": df["a"].str.cat(df["b"], sep="\x00")})
+
+    closing = oriented.map_batches(edge_keys, batch_format="pandas")
+    n = hash_semi_join(wedge_ds, closing, "wkey").count()
+    return pd.DataFrame({"triangles": [np.int64(n)]})

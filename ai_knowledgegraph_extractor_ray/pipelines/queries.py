@@ -1949,3 +1949,12 @@ def q_events_global_rank(sf_dir: str) -> rd.Dataset:
     return global_row_number(
         ev.map_batches(prep, batch_format="pandas"),
         ["cents", "event_id"], ascending=[False, True])
+
+
+def q_kg_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count of the canonical KG (round 4): degree-ordered
+    wedge generation + oriented-edge semi-join — O(m^1.5) work bound,
+    orientation-invariant so it matches the lexicographic SQL self-join."""
+    from ..ops.graph import triangle_count
+
+    return triangle_count(q_canon_sql(sf_dir))

@@ -2629,3 +2629,28 @@ def test_range_sort_global_order_and_ranks():
 
     empty = rd.from_pandas([df.iloc[:0]])
     assert global_row_number(empty, ["v"]).count() == 0
+
+
+def test_triangle_count_known_graph():
+    """Planted graph: K4 (4 triangles... K4 has 4 triangles), one extra
+    triangle sharing a vertex, duplicate/reversed/self-loop edges that
+    must not change the count, split across blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.graph import triangle_count
+
+    # K4 on a,b,c,d -> C(4,3)=4 triangles; plus triangle d,e,f -> 1
+    e1 = pd.DataFrame({"canonical_src": ["a", "a", "a", "b", "b", "c"],
+                       "canonical_dst": ["b", "c", "d", "c", "d", "d"]})
+    e2 = pd.DataFrame({"canonical_src": ["d", "e", "f", "b", "c", "x"],
+                       "canonical_dst": ["e", "f", "d", "a", "b", "x"]})
+    # e2 carries: the d-e-f triangle, a REVERSED duplicate (b->a), an
+    # exact duplicate (c->b), and a self-loop (x->x)
+    out = triangle_count(rd.from_pandas([e1, e2]), buckets=3)
+    assert int(out["triangles"][0]) == 5
+
+    none = triangle_count(rd.from_pandas([pd.DataFrame(
+        {"canonical_src": ["p", "q"], "canonical_dst": ["q", "r"]})]),
+        buckets=2)
+    assert int(none["triangles"][0]) == 0
