@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q.q_kg_degrees,
         "kg_pagerank": q.q_kg_pagerank,
         "kg_triangles": q.q_kg_triangles,
+        "kg_clustering": q.q_kg_clustering,
         # full KG pipeline (not SQL-expressible)
         "kg_nodes": q.q_kg_nodes,
         "kg_edges": q.q_kg_edges,
@@ -1470,6 +1471,31 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
             JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        "kg_clustering": f"""
+            WITH edges AS ({_CANON_EDGES_SQL}),
+            und AS (SELECT DISTINCT
+                      least(canonical_src, canonical_dst) AS u,
+                      greatest(canonical_src, canonical_dst) AS v
+                    FROM edges WHERE canonical_src <> canonical_dst),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM und e1
+                    JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+                    JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+            tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+                     SELECT a AS node FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri) GROUP BY node),
+            dg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+                     SELECT u AS node FROM und
+                     UNION ALL SELECT v FROM und) GROUP BY node)
+            SELECT dg.node, dg.d AS degree,
+                   CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+                   CASE WHEN dg.d >= 2 THEN
+                     (2.0 * CAST(coalesce(tn.t, 0) AS DOUBLE))
+                     / (CAST(dg.d AS DOUBLE) * (CAST(dg.d AS DOUBLE) - 1.0))
+                   ELSE 0.0 END AS coeff
+            FROM dg LEFT JOIN tn ON tn.node = dg.node
         """,
         "kg_pagerank": f"""
             WITH edges AS ({_CANON_EDGES_SQL}),

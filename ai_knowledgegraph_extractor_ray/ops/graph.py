@@ -169,27 +169,13 @@ def components_table(edges: rd.Dataset, *, src_col: str = "canonical_src",
     return cc.map_batches(back, batch_format="pandas")
 
 
-def triangle_count(edges: rd.Dataset, *, src_col: str = "canonical_src",
-                   dst_col: str = "canonical_dst",
-                   buckets: int | None = None) -> pd.DataFrame:
-    """Exact triangle count of the undirected simple graph underlying
-    ``edges`` — the degree-ordered wedge algorithm (node-iterator++):
-
-    1. distinct undirected edge set (one bucketed dedup shuffle);
-    2. orient every edge from the LOWER (degree, node) endpoint to the
-       higher — each triangle then has exactly one vertex with both
-       out-edges, and every out-neighborhood is O(sqrt(m)) for the
-       worst block, bounding wedge fan-out at O(m^1.5) instead of the
-       hub-quadratic naive count;
-    3. emit wedges (b, c) per source from its rank-sorted out-neighbors
-       (vectorized triu pairs) and semi-join them against the oriented
-       edge keys — surviving wedges ARE the triangles.
-
-    Degrees live driver-side (vocabulary-sized node set — the module's
-    documented boundedness assumption) and broadcast via ``ray.put``;
-    the edge passes stay distributed. Returns a 1-row frame
-    ``{"triangles": n}``; orientation-invariant, so it equals the
-    lexicographic SQL self-join oracle exactly."""
+def _triangle_parts(edges: rd.Dataset, *, src_col: str, dst_col: str,
+                    buckets: int | None):
+    """Shared machinery for triangle analytics: returns ``(und, tri)``
+    where ``und`` is the distinct undirected edge Dataset (columns u, v;
+    u < v) and ``tri`` the triangle Dataset (columns a, b, c — one row
+    per triangle, vertices in degree-rank order). See
+    ``triangle_count`` for the algorithm."""
     import ray
 
     from .agg import bucketed_groupby
@@ -233,28 +219,127 @@ def triangle_count(edges: rd.Dataset, *, src_col: str = "canonical_src",
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         # whole-bucket frame: every out-edge of a source is in this bucket
-        out_b, out_c = [], []
-        for _, g in df.sort_values(["a", "rb"],
+        out_a, out_b, out_c = [], [], []
+        for a, g in df.sort_values(["a", "rb"],
                                    kind="mergesort").groupby("a", sort=False):
             nb = g["b"].to_numpy()
             if len(nb) < 2:
                 continue
             i, j = np.triu_indices(len(nb), k=1)
+            out_a.append(np.repeat(a, len(i)))
             out_b.append(nb[i])
             out_c.append(nb[j])
-        if not out_b:
-            return pd.DataFrame({"wkey": pd.Series([], dtype=str)})
-        b = np.concatenate(out_b)
-        c = np.concatenate(out_c)
-        return pd.DataFrame(
-            {"wkey": pd.Series(b).str.cat(pd.Series(c), sep="\x00")})
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "wkey": pd.Series([], dtype=str)})
+        # \x1f (unit separator), NOT \x00: pandas routes str.cat through
+        # numpy fixed-width unicode, which uses NUL as padding and strips
+        # it — a \x00 separator silently vanishes (measured pandas 2.2)
+        b = pd.Series(np.concatenate(out_b))
+        c = pd.Series(np.concatenate(out_c))
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "wkey": b.str.cat(c, sep="\x1f")})
 
     wedge_ds = bucketed_groupby(oriented, ["a"], wedges, buckets=buckets)
 
     def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"wkey": df["a"].str.cat(df["b"], sep="\x00")})
+            {"wkey": df["a"].str.cat(df["b"], sep="\x1f")})
 
     closing = oriented.map_batches(edge_keys, batch_format="pandas")
-    n = hash_semi_join(wedge_ds, closing, "wkey").count()
-    return pd.DataFrame({"triangles": [np.int64(n)]})
+    matched = hash_semi_join(wedge_ds, closing, "wkey")
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype=str)})
+        bc = df["wkey"].str.split("\x1f", n=1, expand=True)
+        return pd.DataFrame({"a": df["a"], "b": bc[0], "c": bc[1]})
+
+    tri = matched.map_batches(split, batch_format="pandas")
+    return und, tri
+
+
+def triangle_count(edges: rd.Dataset, *, src_col: str = "canonical_src",
+                   dst_col: str = "canonical_dst",
+                   buckets: int | None = None) -> pd.DataFrame:
+    """Exact triangle count of the undirected simple graph underlying
+    ``edges`` — the degree-ordered wedge algorithm (node-iterator++):
+
+    1. distinct undirected edge set (one bucketed dedup shuffle);
+    2. orient every edge from the LOWER (degree, node) endpoint to the
+       higher — each triangle then has exactly one vertex with both
+       out-edges, and every out-neighborhood is O(sqrt(m)) for the
+       worst block, bounding wedge fan-out at O(m^1.5) instead of the
+       hub-quadratic naive count;
+    3. emit wedges (b, c) per source from its rank-sorted out-neighbors
+       (vectorized triu pairs) and semi-join them against the oriented
+       edge keys — surviving wedges ARE the triangles.
+
+    Degrees live driver-side (vocabulary-sized node set — the module's
+    documented boundedness assumption) and broadcast via ``ray.put``;
+    the edge passes stay distributed. Returns a 1-row frame
+    ``{"triangles": n}``; orientation-invariant, so it equals the
+    lexicographic SQL self-join oracle exactly."""
+    _, tri = _triangle_parts(edges, src_col=src_col, dst_col=dst_col,
+                             buckets=buckets)
+    return pd.DataFrame({"triangles": [np.int64(tri.count())]})
+
+
+def local_clustering(edges: rd.Dataset, *, src_col: str = "canonical_src",
+                     dst_col: str = "canonical_dst",
+                     buckets: int | None = None) -> rd.Dataset:
+    """Per-node triangle count, undirected degree, and local clustering
+    coefficient ``2t / (d(d-1))`` (0 where degree < 2). Triangles come
+    from the same degree-ordered machinery as ``triangle_count``; each
+    triangle credits all three vertices via a bucketed partial-count
+    pass, left-joined onto the degree table so triangle-free nodes
+    report 0."""
+    from .agg import bucketed_groupby, sum_merge
+    from .joins import hash_inner_join  # noqa: F401  (broadcast path below)
+
+    und, tri = _triangle_parts(edges, src_col=src_col, dst_col=dst_col,
+                               buckets=buckets)
+
+    def tri_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["a"], df["b"], df["c"]], ignore_index=True)
+        return (n.rename("node").to_frame().assign(t=np.int64(1))
+                .groupby("node", as_index=False).sum())
+
+    tcounts = bucketed_groupby(
+        tri.map_batches(tri_partial, batch_format="pandas"),
+        ["node"], sum_merge(["node"], ["t"]), buckets=buckets)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["u"], df["v"]], ignore_index=True)
+        return (n.rename("node").to_frame().assign(d=np.int64(1))
+                .groupby("node", as_index=False).sum())
+
+    deg = bucketed_groupby(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        ["node"], sum_merge(["node"], ["d"]), buckets=buckets)
+
+    # same bucketing key on both sides; a tagged-union exchange merge
+    # left-joins triangle counts onto degrees without a third shuffle
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_side=np.int8(0), t=np.int64(0))
+
+    def tag_tri(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_side=np.int8(1), d=np.int64(0))
+
+    both = (deg.map_batches(tag_deg, batch_format="pandas")
+            .union(tcounts.map_batches(tag_tri, batch_format="pandas")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)[["d", "t"]].sum()
+        d = g["d"].to_numpy(np.float64)
+        t = g["t"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            coeff = np.where(d >= 2, (2.0 * t) / (d * (d - 1.0)), 0.0)
+        return pd.DataFrame({"node": g["node"],
+                             "degree": g["d"].astype("int64"),
+                             "triangles": g["t"].astype("int64"),
+                             "coeff": coeff})
+
+    return bucketed_groupby(both, ["node"], finish, buckets=buckets)

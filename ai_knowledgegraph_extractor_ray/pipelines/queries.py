@@ -1958,3 +1958,13 @@ def q_kg_triangles(sf_dir: str) -> pd.DataFrame:
     from ..ops.graph import triangle_count
 
     return triangle_count(q_canon_sql(sf_dir))
+
+
+def q_kg_clustering(sf_dir: str) -> rd.Dataset:
+    """Per-node local clustering coefficient of the canonical KG (round
+    4): per-node triangle credits from the degree-ordered triangle pass,
+    left-joined onto undirected degrees through one tagged-union
+    exchange; coeff = 2t / (d(d-1))."""
+    from ..ops.graph import local_clustering
+
+    return local_clustering(q_canon_sql(sf_dir))

@@ -2654,3 +2654,32 @@ def test_triangle_count_known_graph():
         {"canonical_src": ["p", "q"], "canonical_dst": ["q", "r"]})]),
         buckets=2)
     assert int(none["triangles"][0]) == 0
+
+
+def test_local_clustering_known_graph():
+    """K4 + pendant: inside K4 every node has coeff 1.0; a pendant node
+    (degree 1) reports 0 triangles and coeff 0; a bridge vertex gets the
+    mixed coefficient."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.graph import local_clustering
+
+    e = pd.DataFrame({
+        "canonical_src": ["a", "a", "a", "b", "b", "c", "d"],
+        "canonical_dst": ["b", "c", "d", "c", "d", "d", "p"]})
+    out = (local_clustering(rd.from_pandas([e.iloc[:4], e.iloc[4:]]),
+                            buckets=3)
+           .to_pandas().set_index("node"))
+    for n in ("a", "b", "c"):
+        assert out.loc[n, "degree"] == 3
+        assert out.loc[n, "triangles"] == 3
+        assert abs(out.loc[n, "coeff"] - 1.0) < 1e-12
+    # d: degree 4 (K4 + pendant), still 3 triangles -> 2*3/(4*3) = 0.5
+    assert out.loc["d", "degree"] == 4
+    assert out.loc["d", "triangles"] == 3
+    assert abs(out.loc["d", "coeff"] - 0.5) < 1e-12
+    assert out.loc["p", "degree"] == 1
+    assert out.loc["p", "triangles"] == 0
+    assert out.loc["p", "coeff"] == 0.0
