@@ -62,6 +62,13 @@ def _range_map(block_refs, primary: str, cuts, num_partitions: int):
         e = tbl.slice(0, 0)
         return (*[e] * num_partitions,
                 np.zeros(num_partitions, dtype=np.int64))
+    if tbl.column(primary).null_count:
+        # a null has no place in a total order; fail loudly instead of a
+        # TypeError deep inside searchsorted (same contract as ops/window
+        # rank after the round-3 null-rank advice)
+        raise ValueError(
+            f"range_sort: primary order column {primary!r} contains "
+            "nulls; filter or fill them first")
     v = tbl.column(primary).to_pandas().to_numpy()
     pids = pd.Index(cuts).searchsorted(v, side="right").astype(np.int64)
     order = np.argsort(pids, kind="stable")
