@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topn": q.q_events_topn,
         "events_regr": q.q_events_regr,
         "events_global_rank": q.q_events_global_rank,
+        "reservoir_sample": q.q_reservoir_sample,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -914,6 +915,15 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
                                  event_id) AS BIGINT) AS rn
             FROM events
+        """,
+        "reservoir_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ln((CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 1.0) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE) AS akey
+              FROM documents WHERE n_chars > 0)
+            ORDER BY akey DESC, doc_id LIMIT 200
         """,
         "user_paths": """
             SELECT user_id,

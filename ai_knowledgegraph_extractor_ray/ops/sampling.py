@@ -245,3 +245,44 @@ def vocab_encode(ds: rd.Dataset, col: str, *, out_col: str | None = None,
         return df
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def weighted_reservoir_topk(ds: rd.Dataset, *, id_col: str,
+                            weight_col: str, k: int,
+                            keep_cols: list[str] | None = None) -> pd.DataFrame:
+    """EXACT weighted sample of ``k`` rows without replacement — the
+    Efraimidis-Spirakis A-Res reservoir, distributed: every row gets the
+    deterministic key ``ln(u) / w`` with ``u = (sha256_32(id)+1) / 2^32``
+    in (0, 1], each block keeps only its local top-``k`` keys, and the
+    driver merges the <= k x blocks survivors. Inclusion probabilities
+    are proportional-to-weight without replacement (the A-Res guarantee);
+    determinism comes from hashing the id instead of drawing randoms, so
+    the same corpus always yields the same sample — rerun- and
+    resume-stable like ``hash_sample``. Rows with weight <= 0 are never
+    selected. Shuffle-free: only local top-k candidates leave any block."""
+    import hashlib
+
+    cols = [id_col, weight_col] + [c for c in (keep_cols or [])
+                                   if c not in (id_col, weight_col)]
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(np.float64)
+        ok = w > 0
+        df = df[ok]
+        if not len(df):
+            return df[cols].assign(akey=np.float64(0))[cols + ["akey"]]
+        u32 = np.fromiter(
+            (int(hashlib.sha256(str(v).encode()).hexdigest()[:8], 16)
+             for v in df[id_col]), dtype=np.int64, count=len(df))
+        u = (u32 + 1.0) / 4294967296.0
+        akey = np.log(u) / w[ok]
+        out = df[cols].assign(akey=akey)
+        return out.sort_values(["akey", id_col],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    cand = (ds.map_batches(local_top, batch_format="pandas")
+            .to_pandas())
+    return (cand.sort_values(["akey", id_col], ascending=[False, True],
+                             kind="mergesort").head(k)
+            .reset_index(drop=True))

@@ -1968,3 +1968,18 @@ def q_kg_clustering(sf_dir: str) -> rd.Dataset:
     from ..ops.graph import local_clustering
 
     return local_clustering(q_canon_sql(sf_dir))
+
+
+def q_reservoir_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact 200-document weighted sample without replacement (round 4):
+    distributed A-Res reservoir keyed by deterministic sha256-derived
+    uniforms, weight = n_chars; only local top-k candidates leave each
+    block. The identical ln(u)/w formula in SQL pins the selection."""
+    from ..ops.sampling import weighted_reservoir_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars", "lang"])
+    out = weighted_reservoir_topk(docs, id_col="doc_id",
+                                  weight_col="n_chars", k=200,
+                                  keep_cols=["lang"])
+    return out[["doc_id", "lang"]]

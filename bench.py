@@ -218,6 +218,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_regr": lambda: q.q_events_regr(sf_dir).count(),
             "events_global_rank":
                 lambda: q.q_events_global_rank(sf_dir).count(),
+            "reservoir_sample":
+                lambda: len(q.q_reservoir_sample(sf_dir)),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -2683,3 +2683,42 @@ def test_local_clustering_known_graph():
     assert out.loc["p", "degree"] == 1
     assert out.loc["p", "triangles"] == 0
     assert out.loc["p", "coeff"] == 0.0
+
+
+def test_weighted_reservoir_topk_properties():
+    """A-Res reservoir: deterministic across block layouts, k rows
+    exactly, zero/negative-weight rows never selected, and heavier rows
+    are selected far more often (statistical sanity at 20x weight)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.sampling import (
+        weighted_reservoir_topk,
+    )
+
+    n = 2000
+    df = pd.DataFrame({
+        "id": [f"d{i:05d}" for i in range(n)],
+        "w": np.where(np.arange(n) % 10 == 0, 20.0, 1.0),
+        "junk": np.arange(n)})
+    df.loc[5, "w"] = 0.0
+    df.loc[6, "w"] = -3.0
+
+    one = weighted_reservoir_topk(rd.from_pandas([df]), id_col="id",
+                                  weight_col="w", k=100)
+    many = weighted_reservoir_topk(
+        rd.from_pandas([df.iloc[:700], df.iloc[700:900], df.iloc[900:]]),
+        id_col="id", weight_col="w", k=100)
+    assert list(one["id"]) == list(many["id"])     # layout-independent
+    assert len(one) == 100
+    assert "d00005" not in set(one["id"])          # w = 0
+    assert "d00006" not in set(one["id"])          # w < 0
+    heavy = sum(1 for i in one["id"] if int(i[1:]) % 10 == 0)
+    # 10% of rows carry 20x weight ~ 69% of total mass; expect them to
+    # dominate the sample (loose bound, deterministic given the hash)
+    assert heavy > 40
+
+    small = weighted_reservoir_topk(rd.from_pandas([df.iloc[:3]]),
+                                    id_col="id", weight_col="w", k=100)
+    assert len(small) == 3                          # k > population
