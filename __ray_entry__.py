@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regr": q.q_events_regr,
         "events_global_rank": q.q_events_global_rank,
         "reservoir_sample": q.q_reservoir_sample,
+        "events_share": q.q_events_share,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -924,6 +925,19 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_chars AS DOUBLE) AS akey
               FROM documents WHERE n_chars > 0)
             ORDER BY akey DESC, doc_id LIMIT 200
+        """,
+        "events_share": """
+            SELECT event_id, user_id, cents,
+                   CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT)
+                     AS total,
+                   CASE WHEN sum(cents) OVER (PARTITION BY user_id) != 0
+                     THEN CAST(cents AS DOUBLE)
+                          / CAST(sum(cents) OVER (PARTITION BY user_id)
+                                 AS DOUBLE)
+                     ELSE 0.0 END AS share
+            FROM (SELECT event_id, user_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
         """,
         "user_paths": """
             SELECT user_id,

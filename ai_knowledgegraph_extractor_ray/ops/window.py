@@ -143,3 +143,37 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
         return df
 
     return bucketed_groupby(ds, [by], merge, buckets=buckets)
+
+
+def keyed_share(ds: rd.Dataset, *, by: str, value_col: str,
+                total_col: str = "total", share_col: str = "share",
+                buckets: int | None = None) -> rd.Dataset:
+    """The UNORDERED full-partition window aggregate —
+    ``SUM(value) OVER (PARTITION BY by)`` attached per row, plus the
+    row's share of it: per-block partial sums feed one bucketed
+    groupby (tiny: one row per key per block), and the totals join
+    back through one co-bucketed exchange. ``share`` is
+    ``value / total`` in float64 (matching the SQL CAST division);
+    zero totals yield share 0.0 to keep the column finite."""
+    from .agg import sum_merge
+    from .joins import hash_inner_join
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({by: df[by], total_col: df[value_col]})
+                .groupby(by, as_index=False, sort=False,
+                         dropna=False).sum())
+
+    totals = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        [by], sum_merge([by], [total_col]), buckets=buckets)
+
+    joined = hash_inner_join(ds, totals, by, buckets=buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        t = df[total_col].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(t != 0, v / t, 0.0)
+        return df.assign(**{share_col: s})
+
+    return joined.map_batches(finish, batch_format="pandas")

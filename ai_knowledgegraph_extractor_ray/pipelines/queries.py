@@ -1983,3 +1983,23 @@ def q_reservoir_sample(sf_dir: str) -> pd.DataFrame:
                                   weight_col="n_chars", k=200,
                                   keep_cols=["lang"])
     return out[["doc_id", "lang"]]
+
+
+def q_events_share(sf_dir: str) -> rd.Dataset:
+    """Each event's share of its user's total spend (round 4) — the
+    unordered full-partition window aggregate SUM() OVER (PARTITION BY
+    user_id): slim per-key totals through one bucketed groupby, joined
+    back in one co-bucketed exchange."""
+    from ..ops.window import keyed_share
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return keyed_share(ev.map_batches(prep, batch_format="pandas"),
+                       by="user_id", value_col="cents")

@@ -2722,3 +2722,24 @@ def test_weighted_reservoir_topk_properties():
     small = weighted_reservoir_topk(rd.from_pandas([df.iloc[:3]]),
                                     id_col="id", weight_col="w", k=100)
     assert len(small) == 3                          # k > population
+
+
+def test_keyed_share_cross_block_and_zero_total():
+    """Partition totals must aggregate across blocks; shares sum to 1
+    per key; a zero-total key yields share 0.0 rather than inf/NaN."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import keyed_share
+
+    a = pd.DataFrame({"k": ["u1", "u2", "u3"], "v": [3, 5, 0]})
+    b = pd.DataFrame({"k": ["u1", "u2", "u3"], "v": [1, 5, 0]})
+    out = (keyed_share(rd.from_pandas([a, b]), by="k", value_col="v",
+                       buckets=2).to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    assert list(out[out["k"] == "u1"]["total"]) == [4, 4]
+    assert list(out[out["k"] == "u1"]["share"]) == [0.25, 0.75]
+    assert list(out[out["k"] == "u2"]["share"]) == [0.5, 0.5]
+    assert list(out[out["k"] == "u3"]["share"]) == [0.0, 0.0]
+    assert np.isfinite(out["share"]).all()
