@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": q.q_events_global_rank,
         "reservoir_sample": q.q_reservoir_sample,
         "events_share": q.q_events_share,
+        "events_ewma": q.q_events_ewma,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -938,6 +939,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id,
                          CAST(round(value * 100) AS BIGINT) AS cents
                   FROM events)
+        """,
+        "events_ewma": """
+            WITH RECURSIVE e AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     CAST(row_number() OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                          AS BIGINT) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, event_id, cents, rn,
+                     CAST(cents AS DOUBLE) AS ewma
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.event_id, e.cents, e.rn,
+                     0.5 * CAST(e.cents AS DOUBLE) + 0.5 * r.ewma
+              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT event_id, user_id, cents, ewma FROM r
         """,
         "user_paths": """
             SELECT user_id,

@@ -38,7 +38,7 @@ from .agg import bucketed_groupby
 
 _KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum",
           "rank", "dense_rank", "ntile", "percent_rank", "cume_dist",
-          "first_value", "last_value"}
+          "first_value", "last_value", "ewma"}
 
 
 @dataclass(frozen=True)
@@ -52,6 +52,7 @@ class WindowSpec:
     src: str | None = None
     param: int | None = None
     fill: object = None
+    alpha: float | None = None   # ewma smoothing factor in (0, 1]
 
 
 def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
@@ -71,6 +72,10 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                 not isinstance(s.param, int) or s.param <= 0):
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
                              f"positive integer param, got {s.param!r}")
+        if s.kind == "ewma" and not (
+                isinstance(s.alpha, float) and 0 < s.alpha <= 1):
+            raise ValueError(f"window {s.out!r}: ewma needs alpha in "
+                             f"(0, 1], got {s.alpha!r}")
     cols = set(ds.schema().names)
     clash = [s.out for s in specs if s.out in cols]
     if clash:
@@ -135,6 +140,12 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                 out = g[s.src].transform("last")
             elif s.kind == "cum_sum":
                 out = g[s.src].cumsum()
+            elif s.kind == "ewma":
+                # recursive exponential smoothing y_t = a*x_t + (1-a)*
+                # y_{t-1}, y_0 = x_0 (pandas adjust=False) over the
+                # window's total order — the per-key streaming smoother
+                out = (g[s.src].transform(
+                    lambda x: x.ewm(alpha=s.alpha, adjust=False).mean()))
             else:                                   # rolling_sum, exact:
                 cs = g[s.src].cumsum()              # win_k[i] = cs[i] -
                 prev = cs.groupby(df[by], sort=False).shift(s.param)

@@ -2003,3 +2003,26 @@ def q_events_share(sf_dir: str) -> rd.Dataset:
 
     return keyed_share(ev.map_batches(prep, batch_format="pandas"),
                        by="user_id", value_col="cents")
+
+
+def q_events_ewma(sf_dir: str) -> rd.Dataset:
+    """Per-user exponentially smoothed spend (alpha=0.5, round 4): the
+    ewma window kind over the (ts, event_id) total order. The oracle is
+    a recursive CTE running the identical float64 recursion."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "ts": df["ts"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    w = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["ts", "event_id"],
+        specs=[WindowSpec("ewma", "ewma", src="cents", alpha=0.5)])
+    return w.select_columns(["event_id", "user_id", "cents", "ewma"])

@@ -2743,3 +2743,33 @@ def test_keyed_share_cross_block_and_zero_total():
     assert list(out[out["k"] == "u2"]["share"]) == [0.5, 0.5]
     assert list(out[out["k"] == "u3"]["share"]) == [0.0, 0.0]
     assert np.isfinite(out["share"]).all()
+
+
+def test_ewma_window_matches_pandas_and_validates_alpha():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec,
+        keyed_window,
+    )
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({"k": np.repeat(["a", "b"], 50),
+                       "o": np.tile(np.arange(50), 2),
+                       "x": rng.randint(0, 100, 100).astype("int64")})
+    out = (keyed_window(rd.from_pandas([df.iloc[:60], df.iloc[60:]]),
+                        by="k", order=["o"],
+                        specs=[WindowSpec("s", "ewma", src="x", alpha=0.3)],
+                        buckets=2)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    want = (df.sort_values(["k", "o"]).groupby("k")["x"]
+            .transform(lambda x: x.ewm(alpha=0.3, adjust=False).mean())
+            .reset_index(drop=True))
+    assert np.allclose(out["s"].to_numpy(), want.to_numpy())
+
+    with pytest.raises(ValueError, match="alpha"):
+        keyed_window(rd.from_pandas([df]), by="k", order=["o"],
+                     specs=[WindowSpec("s", "ewma", src="x")])
