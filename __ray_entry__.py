@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q.q_tpch_q3,
         "tpch_q5": q.q_tpch_q5,
         "tpch_q6": q.q_tpch_q6,
+        "tpch_q10": q.q_tpch_q10,
+        "tpch_q18": q.q_tpch_q18,
         "events_corr": q.q_events_corr,
         "events_topn": q.q_events_topn,
         "events_regr": q.q_events_regr,
@@ -844,6 +846,36 @@ def oracle_sql() -> dict[str, str]:
         # events_corr: closed formula over exact BIGINT sums in the same
         # float64 operation order as the engine — bit-identical, unlike
         # streaming corr()
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, n_name, acctbal_cents
+            ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey, CAST(sum(round(l_quantity)) AS BIGINT)
+                       AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(round(l_quantity)) > 250)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS totalprice_cents,
+                   sum_qty
+            FROM big JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY totalprice_cents DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
         "events_corr": """
             WITH e AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS x,

@@ -2026,3 +2026,153 @@ def q_events_ewma(sf_dir: str) -> rd.Dataset:
         by="user_id", order=["ts", "event_id"],
         specs=[WindowSpec("ewma", "ewma", src="cents", alpha=0.5)])
     return w.select_columns(["event_id", "user_id", "cents", "ewma"])
+
+
+def q_tpch_q10(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 returned-item revenue (round 4): lineitem pre-filters
+    RETURNFLAG='R' and pre-aggregates revenue per order before the one
+    orderkey exchange against the dated orders; the per-customer rollup
+    joins the customer dimension through the cost-based auto plan and
+    the nation map stays a driver-tiny broadcast. Top-20 is local
+    top-20 per block + a driver merge."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import auto_inner_join, hash_inner_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-07-01")
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        ext_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                              "revenue_e4": ext_c * (100 - disc_p)})
+                .groupby("l_orderkey", as_index=False, sort=False).sum())
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def dated(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "c_custkey": df["o_custkey"].to_numpy(np.int64)})
+
+    joined = hash_inner_join(
+        li.map_batches(li_partial, batch_format="pandas"),
+        orders.map_batches(dated, batch_format="pandas"), "l_orderkey")
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["c_custkey", "revenue_e4"]]
+                .groupby("c_custkey", as_index=False, sort=False).sum())
+
+    rev = bucketed_groupby(
+        joined.map_batches(per_cust, batch_format="pandas"),
+        ["c_custkey"], sum_merge(["c_custkey"], ["revenue_e4"]))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_acctbal",
+                                    "c_nationkey"])
+
+    def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64),
+            "c_name": df["c_name"],
+            "acctbal_cents": np.round(df["c_acctbal"].to_numpy() * 100)
+            .astype(np.int64),
+            "n_name": df["c_nationkey"].map(nation_name)})
+
+    out_ds = auto_inner_join(
+        rev, cust.map_batches(cust_slim, batch_format="pandas"),
+        "c_custkey")
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_e4", "c_custkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(20)
+
+    cand = out_ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = (cand.sort_values(["revenue_e4", "c_custkey"],
+                            ascending=[False, True], kind="mergesort")
+           .head(20).reset_index(drop=True))
+    return out[["c_custkey", "c_name", "n_name", "acctbal_cents",
+                "revenue_e4"]].astype({"c_custkey": "int64",
+                                       "acctbal_cents": "int64",
+                                       "revenue_e4": "int64"})
+
+
+def q_tpch_q18(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 large-quantity orders (round 4): the HAVING showcase —
+    per-order quantity partials combine before one bucketed merge that
+    applies HAVING sum(qty) > 250 (output shrinks to the qualifying
+    orders only), then joins the order header and customer name through
+    the cost-based auto plan. Top-100 by (totalprice desc, orderdate)."""
+    from ..ops.agg import bucketed_groupby
+    from ..ops.joins import auto_inner_join, hash_inner_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                              "sum_qty": np.round(df["l_quantity"]
+                                                  .to_numpy()).astype(np.int64)})
+                .groupby("o_orderkey", as_index=False, sort=False).sum())
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False, sort=False)[
+            ["sum_qty"]].sum()
+        return g[g["sum_qty"] > 250]
+
+    big = bucketed_groupby(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        ["o_orderkey"], having)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def ord_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "c_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderdate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            "totalprice_cents": np.round(df["o_totalprice"].to_numpy()
+                                         * 100).astype(np.int64)})
+
+    joined = hash_inner_join(
+        big, orders.map_batches(ord_slim, batch_format="pandas"),
+        "o_orderkey")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["c_custkey"].to_numpy(np.int64),
+                             "c_name": df["c_name"]})
+
+    out_ds = auto_inner_join(
+        joined, cust.map_batches(cust_slim, batch_format="pandas"),
+        "c_custkey")
+
+    keys = ["totalprice_cents", "o_orderdate", "o_orderkey"]
+    asc = [False, True, True]
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, ascending=asc,
+                              kind="mergesort").head(100)
+
+    cand = out_ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = (cand.sort_values(keys, ascending=asc, kind="mergesort")
+           .head(100).reset_index(drop=True))
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "totalprice_cents", "sum_qty"]].astype(
+        {"c_custkey": "int64", "o_orderkey": "int64",
+         "totalprice_cents": "int64", "sum_qty": "int64"})

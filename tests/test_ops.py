@@ -2773,3 +2773,43 @@ def test_ewma_window_matches_pandas_and_validates_alpha():
     with pytest.raises(ValueError, match="alpha"):
         keyed_window(rd.from_pandas([df]), by="k", order=["o"],
                      specs=[WindowSpec("s", "ewma", src="x")])
+
+
+def test_tpch_q10_q18_match_duckdb(tmp_path):
+    """Q10 (returned-item revenue, 4-table join + top-20) and Q18
+    (HAVING sum(qty) join-back) against DuckDB on the mini fixture.
+    The fixture's quantities are small, so Q18's threshold is lowered
+    via monkeypatched SQL comparison — instead we assert directly on a
+    DuckDB run with the same 250 threshold (both may be empty-safe)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines.queries import (
+        q_tpch_q10,
+        q_tpch_q18,
+    )
+
+    _write_tpch_mini(tmp_path)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.execute(f"CREATE VIEW {t} AS FROM '{tmp_path}/{t}.parquet'")
+    sql = entry.oracle_sql()
+
+    got10 = q_tpch_q10(str(tmp_path)).reset_index(drop=True)
+    want10 = con.execute(sql["tpch_q10"]).df().reset_index(drop=True)
+    assert len(want10) > 0
+    pd.testing.assert_frame_equal(
+        got10[list(want10.columns)],
+        want10.astype({"c_custkey": "int64", "acctbal_cents": "int64",
+                       "revenue_e4": "int64"}))
+
+    got18 = q_tpch_q18(str(tmp_path)).reset_index(drop=True)
+    want18 = con.execute(sql["tpch_q18"]).df().reset_index(drop=True)
+    assert len(got18) == len(want18)
+    if len(want18):
+        pd.testing.assert_frame_equal(
+            got18[list(want18.columns)],
+            want18.astype({"c_custkey": "int64", "o_orderkey": "int64",
+                           "totalprice_cents": "int64",
+                           "sum_qty": "int64"}))
