@@ -297,7 +297,6 @@ def local_clustering(edges: rd.Dataset, *, src_col: str = "canonical_src",
     pass, left-joined onto the degree table so triangle-free nodes
     report 0."""
     from .agg import bucketed_groupby, sum_merge
-    from .joins import hash_inner_join  # noqa: F401  (broadcast path below)
 
     und, tri = _triangle_parts(edges, src_col=src_col, dst_col=dst_col,
                                buckets=buckets)

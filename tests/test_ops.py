@@ -2813,3 +2813,33 @@ def test_tpch_q10_q18_match_duckdb(tmp_path):
             want18.astype({"c_custkey": "int64", "o_orderkey": "int64",
                            "totalprice_cents": "int64",
                            "sum_qty": "int64"}))
+
+
+def test_range_sort_property_fuzz():
+    """Hypothesis-style fuzz (fixed seeds, no flaky draws): random int
+    keys with random tie density, random block splits and partition
+    counts must always reproduce the pandas total order with dense
+    ranks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.sort import global_row_number
+
+    for seed in (1, 7, 23):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(50, 2000))
+        vals = rng.randint(0, max(2, n // int(rng.randint(1, 20))), n)
+        df = pd.DataFrame({"v": vals.astype("int64"),
+                           "id": rng.permutation(n).astype("int64")})
+        cuts = np.sort(rng.choice(np.arange(1, n), size=min(3, n - 1),
+                                  replace=False))
+        frames = [x for x in np.split(df, cuts) if len(x)]
+        asc = bool(rng.randint(0, 2))
+        out = global_row_number(
+            rd.from_pandas(frames), ["v", "id"], ascending=asc,
+            num_partitions=int(rng.randint(1, 9))).to_pandas()
+        want = (df.sort_values(["v", "id"], ascending=asc,
+                               kind="mergesort").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out[["v", "id"]], want)
+        assert list(out["rn"]) == list(range(1, n + 1))
