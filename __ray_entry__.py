@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": q.q_reservoir_sample,
         "events_share": q.q_events_share,
         "events_ewma": q.q_events_ewma,
+        "events_rolling": q.q_events_rolling,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -989,6 +990,18 @@ def oracle_sql() -> dict[str, str]:
                      0.5 * CAST(e.cents AS DOUBLE) + 0.5 * r.ewma
               FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
             SELECT event_id, user_id, cents, ewma FROM r
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id, cents,
+                   CAST(min(cents) OVER w AS BIGINT) AS rmin,
+                   CAST(max(cents) OVER w AS BIGINT) AS rmax,
+                   avg(CAST(cents AS DOUBLE)) OVER w AS rmean,
+                   CAST(sum(cents) OVER w AS BIGINT) AS rsum
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "user_paths": """
             SELECT user_id,

@@ -38,7 +38,8 @@ from .agg import bucketed_groupby
 
 _KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum",
           "rank", "dense_rank", "ntile", "percent_rank", "cume_dist",
-          "first_value", "last_value", "ewma"}
+          "first_value", "last_value", "ewma",
+          "rolling_min", "rolling_max", "rolling_mean"}
 
 
 @dataclass(frozen=True)
@@ -68,7 +69,8 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                              f"expected one of {sorted(_KINDS)}")
         if s.kind not in ("row_number", "ntile") and not s.src:
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs src")
-        if s.kind in ("lag", "lead", "rolling_sum", "ntile") and (
+        if s.kind in ("lag", "lead", "rolling_sum", "rolling_min",
+                      "rolling_max", "rolling_mean", "ntile") and (
                 not isinstance(s.param, int) or s.param <= 0):
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
                              f"positive integer param, got {s.param!r}")
@@ -138,6 +140,17 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                 # AND UNBOUNDED FOLLOWING (the useful frame): the key's
                 # last row under the total order
                 out = g[s.src].transform("last")
+            elif s.kind in ("rolling_min", "rolling_max",
+                            "rolling_mean"):
+                # SQL agg(src) OVER (... ROWS BETWEEN param-1 PRECEDING
+                # AND CURRENT ROW): pandas grouped rolling with
+                # min_periods=1 matches the shrinking leading frame
+                fn = s.kind.split("_")[1]
+                out = (g[s.src].rolling(s.param, min_periods=1)
+                       .agg(fn).reset_index(level=0, drop=True))
+                if fn in ("min", "max") and pd.api.types.is_integer_dtype(
+                        df[s.src]):
+                    out = out.astype(df[s.src].dtype)
             elif s.kind == "cum_sum":
                 out = g[s.src].cumsum()
             elif s.kind == "ewma":

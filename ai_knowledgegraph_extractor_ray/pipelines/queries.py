@@ -2176,3 +2176,33 @@ def q_tpch_q18(sf_dir: str) -> pd.DataFrame:
                 "totalprice_cents", "sum_qty"]].astype(
         {"c_custkey": "int64", "o_orderkey": "int64",
          "totalprice_cents": "int64", "sum_qty": "int64"})
+
+
+def q_events_rolling(sf_dir: str) -> rd.Dataset:
+    """Frame-clause rolling aggregates per user (round 4): min / max /
+    mean over the trailing 5-row frame of the (ts, event_id) total
+    order, plus the existing exact rolling sum — one keyed_window
+    shuffle computes all four."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "user_id": df["user_id"],
+            "ts": df["ts"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    w = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["ts", "event_id"],
+        specs=[
+            WindowSpec("rmin", "rolling_min", src="cents", param=5),
+            WindowSpec("rmax", "rolling_max", src="cents", param=5),
+            WindowSpec("rmean", "rolling_mean", src="cents", param=5),
+            WindowSpec("rsum", "rolling_sum", src="cents", param=5),
+        ])
+    return w.select_columns(["event_id", "user_id", "cents",
+                             "rmin", "rmax", "rmean", "rsum"])

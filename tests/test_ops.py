@@ -2843,3 +2843,40 @@ def test_range_sort_property_fuzz():
                                kind="mergesort").reset_index(drop=True))
         pd.testing.assert_frame_equal(out[["v", "id"]], want)
         assert list(out["rn"]) == list(range(1, n + 1))
+
+
+def test_rolling_window_kinds_match_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec,
+        keyed_window,
+    )
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({"k": np.repeat(["a", "b", "c"], 40),
+                       "o": np.tile(np.arange(40), 3),
+                       "x": rng.randint(-50, 50, 120).astype("int64")})
+    out = (keyed_window(rd.from_pandas([df.iloc[:70], df.iloc[70:]]),
+                        by="k", order=["o"],
+                        specs=[WindowSpec("mn", "rolling_min", src="x",
+                                          param=3),
+                               WindowSpec("mx", "rolling_max", src="x",
+                                          param=3),
+                               WindowSpec("me", "rolling_mean", src="x",
+                                          param=3)],
+                        buckets=2)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    base = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = base.groupby("k")["x"]
+    assert list(out["mn"]) == list(
+        g.rolling(3, min_periods=1).min().reset_index(drop=True)
+        .astype("int64"))
+    assert list(out["mx"]) == list(
+        g.rolling(3, min_periods=1).max().reset_index(drop=True)
+        .astype("int64"))
+    assert np.allclose(out["me"], g.rolling(3, min_periods=1).mean()
+                       .reset_index(drop=True))
+    assert out["mn"].dtype == np.int64 and out["mx"].dtype == np.int64
