@@ -199,8 +199,13 @@ def _triangle_parts(edges: rd.Dataset, *, src_col: str, dst_col: str,
         return (pd.concat([df["u"], df["v"]]).rename("node").to_frame()
                 .assign(d=1).groupby("node", as_index=False).sum())
 
-    deg = (und.map_batches(deg_partial, batch_format="pandas").to_pandas()
-           .groupby("node", as_index=False).sum()
+    deg_raw = und.map_batches(deg_partial, batch_format="pandas").to_pandas()
+    if len(deg_raw) == 0:        # empty graph: no nodes, no triangles
+        empty = pd.DataFrame({"a": pd.Series([], dtype=str),
+                              "b": pd.Series([], dtype=str),
+                              "c": pd.Series([], dtype=str)})
+        return und, rd.from_pandas([empty])
+    deg = (deg_raw.groupby("node", as_index=False).sum()
            .sort_values(["d", "node"], kind="mergesort"))
     rank = dict(zip(deg["node"], range(len(deg))))
     rank_ref = ray.put(rank)
@@ -300,6 +305,12 @@ def local_clustering(edges: rd.Dataset, *, src_col: str = "canonical_src",
 
     und, tri = _triangle_parts(edges, src_col=src_col, dst_col=dst_col,
                                buckets=buckets)
+    if und.count() == 0:         # empty graph: typed empty result
+        return rd.from_pandas([pd.DataFrame({
+            "node": pd.Series([], dtype=str),
+            "degree": pd.Series([], dtype="int64"),
+            "triangles": pd.Series([], dtype="int64"),
+            "coeff": pd.Series([], dtype="float64")})])
 
     def tri_partial(df: pd.DataFrame) -> pd.DataFrame:
         n = pd.concat([df["a"], df["b"], df["c"]], ignore_index=True)

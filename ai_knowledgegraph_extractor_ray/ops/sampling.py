@@ -283,6 +283,10 @@ def weighted_reservoir_topk(ds: rd.Dataset, *, id_col: str,
 
     cand = (ds.map_batches(local_top, batch_format="pandas")
             .to_pandas())
+    if "akey" not in cand.columns:   # zero candidate blocks: typed empty
+        cand = pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in cols}).assign(
+            akey=pd.Series([], dtype="float64"))
     return (cand.sort_values(["akey", id_col], ascending=[False, True],
                              kind="mergesort").head(k)
             .reset_index(drop=True))

@@ -189,7 +189,12 @@ def keyed_share(ds: rd.Dataset, *, by: str, value_col: str,
 
     totals = bucketed_groupby(
         ds.map_batches(partial, batch_format="pandas"),
-        [by], sum_merge([by], [total_col]), buckets=buckets)
+        [by], sum_merge([by], [total_col]), buckets=buckets).materialize()
+    if totals.count() == 0:      # empty input: typed empty passthrough
+        def empty_cols(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(**{total_col: df[value_col],
+                                share_col: np.float64(0)})
+        return ds.map_batches(empty_cols, batch_format="pandas")
 
     joined = hash_inner_join(ds, totals, by, buckets=buckets)
 

@@ -2880,3 +2880,49 @@ def test_rolling_window_kinds_match_pandas():
     assert np.allclose(out["me"], g.rolling(3, min_periods=1).mean()
                        .reset_index(drop=True))
     assert out["mn"].dtype == np.int64 and out["mx"].dtype == np.int64
+
+
+def test_round4_session_ops_empty_inputs():
+    """Every op added this session must return a typed empty (or
+    zero-count) result on empty input instead of crashing."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import (
+        grouped_regression,
+        grouped_top_n,
+    )
+    from ai_knowledgegraph_extractor_ray.ops.graph import (
+        local_clustering,
+        triangle_count,
+    )
+    from ai_knowledgegraph_extractor_ray.ops.sampling import (
+        weighted_reservoir_topk,
+    )
+    from ai_knowledgegraph_extractor_ray.ops.window import keyed_share
+
+    empty_e = rd.from_pandas([pd.DataFrame(
+        {"canonical_src": pd.Series([], dtype=str),
+         "canonical_dst": pd.Series([], dtype=str)})])
+    assert int(triangle_count(empty_e, buckets=2)["triangles"][0]) == 0
+    assert local_clustering(empty_e, buckets=2).count() == 0
+
+    empty_kv = rd.from_pandas([pd.DataFrame(
+        {"k": pd.Series([], dtype=str),
+         "v": pd.Series([], dtype="int64")})])
+    assert keyed_share(empty_kv, by="k", value_col="v",
+                       buckets=2).count() == 0
+    assert grouped_top_n(empty_kv, ["k"], "v", n=3, buckets=2).count() == 0
+
+    empty_xy = rd.from_pandas([pd.DataFrame(
+        {"k": pd.Series([], dtype=str),
+         "x": pd.Series([], dtype="int64"),
+         "y": pd.Series([], dtype="int64")})])
+    assert grouped_regression(empty_xy, ["k"], "x", "y",
+                              buckets=2).count() == 0
+
+    empty_w = rd.from_pandas([pd.DataFrame(
+        {"id": pd.Series([], dtype=str),
+         "w": pd.Series([], dtype="float64")})])
+    assert len(weighted_reservoir_topk(empty_w, id_col="id",
+                                       weight_col="w", k=5)) == 0
