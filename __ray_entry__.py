@@ -114,8 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
         "type_encode": q.q_type_encode,
-        "user_types": q.q_user_types,
-        # --- oracled queries rotated into the rest of the 50-window ---
+        "user_types": q.q_user_types,   # position 51: the one oracled
+        # never-gated overflow (51 candidates, 50 slots) — replay with
+        # tools/check_oracle.py; its sibling user_paths IS in-window
+        # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
         "kg_edges": q.q_kg_edges,

@@ -171,10 +171,13 @@ def components_table(edges: rd.Dataset, *, src_col: str = "canonical_src",
 
 def _triangle_parts(edges: rd.Dataset, *, src_col: str, dst_col: str,
                     buckets: int | None):
-    """Shared machinery for triangle analytics: returns ``(und, tri)``
-    where ``und`` is the distinct undirected edge Dataset (columns u, v;
-    u < v) and ``tri`` the triangle Dataset (columns a, b, c — one row
-    per triangle, vertices in degree-rank order). See
+    """Shared machinery for triangle analytics: returns ``(und, tri,
+    deg)`` where ``und`` is the distinct undirected edge Dataset
+    (columns u, v; u < v), ``tri`` the triangle Dataset (columns a, b,
+    c — one row per triangle, vertices in degree-rank order) and
+    ``deg`` the exact per-node undirected degree DataFrame already
+    computed driver-side for the rank ordering (vocabulary-sized —
+    reusable by callers instead of a second distributed pass). See
     ``triangle_count`` for the algorithm."""
     import ray
 
@@ -200,11 +203,13 @@ def _triangle_parts(edges: rd.Dataset, *, src_col: str, dst_col: str,
                 .assign(d=1).groupby("node", as_index=False).sum())
 
     deg_raw = und.map_batches(deg_partial, batch_format="pandas").to_pandas()
+    empty_deg = pd.DataFrame({"node": pd.Series([], dtype=str),
+                              "d": pd.Series([], dtype="int64")})
     if len(deg_raw) == 0:        # empty graph: no nodes, no triangles
         empty = pd.DataFrame({"a": pd.Series([], dtype=str),
                               "b": pd.Series([], dtype=str),
                               "c": pd.Series([], dtype=str)})
-        return und, rd.from_pandas([empty])
+        return und, rd.from_pandas([empty]), empty_deg
     deg = (deg_raw.groupby("node", as_index=False).sum()
            .sort_values(["d", "node"], kind="mergesort"))
     rank = dict(zip(deg["node"], range(len(deg))))
@@ -236,34 +241,25 @@ def _triangle_parts(edges: rd.Dataset, *, src_col: str, dst_col: str,
             out_c.append(nb[j])
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "wkey": pd.Series([], dtype=str)})
-        # \x1f (unit separator), NOT \x00: pandas routes str.cat through
-        # numpy fixed-width unicode, which uses NUL as padding and strips
-        # it — a \x00 separator silently vanishes (measured pandas 2.2)
-        b = pd.Series(np.concatenate(out_b))
-        c = pd.Series(np.concatenate(out_c))
+                                 "b": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype=str)})
+        # the closing-edge check is a COMPOSITE-key semi join on (b, c):
+        # no separator string exists for a node label to collide with
+        # (an earlier separator-joined key was ambiguous for labels
+        # containing the separator, and numpy's fixed-width unicode even
+        # strips a \x00 one outright)
         return pd.DataFrame({"a": np.concatenate(out_a),
-                             "wkey": b.str.cat(c, sep="\x1f")})
+                             "b": np.concatenate(out_b),
+                             "c": np.concatenate(out_c)})
 
     wedge_ds = bucketed_groupby(oriented, ["a"], wedges, buckets=buckets)
 
-    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"wkey": df["a"].str.cat(df["b"], sep="\x1f")})
+    def closing_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": df["a"], "c": df["b"]})
 
-    closing = oriented.map_batches(edge_keys, batch_format="pandas")
-    matched = hash_semi_join(wedge_ds, closing, "wkey")
-
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "b": pd.Series([], dtype=str),
-                                 "c": pd.Series([], dtype=str)})
-        bc = df["wkey"].str.split("\x1f", n=1, expand=True)
-        return pd.DataFrame({"a": df["a"], "b": bc[0], "c": bc[1]})
-
-    tri = matched.map_batches(split, batch_format="pandas")
-    return und, tri
+    closing = oriented.map_batches(closing_keys, batch_format="pandas")
+    tri = hash_semi_join(wedge_ds, closing, ["b", "c"], buckets=buckets)
+    return und, tri, deg.reset_index(drop=True)
 
 
 def triangle_count(edges: rd.Dataset, *, src_col: str = "canonical_src",
@@ -287,8 +283,8 @@ def triangle_count(edges: rd.Dataset, *, src_col: str = "canonical_src",
     the edge passes stay distributed. Returns a 1-row frame
     ``{"triangles": n}``; orientation-invariant, so it equals the
     lexicographic SQL self-join oracle exactly."""
-    _, tri = _triangle_parts(edges, src_col=src_col, dst_col=dst_col,
-                             buckets=buckets)
+    _, tri, _deg = _triangle_parts(edges, src_col=src_col,
+                                   dst_col=dst_col, buckets=buckets)
     return pd.DataFrame({"triangles": [np.int64(tri.count())]})
 
 
@@ -299,13 +295,15 @@ def local_clustering(edges: rd.Dataset, *, src_col: str = "canonical_src",
     coefficient ``2t / (d(d-1))`` (0 where degree < 2). Triangles come
     from the same degree-ordered machinery as ``triangle_count``; each
     triangle credits all three vertices via a bucketed partial-count
-    pass, left-joined onto the degree table so triangle-free nodes
-    report 0."""
+    pass. Degrees REUSE the exact driver-side table _triangle_parts
+    already built for the rank ordering (vocabulary-sized, the module's
+    boundedness contract) — no second distributed degree pass — and the
+    final join is a driver-side merge over that bounded node set."""
     from .agg import bucketed_groupby, sum_merge
 
-    und, tri = _triangle_parts(edges, src_col=src_col, dst_col=dst_col,
-                               buckets=buckets)
-    if und.count() == 0:         # empty graph: typed empty result
+    und, tri, deg = _triangle_parts(edges, src_col=src_col,
+                                    dst_col=dst_col, buckets=buckets)
+    if len(deg) == 0:            # empty graph: typed empty result
         return rd.from_pandas([pd.DataFrame({
             "node": pd.Series([], dtype=str),
             "degree": pd.Series([], dtype="int64"),
@@ -319,37 +317,17 @@ def local_clustering(edges: rd.Dataset, *, src_col: str = "canonical_src",
 
     tcounts = bucketed_groupby(
         tri.map_batches(tri_partial, batch_format="pandas"),
-        ["node"], sum_merge(["node"], ["t"]), buckets=buckets)
+        ["node"], sum_merge(["node"], ["t"]),
+        buckets=buckets).to_pandas()      # vocabulary-sized
 
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        n = pd.concat([df["u"], df["v"]], ignore_index=True)
-        return (n.rename("node").to_frame().assign(d=np.int64(1))
-                .groupby("node", as_index=False).sum())
-
-    deg = bucketed_groupby(
-        und.map_batches(deg_partial, batch_format="pandas"),
-        ["node"], sum_merge(["node"], ["d"]), buckets=buckets)
-
-    # same bucketing key on both sides; a tagged-union exchange merge
-    # left-joins triangle counts onto degrees without a third shuffle
-    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(_side=np.int8(0), t=np.int64(0))
-
-    def tag_tri(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(_side=np.int8(1), d=np.int64(0))
-
-    both = (deg.map_batches(tag_deg, batch_format="pandas")
-            .union(tcounts.map_batches(tag_tri, batch_format="pandas")))
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", as_index=False)[["d", "t"]].sum()
-        d = g["d"].to_numpy(np.float64)
-        t = g["t"].to_numpy(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            coeff = np.where(d >= 2, (2.0 * t) / (d * (d - 1.0)), 0.0)
-        return pd.DataFrame({"node": g["node"],
-                             "degree": g["d"].astype("int64"),
-                             "triangles": g["t"].astype("int64"),
-                             "coeff": coeff})
-
-    return bucketed_groupby(both, ["node"], finish, buckets=buckets)
+    out = deg.merge(tcounts, on="node", how="left")
+    d = out["d"].to_numpy(np.float64)
+    t = out["t"].fillna(0).to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        coeff = np.where(d >= 2, (2.0 * t) / (d * (d - 1.0)), 0.0)
+    res = pd.DataFrame({"node": out["node"],
+                        "degree": out["d"].astype("int64"),
+                        "triangles": t.astype("int64"),
+                        "coeff": coeff}).sort_values(
+        "node", kind="mergesort").reset_index(drop=True)
+    return rd.from_pandas([res])

@@ -70,6 +70,13 @@ def _range_map(block_refs, primary: str, cuts, num_partitions: int):
             f"range_sort: primary order column {primary!r} contains "
             "nulls; filter or fill them first")
     v = tbl.column(primary).to_pandas().to_numpy()
+    if v.dtype.kind == "f" and np.isnan(v).any():
+        # NaN compares unordered: searchsorted would route it to the
+        # top partition and a descending sort would emit it FIRST —
+        # reject like nulls instead of silently misordering
+        raise ValueError(
+            f"range_sort: primary order column {primary!r} contains "
+            "NaN; filter or fill them first")
     pids = pd.Index(cuts).searchsorted(v, side="right").astype(np.int64)
     order = np.argsort(pids, kind="stable")
     tbl = tbl.take(pa.array(order))

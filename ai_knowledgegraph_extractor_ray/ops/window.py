@@ -75,7 +75,8 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
                              f"positive integer param, got {s.param!r}")
         if s.kind == "ewma" and not (
-                isinstance(s.alpha, float) and 0 < s.alpha <= 1):
+                isinstance(s.alpha, (int, float))
+                and not isinstance(s.alpha, bool) and 0 < s.alpha <= 1):
             raise ValueError(f"window {s.out!r}: ewma needs alpha in "
                              f"(0, 1], got {s.alpha!r}")
     cols = set(ds.schema().names)
@@ -86,7 +87,10 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = (df.sort_values([by, *order], kind="mergesort")
               .reset_index(drop=True))
-        g = df.groupby(by, sort=False)
+        # dropna=False: a NULL partition key is a window like any other
+        # (SQL PARTITION BY groups nulls together; default dropna=True
+        # would leave those rows NaN in every output column)
+        g = df.groupby(by, sort=False, dropna=False)
         for s in specs:
             if s.kind == "row_number":
                 out = g.cumcount() + 1
@@ -161,7 +165,8 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                     lambda x: x.ewm(alpha=s.alpha, adjust=False).mean()))
             else:                                   # rolling_sum, exact:
                 cs = g[s.src].cumsum()              # win_k[i] = cs[i] -
-                prev = cs.groupby(df[by], sort=False).shift(s.param)
+                prev = cs.groupby(df[by], sort=False,
+                                  dropna=False).shift(s.param)
                 out = cs - prev.fillna(0).astype(cs.dtype)
             df[s.out] = out
         return df

@@ -2088,6 +2088,10 @@ def q_tpch_q10(sf_dir: str) -> pd.DataFrame:
                                     "c_nationkey"])
 
     def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        # inner-join semantics: a c_nationkey with no nation row drops
+        # the customer (the SQL joins nation), it must not ride through
+        # as a NaN n_name
+        df = df[df["c_nationkey"].isin(nation_name)]
         return pd.DataFrame({
             "c_custkey": df["c_custkey"].to_numpy(np.int64),
             "c_name": df["c_name"],

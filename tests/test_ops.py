@@ -2926,3 +2926,45 @@ def test_round4_session_ops_empty_inputs():
          "w": pd.Series([], dtype="float64")})])
     assert len(weighted_reservoir_topk(empty_w, id_col="id",
                                        weight_col="w", k=5)) == 0
+
+
+def test_review_fixes_window_nulls_nan_sort_alpha():
+    """Round-4 review regressions: (1) a NULL partition key forms a
+    window group (SQL parity) instead of NaN outputs; (2) range_sort
+    rejects NaN primary keys loudly; (3) ewma accepts alpha=1 (int)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.sort import range_sort
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec,
+        keyed_window,
+    )
+
+    df = pd.DataFrame({"k": ["a", "a", None, None],
+                       "o": [1, 2, 1, 2],
+                       "x": np.array([10, 20, 5, 7], dtype="int64")})
+    out = (keyed_window(rd.from_pandas([df]), by="k", order=["o"],
+                        specs=[WindowSpec("rn", "row_number"),
+                               WindowSpec("cs", "cum_sum", src="x"),
+                               WindowSpec("rs", "rolling_sum", src="x",
+                                          param=2)],
+                        buckets=2).to_pandas())
+    nulls = out[out["k"].isna()].sort_values("o")
+    assert list(nulls["rn"]) == [1, 2]          # its own window
+    assert list(nulls["cs"]) == [5, 12]
+    assert list(nulls["rs"]) == [5, 12]
+
+    bad = rd.from_pandas([pd.DataFrame(
+        {"v": [1.0, float("nan"), 3.0], "id": [1, 2, 3]})])
+    # (Arrow may surface the NaN as a null depending on conversion —
+    # either way the sort must refuse, not misorder)
+    with pytest.raises(Exception, match="NaN|null"):
+        range_sort(bad, ["v", "id"], num_partitions=2).materialize()
+
+    ok = keyed_window(rd.from_pandas([df.dropna()]), by="k", order=["o"],
+                      specs=[WindowSpec("e", "ewma", src="x", alpha=1)],
+                      buckets=1).to_pandas()
+    assert list(ok["e"]) == [10.0, 20.0]        # alpha=1: y_t = x_t
