@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": q.q_tpch_q6,
         "tpch_q10": q.q_tpch_q10,
         "tpch_q18": q.q_tpch_q18,
+        "lineitem_profile": q.q_lineitem_profile,
         "events_corr": q.q_events_corr,
         "events_topn": q.q_events_topn,
         "events_regr": q.q_events_regr,
@@ -878,6 +879,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             ORDER BY totalprice_cents DESC, o_orderdate, o_orderkey
             LIMIT 100
+        """,
+        "lineitem_profile": """
+            SELECT * FROM (
+              SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls,
+                     CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                     CAST(max(l_quantity) AS DOUBLE) AS max_v,
+                     CAST(avg(l_quantity) AS DOUBLE) AS avg_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice' AS col, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) - count(l_extendedprice) AS BIGINT) AS nulls,
+                     CAST(min(l_extendedprice) AS DOUBLE) AS min_v,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS max_v,
+                     CAST(avg(l_extendedprice) AS DOUBLE) AS avg_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount' AS col, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) - count(l_discount) AS BIGINT) AS nulls,
+                     CAST(min(l_discount) AS DOUBLE) AS min_v,
+                     CAST(max(l_discount) AS DOUBLE) AS max_v,
+                     CAST(avg(l_discount) AS DOUBLE) AS avg_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax' AS col, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) - count(l_tax) AS BIGINT) AS nulls,
+                     CAST(min(l_tax) AS DOUBLE) AS min_v,
+                     CAST(max(l_tax) AS DOUBLE) AS max_v,
+                     CAST(avg(l_tax) AS DOUBLE) AS avg_v
+              FROM lineitem)
+            ORDER BY col
         """,
         "events_corr": """
             WITH e AS (SELECT event_type,

@@ -1033,3 +1033,41 @@ def grouped_regression(ds: rd.Dataset, key_cols: list[str], x_col: str,
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
+def profile_numeric(ds: rd.Dataset, cols: list[str]) -> pd.DataFrame:
+    """One-pass data-quality profile of numeric columns: per column the
+    row count, null count, min, max and mean — the stats a lakehouse
+    ingest gate checks before accepting a partition. Each block folds to
+    ONE partial row per column (count/nulls/min/max/sum), the driver
+    merges <= cols x blocks rows; no shuffle. Mean is sum/n in float64
+    (the same division SQL ``avg`` performs); all-null columns report
+    NaN min/max/mean."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = df[c]
+            nn = v.notna()
+            vv = v[nn].to_numpy(np.float64)
+            rows.append({
+                "col": c,
+                "n": np.int64(len(v)),
+                "nulls": np.int64((~nn).sum()),
+                "min_v": vv.min() if len(vv) else np.nan,
+                "max_v": vv.max() if len(vv) else np.nan,
+                "sum_v": vv.sum() if len(vv) else 0.0})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("col", as_index=False).agg(
+        n=("n", "sum"), nulls=("nulls", "sum"),
+        min_v=("min_v", "min"), max_v=("max_v", "max"),
+        sum_v=("sum_v", "sum"))
+    nonnull = (g["n"] - g["nulls"]).to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g["avg_v"] = np.where(nonnull > 0,
+                              g["sum_v"].to_numpy(np.float64) / nonnull,
+                              np.nan)
+    g = g.drop(columns=["sum_v"]).astype({"n": "int64", "nulls": "int64"})
+    return g.sort_values("col", kind="mergesort").reset_index(drop=True)

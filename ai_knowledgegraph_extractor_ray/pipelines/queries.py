@@ -2216,3 +2216,14 @@ def q_events_rolling(sf_dir: str) -> rd.Dataset:
         ])
     return w.select_columns(["event_id", "user_id", "cents",
                              "rmin", "rmax", "rmean", "rsum"])
+
+
+def q_lineitem_profile(sf_dir: str) -> pd.DataFrame:
+    """Ingest-gate column profile of lineitem's numeric measures (round
+    4): count / nulls / min / max / mean per column in one shuffle-free
+    pass (one partial row per column per block)."""
+    from ..ops.agg import profile_numeric
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return profile_numeric(li, cols)

@@ -2968,3 +2968,25 @@ def test_review_fixes_window_nulls_nan_sort_alpha():
                       specs=[WindowSpec("e", "ewma", src="x", alpha=1)],
                       buckets=1).to_pandas()
     assert list(ok["e"]) == [10.0, 20.0]        # alpha=1: y_t = x_t
+
+
+def test_profile_numeric_nulls_and_merge():
+    """Column profile: null counting, cross-block min/max/mean, all-null
+    column reports NaN stats."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import profile_numeric
+
+    a = pd.DataFrame({"x": [1.0, None, 5.0], "y": [None, None, None],
+                      "z": [2, 4, 6]})
+    b = pd.DataFrame({"x": [9.0, 3.0, None], "y": [None] * 3,
+                      "z": [8, 10, 0]})
+    out = (profile_numeric(rd.from_pandas([a, b]), ["x", "y", "z"])
+           .set_index("col"))
+    assert out.loc["x", "n"] == 6 and out.loc["x", "nulls"] == 2
+    assert out.loc["x", "min_v"] == 1.0 and out.loc["x", "max_v"] == 9.0
+    assert abs(out.loc["x", "avg_v"] - 4.5) < 1e-12
+    assert out.loc["y", "nulls"] == 6 and np.isnan(out.loc["y", "avg_v"])
+    assert out.loc["z", "nulls"] == 0 and out.loc["z", "max_v"] == 10.0
