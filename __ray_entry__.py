@@ -115,9 +115,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
         "type_encode": q.q_type_encode,
-        "user_types": q.q_user_types,   # position 51: the one oracled
-        # never-gated overflow (51 candidates, 50 slots) — replay with
-        # tools/check_oracle.py; its sibling user_paths IS in-window
+        "user_types": q.q_user_types,
+        # The driver's correctness gate checks the FIRST 50 entries only;
+        # 52 never-gated oracled queries compete for those slots, so the
+        # overflow (currently type_encode, user_types — the broadcast
+        # label-encode and collect-set siblings of in-window type/paths
+        # queries) plus everything below is replayed by
+        # `python tools/check_oracle.py` instead.
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
