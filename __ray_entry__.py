@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": q.q_kg_edges,
         "canonical_edges": q.q_canonical_edges,
         "media_decode": q.q_media_decode,
+        "image_near_dups": q.q_image_near_dups,
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
         "events_sessions": q.q_events_sessions,

@@ -27,6 +27,7 @@ import hashlib
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -553,3 +554,138 @@ def sample_frames(ds: rd.Dataset, *, stride: int = 10, concurrency: int = 2,
                           fn_constructor_kwargs={"stride": stride, "fake_ok": fake_ok},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the scipy.fft.dct(norm='ortho')
+    kernel, built from first principles — scipy is not in this image)."""
+    k = np.arange(n, dtype=np.float64)
+    d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    d *= np.sqrt(2.0 / n)
+    d[0] *= np.sqrt(0.5)
+    return d
+
+
+_PHASH_DCT32 = _dct_matrix(32)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the classic pHash recipe): grayscale,
+    area-pool to 32x32, 2-D DCT-II, keep the 8x8 low-frequency block,
+    threshold against its median (DC term excluded). Robust to
+    re-encoding and small pixel noise; Hamming distance approximates
+    visual difference."""
+    g = px.astype(np.float64).mean(axis=2)
+    ys = np.linspace(0, g.shape[0], 33, dtype=int)
+    xs = np.linspace(0, g.shape[1], 33, dtype=int)
+    # area pooling via prefix sums (exact box means, vectorized)
+    cs = np.zeros((g.shape[0] + 1, g.shape[1] + 1))
+    cs[1:, 1:] = g.cumsum(0).cumsum(1)
+    y0, y1 = ys[:-1][:, None], ys[1:][:, None]
+    x0, x1 = xs[:-1][None, :], xs[1:][None, :]
+    area = ((y1 - y0) * (x1 - x0)).astype(np.float64)
+    small = (cs[y1, x1] - cs[y0, x1] - cs[y1, x0] + cs[y0, x0]) / area
+    coef = (_PHASH_DCT32 @ small @ _PHASH_DCT32.T)[:8, :8].ravel()
+    med = np.median(coef[1:])
+    bits = coef > med
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImagePHasher:
+    """Actor-pool perceptual-hash stage: decode (same codec seam as
+    ImageDecoder) -> phash64 per image. Emits (item_id, phash:uint64,
+    hashed:bool); non-image rows pass through hashed=False."""
+
+    def __init__(self, *, fake_ok: bool = True):
+        self._decoder = ImageDecoder(fake_ok=fake_ok)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for payload, w, h, kind in zip(batch["payload"].to_pylist(),
+                                       batch["meta_width"].to_pylist(),
+                                       batch["meta_height"].to_pylist(),
+                                       batch["media_type"].to_pylist()):
+            if kind != "image":
+                hashes.append(0)
+                ok.append(False)
+                continue
+            px = self._decoder._decode(payload, w, h)
+            hashes.append(phash64(px))
+            ok.append(True)
+        return pa.table({
+            "item_id": batch["item_id"],
+            "phash": pa.array(hashes, pa.uint64()),
+            "hashed": pa.array(ok, pa.bool_()),
+        })
+
+
+def phash_images(ds: rd.Dataset, *, concurrency: int = 2,
+                 batch_size: int = 16, fake_ok: bool = True) -> rd.Dataset:
+    return ds.map_batches(ImagePHasher, batch_format="pyarrow",
+                          fn_constructor_kwargs={"fake_ok": fake_ok},
+                          concurrency=concurrency, batch_size=batch_size)
+
+
+def phash_near_pairs(hashes: rd.Dataset, *, max_hamming: int = 3,
+                     buckets: int | None = None) -> rd.Dataset:
+    """Image near-duplicate pairs by pHash Hamming distance <=
+    ``max_hamming`` — the pigeonhole banding of ``ops/dedup``'s SimHash
+    path applied to 64-bit pHashes: 4 x 16-bit bands guarantee any pair
+    within Hamming 3 collides on at least one band; candidates verify
+    exactly inside their band bucket. Returns (id_a, id_b, hamming),
+    id_a < id_b, deduplicated across bands."""
+    from .agg import bucketed_groupby
+
+    if max_hamming >= 4:
+        raise ValueError("4x16-bit banding guarantees recall only for "
+                         "max_hamming <= 3")
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["hashed"]] if "hashed" in df.columns else df
+        h = df["phash"].to_numpy(np.uint64)
+        out = []
+        for b in range(4):
+            key = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+            out.append(pd.DataFrame({
+                "band": np.int64(b),
+                "bkey": key.astype(np.int64),
+                "item_id": df["item_id"].to_numpy(),
+                "phash": h.astype("uint64")}))
+        return pd.concat(out, ignore_index=True)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, ham = [], [], []
+        for _, g in df.groupby(["band", "bkey"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["item_id"].to_numpy()
+            hs = g["phash"].to_numpy(np.uint64)
+            i, j = np.triu_indices(len(g), k=1)
+            d = np.bitwise_xor(hs[i], hs[j])
+            # popcount via unpackbits on the byte view
+            bits = np.unpackbits(d.view(np.uint8).reshape(len(d), 8),
+                                 axis=1).sum(axis=1)
+            keep = bits <= max_hamming
+            a, b = ids[i][keep], ids[j][keep]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            rows_a.append(lo)
+            rows_b.append(hi)
+            ham.append(bits[keep])
+        if not rows_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return (pd.DataFrame({"id_a": np.concatenate(rows_a),
+                              "id_b": np.concatenate(rows_b),
+                              "hamming": np.concatenate(ham).astype("int64")})
+                .drop_duplicates(["id_a", "id_b"]))
+
+    banded = hashes.map_batches(band, batch_format="pandas")
+    cand = bucketed_groupby(banded, ["band", "bkey"], verify,
+                            buckets=buckets)
+    # a pair can collide on several bands in DIFFERENT buckets: final
+    # cross-band dedup on the pair key
+    return bucketed_groupby(
+        cand, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]), buckets=buckets)

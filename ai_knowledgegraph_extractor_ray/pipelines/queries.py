@@ -2227,3 +2227,35 @@ def q_lineitem_profile(sf_dir: str) -> pd.DataFrame:
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
     return profile_numeric(li, cols)
+
+
+def q_image_near_dups(sf_dir: str) -> rd.Dataset:
+    """Image near-duplicate pairs by DCT perceptual hash (round 4):
+    stdlib-decoded synthetic PNGs with four planted one-pixel-perturbed
+    copies; 4x16-bit Hamming banding guarantees recall at distance <= 3.
+    Rows-only by nature (no SQL can decode a PNG); the planted pairs are
+    pinned in tests."""
+    from ..ops import multimodal as mm
+
+    media = (mm.synthetic_media(n_items=24, real_payloads=True)
+             .to_pandas().sort_values("item_id").reset_index(drop=True))
+    # sort: rd.range block order is not guaranteed; planting must be
+    # deterministic for the pinned-pairs test
+    imgs = media[media["media_type"] == "image"].reset_index(drop=True)
+    dups = []
+    for i in range(min(4, len(imgs))):
+        row = imgs.iloc[i]
+        payload = bytes(row["payload"])
+        if not payload.startswith(mm.PNG_MAGIC):
+            continue
+        px = mm.decode_png(payload)
+        noisy = px.copy()
+        noisy[0, 0] = (noisy[0, 0] + 9) % 256
+        d = {c: row[c] for c in media.columns}
+        d["item_id"] = int(row["item_id"]) + 1000
+        d["payload"] = mm.encode_png(noisy)
+        dups.append(d)
+    aug = pd.concat([media, pd.DataFrame(dups)], ignore_index=True)
+    ds = rd.from_pandas([aug.iloc[:15], aug.iloc[15:]])
+    hashes = mm.phash_images(ds, fake_ok=False)
+    return mm.phash_near_pairs(hashes, max_hamming=3, buckets=3)

@@ -2990,3 +2990,33 @@ def test_profile_numeric_nulls_and_merge():
     assert abs(out.loc["x", "avg_v"] - 4.5) < 1e-12
     assert out.loc["y", "nulls"] == 6 and np.isnan(out.loc["y", "avg_v"])
     assert out.loc["z", "nulls"] == 0 and out.loc["z", "max_v"] == 10.0
+
+
+def test_phash_near_dups_planted_and_invariance():
+    """pHash: a one-pixel perturbation stays within Hamming 3 (found by
+    the banded pairs op); distinct random images stay far apart; the
+    hash is invariant to a lossless re-encode of identical pixels."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops import multimodal as mm
+    from ai_knowledgegraph_extractor_ray.pipelines.queries import (
+        q_image_near_dups,
+    )
+
+    pairs = q_image_near_dups("unused").to_pandas()
+    got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    media = (mm.synthetic_media(n_items=24, real_payloads=True)
+             .to_pandas().sort_values("item_id").reset_index(drop=True))
+    imgs = media[media["media_type"] == "image"].reset_index(drop=True)
+    planted = {(int(imgs.iloc[i]["item_id"]),
+                int(imgs.iloc[i]["item_id"]) + 1000)
+               for i in range(4)
+               if bytes(imgs.iloc[i]["payload"]).startswith(mm.PNG_MAGIC)}
+    assert planted and planted <= got          # full planted recall
+    assert (pairs["hamming"] <= 3).all()
+
+    px = mm.decode_png(bytes(imgs.iloc[0]["payload"]))
+    assert mm.phash64(px) == mm.phash64(
+        mm.decode_png(mm.encode_png(px)))      # re-encode invariance
