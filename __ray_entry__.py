@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_share": q.q_events_share,
         "events_ewma": q.q_events_ewma,
         "events_rolling": q.q_events_rolling,
+        "events_outliers": q.q_events_outliers,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -1041,6 +1042,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_outliers": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            f AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS s,
+                         CAST(sum(cents * cents) AS BIGINT) AS s2
+                  FROM e GROUP BY event_type),
+            m AS (SELECT event_type,
+                         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                         sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           AS std
+                  FROM f)
+            SELECT event_id, e.event_type, cents,
+                   (CAST(cents AS DOUBLE) - mean) / std AS z
+            FROM e JOIN m ON e.event_type = m.event_type
+            WHERE std > 0
+              AND abs((CAST(cents AS DOUBLE) - mean) / std) > 2.0
         """,
         "user_paths": """
             SELECT user_id,

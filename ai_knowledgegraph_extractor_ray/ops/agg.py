@@ -1071,3 +1071,38 @@ def profile_numeric(ds: rd.Dataset, cols: list[str]) -> pd.DataFrame:
                               np.nan)
     g = g.drop(columns=["sum_v"]).astype({"n": "int64", "nulls": "int64"})
     return g.sort_values("col", kind="mergesort").reset_index(drop=True)
+
+
+def grouped_zscore_outliers(ds: rd.Dataset, key_cols: list[str],
+                            value_col: str, *, threshold: float = 3.0,
+                            buckets: int | None = None) -> rd.Dataset:
+    """Rows whose value lies more than ``threshold`` population standard
+    deviations from their group's mean — the distributed anomaly gate:
+    exact-int-sum moments per key (``grouped_moments``), joined back
+    through one co-bucketed exchange (works for UNBOUNDED key
+    vocabularies — no driver broadcast), z computed in float64 with the
+    same closed formula the SQL oracle writes. Zero-variance groups
+    emit nothing (z is undefined there, and SQL's ``std > 0`` guard
+    drops them identically). Appends a ``z`` column."""
+    from .joins import hash_inner_join
+
+    mom = grouped_moments(ds, key_cols, value_col, buckets=buckets)
+    if len(key_cols) != 1:
+        raise ValueError("grouped_zscore_outliers: single key column "
+                         "only (composite keys: pre-concatenate)")
+    key = key_cols[0]
+
+    slim = mom.select_columns([key, "mean", "std_pop"])
+    joined = hash_inner_join(ds, slim, key, buckets=buckets)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        std = df["std_pop"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = ((df[value_col].to_numpy(np.float64)
+                  - df["mean"].to_numpy(np.float64)) / std)
+        keep = (std > 0) & (np.abs(z) > threshold)
+        out = df[keep].drop(columns=["mean", "std_pop"])
+        out["z"] = z[keep]
+        return out
+
+    return joined.map_batches(flag, batch_format="pandas")

@@ -2259,3 +2259,24 @@ def q_image_near_dups(sf_dir: str) -> rd.Dataset:
     ds = rd.from_pandas([aug.iloc[:15], aug.iloc[15:]])
     hashes = mm.phash_images(ds, fake_ok=False)
     return mm.phash_near_pairs(hashes, max_hamming=3, buckets=3)
+
+
+def q_events_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-type z-score anomaly gate (round 4): events more than 2
+    population stddevs from their type's mean spend — exact-sum moments
+    joined back through one exchange, no driver broadcast."""
+    from ..ops.agg import grouped_zscore_outliers
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "event_type": df["event_type"],
+            "cents": np.round(df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    out = grouped_zscore_outliers(
+        ev.map_batches(prep, batch_format="pandas"), ["event_type"],
+        "cents", threshold=2.0)
+    return out.select_columns(["event_id", "event_type", "cents", "z"])

@@ -3020,3 +3020,28 @@ def test_phash_near_dups_planted_and_invariance():
     px = mm.decode_png(bytes(imgs.iloc[0]["payload"]))
     assert mm.phash64(px) == mm.phash64(
         mm.decode_png(mm.encode_png(px)))      # re-encode invariance
+
+
+def test_grouped_zscore_outliers_planted():
+    """A planted far-out value is flagged with the right z; zero-variance
+    groups emit nothing; in-band values don't leak through."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import (
+        grouped_zscore_outliers,
+    )
+
+    base = pd.DataFrame({"k": ["a"] * 100, "id": range(100),
+                         "v": np.int64(10)})
+    base.loc[0, "v"] = 1000                     # far outlier
+    base.loc[1, "v"] = 12                       # in-band wiggle
+    flat = pd.DataFrame({"k": ["c"] * 5, "id": range(100, 105),
+                         "v": np.int64(7)})     # zero variance
+    ds = rd.from_pandas([base.iloc[:50], base.iloc[50:], flat])
+    out = (grouped_zscore_outliers(ds, ["k"], "v", threshold=3.0,
+                                   buckets=2).to_pandas())
+    assert set(out["id"]) == {0}
+    assert out["z"].iloc[0] > 9                 # ~9.9 sigma
+    assert not (out["k"] == "c").any()
