@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_edges": q.q_canonical_edges,
         "media_decode": q.q_media_decode,
         "image_near_dups": q.q_image_near_dups,
+        "audio_near_dups": q.q_audio_near_dups,
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
         "events_sessions": q.q_events_sessions,

@@ -689,3 +689,65 @@ def phash_near_pairs(hashes: rd.Dataset, *, max_hamming: int = 3,
     return bucketed_groupby(
         cand, ["id_a", "id_b"],
         lambda df: df.drop_duplicates(["id_a", "id_b"]), buckets=buckets)
+
+
+def afp64(pcm: np.ndarray, sample_rate: int) -> int:
+    """64-bit spectral audio fingerprint (the pHash recipe in the
+    time-frequency plane): 16 equal time segments x 4 log-spaced
+    frequency bands of FFT energy, log-compressed, thresholded against
+    the median — robust to small additive noise and re-encoding;
+    Hamming distance tracks audible difference."""
+    x = pcm.astype(np.float64)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    n_seg, n_band = 4, 16
+    seg = len(x) // n_seg
+    if seg < 2 * n_band:
+        return 0
+    frames = x[:n_seg * seg].reshape(n_seg, seg)
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    nyq = spec.shape[1]
+    # 16 log-spaced bands over [nyq/256, nyq): frequency resolution is
+    # what separates clips (a stationary tone makes every time segment
+    # identical, so the split must be fine in FREQUENCY, not time)
+    edges = np.unique(np.geomspace(max(2, nyq // 256), nyq,
+                                   n_band + 1).astype(int))
+    while len(edges) < n_band + 1:             # degenerate tiny input
+        edges = np.append(edges, edges[-1] + 1)
+    bands = np.stack([spec[:, edges[i]:edges[i + 1]].sum(axis=1)
+                      for i in range(n_band)], axis=1)  # 4 x 16
+    feat = np.log1p(bands).ravel()                      # 64 values
+    bits = feat > np.median(feat)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFPHasher:
+    """Actor-pool audio-fingerprint stage: stdlib WAV decode -> afp64.
+    Emits the same (item_id, phash:uint64, hashed:bool) layout as
+    ImagePHasher so ``phash_near_pairs`` works unchanged on audio."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for payload, kind in zip(batch["payload"].to_pylist(),
+                                 batch["media_type"].to_pylist()):
+            if kind != "audio" or not bytes(payload).startswith(b"RIFF"):
+                hashes.append(0)
+                ok.append(False)
+                continue
+            pcm, sr = decode_wav(bytes(payload))
+            hashes.append(afp64(pcm, sr))
+            ok.append(True)
+        return pa.table({
+            "item_id": batch["item_id"],
+            "phash": pa.array(hashes, pa.uint64()),
+            "hashed": pa.array(ok, pa.bool_()),
+        })
+
+
+def fingerprint_audio(ds: rd.Dataset, *, concurrency: int = 2,
+                      batch_size: int = 16) -> rd.Dataset:
+    return ds.map_batches(AudioFPHasher, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size)

@@ -2280,3 +2280,39 @@ def q_events_outliers(sf_dir: str) -> rd.Dataset:
         ev.map_batches(prep, batch_format="pandas"), ["event_type"],
         "cents", threshold=2.0)
     return out.select_columns(["event_id", "event_type", "cents", "z"])
+
+
+def q_audio_near_dups(sf_dir: str) -> rd.Dataset:
+    """Audio near-duplicate pairs by spectral fingerprint (round 4):
+    stdlib-encoded TONAL clips (white noise has a statistically
+    identical spectrum everywhere, so fingerprints of noise clips
+    rightly collide — the corpus must carry spectral structure), with
+    four planted low-noise copies; same Hamming banding as the image
+    path. Rows-only by nature."""
+    from ..ops import multimodal as mm
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    rng = np.random.RandomState(31)
+    rows = []
+    for i in range(12):
+        f0 = 180.0 + 97.0 * i
+        pcm = (0.4 * np.sin(2 * np.pi * f0 * t)
+               + 0.25 * np.sin(2 * np.pi * (2.3 * f0) * t)
+               + 0.1 * np.sin(2 * np.pi * (4.1 * f0) * t))
+        rows.append({"item_id": np.int64(i), "media_type": "audio",
+                     "payload": mm.encode_wav(pcm.astype(np.float32), sr),
+                     "meta_width": 0, "meta_height": 0,
+                     "meta_sample_rate": sr, "meta_n_frames": 0})
+        if i < 4:       # planted near-dup: tiny additive noise
+            noisy = pcm + rng.standard_normal(len(pcm)) * 1e-3
+            rows.append({"item_id": np.int64(i + 1000),
+                         "media_type": "audio",
+                         "payload": mm.encode_wav(noisy.astype(np.float32),
+                                                  sr),
+                         "meta_width": 0, "meta_height": 0,
+                         "meta_sample_rate": sr, "meta_n_frames": 0})
+    aug = pd.DataFrame(rows)
+    ds = rd.from_pandas([aug.iloc[:8], aug.iloc[8:]])
+    hashes = mm.fingerprint_audio(ds)
+    return mm.phash_near_pairs(hashes, max_hamming=3, buckets=3)

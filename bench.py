@@ -212,6 +212,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "lineitem_profile": lambda: len(q.q_lineitem_profile(sf_dir)),
             "image_near_dups":
                 lambda: q.q_image_near_dups(sf_dir).count(),
+            "audio_near_dups":
+                lambda: q.q_audio_near_dups(sf_dir).count(),
             "events_corr": lambda: q.q_events_corr(sf_dir).count(),
             "user_paths": lambda: q.q_user_paths(sf_dir).count(),
             "events_mode": lambda: q.q_events_mode(sf_dir).count(),

