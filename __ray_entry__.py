@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q.q_kg_pagerank,
         "kg_triangles": q.q_kg_triangles,
         "kg_clustering": q.q_kg_clustering,
+        "kg_ego": q.q_kg_ego,
         # full KG pipeline (not SQL-expressible)
         # multimodal plumbing
         # round-4 additions (composite-key join, percent_rank/cume_dist,
@@ -1647,6 +1648,24 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(dg.d AS DOUBLE) * (CAST(dg.d AS DOUBLE) - 1.0))
                    ELSE 0.0 END AS coeff
             FROM dg LEFT JOIN tn ON tn.node = dg.node
+        """,
+        "kg_ego": f"""
+            WITH edges AS ({_CANON_EDGES_SQL}),
+            und AS (SELECT DISTINCT canonical_src AS u, canonical_dst AS v
+                    FROM edges WHERE canonical_src <> canonical_dst
+                    UNION
+                    SELECT DISTINCT canonical_dst, canonical_src
+                    FROM edges WHERE canonical_src <> canonical_dst),
+            s AS (SELECT min(canonical_src) AS seed FROM edges),
+            h1 AS (SELECT DISTINCT v AS node FROM und, s WHERE u = seed),
+            h2 AS (SELECT DISTINCT und.v AS node
+                   FROM und JOIN h1 ON und.u = h1.node)
+            SELECT seed AS node, CAST(0 AS BIGINT) AS hop FROM s
+            UNION ALL
+            SELECT node, CAST(1 AS BIGINT) FROM h1, s WHERE node <> seed
+            UNION ALL
+            SELECT node, CAST(2 AS BIGINT) FROM h2, s
+            WHERE node <> seed AND node NOT IN (SELECT node FROM h1)
         """,
         "kg_pagerank": f"""
             WITH edges AS ({_CANON_EDGES_SQL}),

@@ -331,3 +331,43 @@ def local_clustering(edges: rd.Dataset, *, src_col: str = "canonical_src",
                         "coeff": coeff}).sort_values(
         "node", kind="mergesort").reset_index(drop=True)
     return rd.from_pandas([res])
+
+
+def k_hop_neighbors(edges: rd.Dataset, *, seed: str, k: int = 2,
+                    src_col: str = "canonical_src",
+                    dst_col: str = "canonical_dst") -> pd.DataFrame:
+    """Undirected BFS neighborhood: every node within ``k`` hops of
+    ``seed`` with its shortest hop distance. Each hop is one
+    distributed edge scan filtered against the broadcast frontier
+    (frontier and visited sets are node-vocabulary-bounded — the
+    module's driver-state contract); the edge Dataset executes once
+    (materialized) and is re-scanned per hop. Returns (node, hop)
+    sorted by (hop, node)."""
+    import ray
+
+    edges = edges.materialize()
+    visited: dict[str, int] = {seed: 0}
+    frontier = {seed}
+    for hop in range(1, k + 1):
+        if not frontier:
+            break
+        fr_ref = ray.put(frozenset(frontier))
+
+        def touch(df: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(fr_ref)
+            s = df[src_col].astype(str)
+            d = df[dst_col].astype(str)
+            out = np.concatenate([d[s.isin(fr)].to_numpy(dtype=object),
+                                  s[d.isin(fr)].to_numpy(dtype=object)])
+            return pd.DataFrame({"node": pd.unique(out)})
+
+        nxt = (edges.map_batches(touch, batch_format="pandas")
+               .to_pandas())
+        new = set(nxt["node"].astype(str)) - visited.keys()
+        for n in new:
+            visited[n] = hop
+        frontier = new
+    out = pd.DataFrame({"node": list(visited), "hop": list(visited.values())})
+    out["hop"] = out["hop"].astype("int64")
+    return out.sort_values(["hop", "node"],
+                           kind="mergesort").reset_index(drop=True)

@@ -2316,3 +2316,15 @@ def q_audio_near_dups(sf_dir: str) -> rd.Dataset:
     ds = rd.from_pandas([aug.iloc[:8], aug.iloc[8:]])
     hashes = mm.fingerprint_audio(ds)
     return mm.phash_near_pairs(hashes, max_hamming=3, buckets=3)
+
+
+def q_kg_ego(sf_dir: str) -> pd.DataFrame:
+    """2-hop ego graph of the lexicographically smallest entity in the
+    canonical KG (round 4): distributed BFS — one broadcast-frontier
+    edge scan per hop."""
+    from ..ops.graph import k_hop_neighbors
+
+    edges = q_canon_sql(sf_dir).materialize()
+    seed = (edges.select_columns(["canonical_src"]).to_pandas()
+            ["canonical_src"].astype(str).min())
+    return k_hop_neighbors(edges, seed=seed, k=2)

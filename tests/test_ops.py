@@ -3070,3 +3070,26 @@ def test_audio_fingerprint_near_dups_planted():
     high = mm.afp64(np.sin(2 * np.pi * 880 * t).astype(np.float32), sr)
     d = bin(low ^ high).count("1")
     assert d > 3                                # octaves apart differ
+
+
+def test_k_hop_neighbors_bfs_semantics():
+    """BFS: shortest hop wins (a node reachable at 1 and 2 reports 1);
+    direction is ignored; k bounds the expansion; seed reports hop 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.graph import k_hop_neighbors
+
+    # s-a, a-b, b-c (chain), s-b reverse edge (shortcut), d isolated
+    e = pd.DataFrame({
+        "canonical_src": ["s", "a", "b", "b", "d"],
+        "canonical_dst": ["a", "b", "c", "s", "d"]})
+    out = k_hop_neighbors(rd.from_pandas([e.iloc[:3], e.iloc[3:]]),
+                          seed="s", k=2).set_index("node")["hop"]
+    assert out["s"] == 0
+    assert out["a"] == 1
+    assert out["b"] == 1           # via the reverse edge, not 2
+    assert out["c"] == 2
+    assert "d" not in out.index
+    one = k_hop_neighbors(rd.from_pandas([e]), seed="s", k=1)
+    assert set(one["node"]) == {"s", "a", "b"}
