@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": q.q_events_ewma,
         "events_rolling": q.q_events_rolling,
         "events_outliers": q.q_events_outliers,
+        "user_intersect_all": q.q_user_intersect_all,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
@@ -1066,6 +1067,11 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN m ON e.event_type = m.event_type
             WHERE std > 0
               AND abs((CAST(cents AS DOUBLE) - mean) / std) > 2.0
+        """,
+        "user_intersect_all": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'view'
         """,
         "user_paths": """
             SELECT user_id,

@@ -72,3 +72,59 @@ def except_distinct(left: rd.Dataset, right: rd.Dataset, cols: list[str],
                     buckets: int | None = None) -> rd.Dataset:
     """SQL ``EXCEPT``: distinct left tuples absent from the right."""
     return _set_op(left, right, cols, "except", buckets)
+
+
+def _bag_op(left: rd.Dataset, right: rd.Dataset, cols: list[str],
+            op: str, buckets: int | None = None) -> rd.Dataset:
+    """BAG-semantics core (SQL ``INTERSECT ALL`` / ``EXCEPT ALL``):
+    per-block COUNT partials per key (the combiner — a billion copies
+    ship as ``num_blocks`` count rows), one bucketed merge computes the
+    multiplicity algebra, and the surviving keys are re-expanded with
+    ``np.repeat``:
+
+        intersect_all: min(count_left, count_right) copies
+        except_all:    max(count_left - count_right, 0) copies
+    """
+
+    def partial(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[cols].assign(**{side: np.int64(1)})
+            return g.groupby(cols, as_index=False, sort=False,
+                             dropna=False).sum()
+        return fn
+
+    def widen(df: pd.DataFrame, have: str, miss: str) -> pd.DataFrame:
+        return df.assign(**{miss: np.int64(0)})
+
+    both = (left.map_batches(partial("_cl"), batch_format="pandas")
+            .map_batches(lambda d: widen(d, "_cl", "_cr"),
+                         batch_format="pandas")
+            .union(right.map_batches(partial("_cr"), batch_format="pandas")
+                   .map_batches(lambda d: widen(d, "_cr", "_cl"),
+                                batch_format="pandas")))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cols, as_index=False, sort=False,
+                       dropna=False)[["_cl", "_cr"]].sum()
+        cl = g["_cl"].to_numpy(np.int64)
+        cr = g["_cr"].to_numpy(np.int64)
+        n = (np.minimum(cl, cr) if op == "intersect_all"
+             else np.maximum(cl - cr, 0))
+        keep = n > 0
+        reps = n[keep]
+        out = g.loc[keep, cols]
+        return out.loc[out.index.repeat(reps)].reset_index(drop=True)
+
+    return bucketed_groupby(both, cols, merge, buckets=buckets)
+
+
+def intersect_all(left: rd.Dataset, right: rd.Dataset, cols: list[str],
+                  buckets: int | None = None) -> rd.Dataset:
+    """SQL ``INTERSECT ALL``: each tuple min(multiplicity) times."""
+    return _bag_op(left, right, cols, "intersect_all", buckets)
+
+
+def except_all(left: rd.Dataset, right: rd.Dataset, cols: list[str],
+               buckets: int | None = None) -> rd.Dataset:
+    """SQL ``EXCEPT ALL``: each left tuple (count_l - count_r)+ times."""
+    return _bag_op(left, right, cols, "except_all", buckets)

@@ -2328,3 +2328,17 @@ def q_kg_ego(sf_dir: str) -> pd.DataFrame:
     seed = (edges.select_columns(["canonical_src"]).to_pandas()
             ["canonical_src"].astype(str).min())
     return k_hop_neighbors(edges, seed=seed, k=2)
+
+
+def q_user_intersect_all(sf_dir: str) -> rd.Dataset:
+    """Bag-semantics INTERSECT ALL (round 4): user_id occurrences common
+    to the purchase and view event streams, kept with multiplicity —
+    count partials per side, one exchange, np.repeat re-expansion."""
+    from ..ops.setops import intersect_all
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    buy = ev.filter(expr="event_type == 'purchase'")
+    view = ev.filter(expr="event_type == 'view'")
+    return intersect_all(buy.select_columns(["user_id"]),
+                         view.select_columns(["user_id"]), ["user_id"])

@@ -233,6 +233,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_rolling": lambda: q.q_events_rolling(sf_dir).count(),
             "events_outliers":
                 lambda: q.q_events_outliers(sf_dir).count(),
+            "user_intersect_all":
+                lambda: q.q_user_intersect_all(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -3093,3 +3093,28 @@ def test_k_hop_neighbors_bfs_semantics():
     assert "d" not in out.index
     one = k_hop_neighbors(rd.from_pandas([e]), seed="s", k=1)
     assert set(one["node"]) == {"s", "a", "b"}
+
+
+def test_bag_set_ops_multiplicity():
+    """INTERSECT ALL keeps min multiplicity, EXCEPT ALL the positive
+    difference; cross-block counts combine; distinct variants unchanged."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.setops import (
+        except_all,
+        intersect_all,
+    )
+
+    l1 = pd.DataFrame({"k": ["a", "a", "a", "b", "c"]})
+    l2 = pd.DataFrame({"k": ["a", "b"]})          # a x4, b x2, c x1 total
+    r = pd.DataFrame({"k": ["a", "a", "b", "d"]})  # a x2, b x1, d x1
+    L = rd.from_pandas([l1, l2])
+    R = rd.from_pandas([r])
+
+    ia = (intersect_all(L, R, ["k"], buckets=2).to_pandas()["k"]
+          .value_counts().to_dict())
+    assert ia == {"a": 2, "b": 1}                  # min multiplicities
+    ea = (except_all(L, R, ["k"], buckets=2).to_pandas()["k"]
+          .value_counts().to_dict())
+    assert ea == {"a": 2, "b": 1, "c": 1}          # (cl - cr)+
