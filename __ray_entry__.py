@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": q.q_kg_triangles,
         "kg_clustering": q.q_kg_clustering,
         "kg_ego": q.q_kg_ego,
+        "kg_pmi": q.q_kg_pmi,
         # full KG pipeline (not SQL-expressible)
         # multimodal plumbing
         # round-4 additions (composite-key join, percent_rank/cume_dist,
@@ -1672,6 +1673,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT node, CAST(2 AS BIGINT) FROM h2, s
             WHERE node <> seed AND node NOT IN (SELECT node FROM h1)
+        """,
+        "kg_pmi": f"""
+            WITH ents AS ({_ENTITIES_SQL}),
+            dl AS (SELECT DISTINCT doc_id, label FROM ents),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                  FROM dl),
+            ca AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+                   FROM dl GROUP BY label),
+            pairs AS (SELECT a.label AS la, b.label AS lb,
+                             CAST(count(*) AS BIGINT) AS cab
+                      FROM dl a JOIN dl b
+                        ON a.doc_id = b.doc_id AND a.label < b.label
+                      GROUP BY a.label, b.label)
+            SELECT la, lb, cab,
+                   ln(CAST(nd AS DOUBLE) * CAST(cab AS DOUBLE)
+                      / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE)))
+                     AS pmi
+            FROM pairs
+            JOIN ca x ON x.label = la
+            JOIN ca y ON y.label = lb, n
+            WHERE cab >= 2
         """,
         "kg_pagerank": f"""
             WITH edges AS ({_CANON_EDGES_SQL}),

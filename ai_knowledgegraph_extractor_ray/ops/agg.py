@@ -1106,3 +1106,91 @@ def grouped_zscore_outliers(ds: rd.Dataset, key_cols: list[str],
         return out
 
     return joined.map_batches(flag, batch_format="pandas")
+
+
+def pmi_pairs(ds: rd.Dataset, group_col: str, item_col: str, *,
+              min_pair: int = 2,
+              buckets: int | None = None) -> rd.Dataset:
+    """Pointwise mutual information of item pairs co-occurring within a
+    group — the co-occurrence statistic behind entity-association and
+    phrase mining:
+
+        pmi(a, b) = ln( N * c_ab / (c_a * c_b) )
+
+    with N = distinct groups, c_x = groups containing x, c_ab = groups
+    containing both. One bucketed exchange keyed on the GROUP dedups
+    (group, item) globally per group and emits pair partials (pair
+    fan-out is bounded by the per-group item cap — the KG's cap-15
+    contract); a second tiny exchange sums pair counts; per-item
+    counts are item-vocabulary-bounded and broadcast. Pairs are
+    ordered a < b and filtered to ``c_ab >= min_pair``."""
+    import ray
+
+    from .joins import broadcast_inner_join  # noqa: F401 (doc pointer)
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[group_col, item_col]].drop_duplicates()
+
+    def group_merge(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df.drop_duplicates([group_col, item_col])
+        la, lb = [], []
+        for _, g in dl.groupby(group_col, sort=False, dropna=False):
+            items = np.sort(g[item_col].to_numpy(dtype=object))
+            if len(items) < 2:
+                continue
+            i, j = np.triu_indices(len(items), k=1)
+            la.append(items[i])
+            lb.append(items[j])
+        if not la:
+            return pd.DataFrame({"la": pd.Series([], dtype=object),
+                                 "lb": pd.Series([], dtype=object),
+                                 "cab": pd.Series([], dtype="int64")})
+        return (pd.DataFrame({"la": np.concatenate(la),
+                              "lb": np.concatenate(lb),
+                              "cab": np.int64(1)})
+                .groupby(["la", "lb"], as_index=False, sort=False).sum())
+
+    deduped = bucketed_groupby(
+        ds.map_batches(slim, batch_format="pandas"),
+        [group_col], lambda df: df.drop_duplicates([group_col, item_col]),
+        buckets=buckets).materialize()
+
+    pair_partials = bucketed_groupby(deduped, [group_col], group_merge,
+                                     buckets=buckets)
+    cab = bucketed_groupby(pair_partials, ["la", "lb"],
+                           sum_merge(["la", "lb"], ["cab"]),
+                           buckets=buckets)
+
+    def item_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[[item_col]].assign(c=np.int64(1))
+                .groupby(item_col, as_index=False, sort=False).sum())
+
+    ca = (deduped.map_batches(item_partial, batch_format="pandas")
+          .to_pandas().groupby(item_col, as_index=False).sum())
+    ca_map = dict(zip(ca[item_col], ca["c"].astype(int)))
+
+    def n_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({group_col: df[group_col].unique()})
+
+    n_groups = int(deduped.map_batches(n_partial, batch_format="pandas")
+                   .to_pandas()[group_col].nunique())
+    ca_ref = ray.put(ca_map)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cab"] >= min_pair]
+        if not len(df):
+            return pd.DataFrame({"la": pd.Series([], dtype=object),
+                                 "lb": pd.Series([], dtype=object),
+                                 "cab": pd.Series([], dtype="int64"),
+                                 "pmi": pd.Series([], dtype="float64")})
+        m = ray.get(ca_ref)
+        c_a = df["la"].map(m).to_numpy(np.float64)
+        c_b = df["lb"].map(m).to_numpy(np.float64)
+        cabv = df["cab"].to_numpy(np.float64)
+        pmi = np.log(float(n_groups) * cabv / (c_a * c_b))
+        out = df.copy()
+        out["cab"] = out["cab"].astype("int64")
+        out["pmi"] = pmi
+        return out
+
+    return cab.map_batches(finish, batch_format="pandas")

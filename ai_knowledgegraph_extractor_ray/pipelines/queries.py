@@ -2342,3 +2342,12 @@ def q_user_intersect_all(sf_dir: str) -> rd.Dataset:
     view = ev.filter(expr="event_type == 'view'")
     return intersect_all(buy.select_columns(["user_id"]),
                          view.select_columns(["user_id"]), ["user_id"])
+
+
+def q_kg_pmi(sf_dir: str) -> rd.Dataset:
+    """Entity-pair pointwise mutual information over per-document entity
+    sets (round 4): the co-occurrence association statistic, exact
+    closed-formula float64 against the SQL oracle."""
+    from ..ops.agg import pmi_pairs
+
+    return pmi_pairs(q_entities(sf_dir), "doc_id", "label", min_pair=2)

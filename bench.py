@@ -183,6 +183,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "kg_triangles": lambda: len(q.q_kg_triangles(sf_dir)),
             "kg_clustering": lambda: q.q_kg_clustering(sf_dir).count(),
             "kg_ego": lambda: len(q.q_kg_ego(sf_dir)),
+            "kg_pmi": lambda: q.q_kg_pmi(sf_dir).count(),
             "media_decode": lambda: q.q_media_decode(sf_dir).count(),
             "corpus_clean": lambda: q.q_corpus_clean(sf_dir).count(),
             "data_prep": lambda: q.q_data_prep(sf_dir).count(),

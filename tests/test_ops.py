@@ -3118,3 +3118,33 @@ def test_bag_set_ops_multiplicity():
     ea = (except_all(L, R, ["k"], buckets=2).to_pandas()["k"]
           .value_counts().to_dict())
     assert ea == {"a": 2, "b": 1, "c": 1}          # (cl - cr)+
+
+
+def test_pmi_pairs_known_counts():
+    """PMI from known co-occurrence counts: always-together items get
+    positive PMI = ln(N/1...), independent-ish items lower; duplicate
+    (group, item) rows and cross-block groups must not inflate counts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.agg import pmi_pairs
+
+    rows = []
+    for g in range(8):
+        rows.append({"g": g, "i": "x"})
+        rows.append({"g": g, "i": "x"})        # duplicate must collapse
+        rows.append({"g": g, "i": "y"})        # x,y always together
+        if g < 2:
+            rows.append({"g": g, "i": "z"})    # z rare
+    df = pd.DataFrame(rows)
+    out = (pmi_pairs(rd.from_pandas([df.iloc[:9], df.iloc[9:]]),
+                     "g", "i", min_pair=2, buckets=2)
+           .to_pandas().set_index(["la", "lb"]))
+    # c_x = c_y = 8, c_xy = 8, N = 8 -> pmi = ln(8*8/(8*8)) = 0
+    assert abs(out.loc[("x", "y"), "pmi"] - 0.0) < 1e-12
+    assert out.loc[("x", "y"), "cab"] == 8
+    # c_z = 2, c_xz = 2 -> pmi = ln(8*2/(8*2)) = 0... use y,z same; check
+    # a filtered pair: min_pair=2 keeps (x,z) with cab=2
+    assert out.loc[("x", "z"), "cab"] == 2
+    assert abs(out.loc[("x", "z"), "pmi"]) < 1e-12
