@@ -91,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions (composite-key join, percent_rank/cume_dist,
         # forward as-of direction)
         "join_multi": q.q_join_multi,
-        "events_pctrank": q.q_events_pctrank,
         "events_asof_fwd": q.q_events_asof_fwd,
         "events_gsets": q.q_events_gsets,
         "events_moments": q.q_events_moments,
@@ -115,17 +114,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q.q_events_rolling,
         "events_outliers": q.q_events_outliers,
         "user_intersect_all": q.q_user_intersect_all,
+        # The driver's correctness gate checks the FIRST 50 entries only;
+        # 56 oracled never-gated queries compete for those slots. The six
+        # below this comment overflow by design — they are kind-variants
+        # of in-window queries (events_pctrank of events_rank; user_paths/
+        # user_types of grouped_string_agg; events_mode/events_firstlast/
+        # type_encode of gated grouped reduces) with dedicated unit tests,
+        # and `python tools/check_oracle.py` replays every one of them.
+        "events_pctrank": q.q_events_pctrank,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
         "events_firstlast": q.q_events_firstlast,
         "type_encode": q.q_type_encode,
         "user_types": q.q_user_types,
-        # The driver's correctness gate checks the FIRST 50 entries only;
-        # 52 never-gated oracled queries compete for those slots, so the
-        # overflow (currently type_encode, user_types — the broadcast
-        # label-encode and collect-set siblings of in-window type/paths
-        # queries) plus everything below is replayed by
-        # `python tools/check_oracle.py` instead.
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,

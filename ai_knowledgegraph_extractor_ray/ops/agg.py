@@ -1086,11 +1086,11 @@ def grouped_zscore_outliers(ds: rd.Dataset, key_cols: list[str],
     drops them identically). Appends a ``z`` column."""
     from .joins import hash_inner_join
 
-    mom = grouped_moments(ds, key_cols, value_col, buckets=buckets)
     if len(key_cols) != 1:
         raise ValueError("grouped_zscore_outliers: single key column "
                          "only (composite keys: pre-concatenate)")
     key = key_cols[0]
+    mom = grouped_moments(ds, key_cols, value_col, buckets=buckets)
 
     slim = mom.select_columns([key, "mean", "std_pop"])
     joined = hash_inner_join(ds, slim, key, buckets=buckets)
@@ -1126,9 +1126,11 @@ def pmi_pairs(ds: rd.Dataset, group_col: str, item_col: str, *,
     ordered a < b and filtered to ``c_ab >= min_pair``."""
     import ray
 
-    from .joins import broadcast_inner_join  # noqa: F401 (doc pointer)
-
     def slim(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL items are dropped up front: SQL's a.label < b.label pair
+        # comparison never matches a NULL either, and a null in a mixed
+        # object sort would TypeError
+        df = df[df[item_col].notna()]
         return df[[group_col, item_col]].drop_duplicates()
 
     def group_merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -1155,8 +1157,11 @@ def pmi_pairs(ds: rd.Dataset, group_col: str, item_col: str, *,
         [group_col], lambda df: df.drop_duplicates([group_col, item_col]),
         buckets=buckets).materialize()
 
-    pair_partials = bucketed_groupby(deduped, [group_col], group_merge,
-                                     buckets=buckets)
+    # deduped is the output of a group-keyed bucketed_groupby: every
+    # block already holds WHOLE groups, so pair generation is a plain
+    # map — no second exchange on the same key
+    pair_partials = deduped.map_batches(group_merge,
+                                        batch_format="pandas")
     cab = bucketed_groupby(pair_partials, ["la", "lb"],
                            sum_merge(["la", "lb"], ["cab"]),
                            buckets=buckets)

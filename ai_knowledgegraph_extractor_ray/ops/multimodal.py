@@ -576,6 +576,12 @@ def phash64(px: np.ndarray) -> int:
     re-encoding and small pixel noise; Hamming distance approximates
     visual difference."""
     g = px.astype(np.float64).mean(axis=2)
+    # sub-32px images would create zero-width pooling bins (0/0 = NaN
+    # coefficients, hash 0 for every tiny image); nearest-upsample first
+    if g.shape[0] < 32:
+        g = np.repeat(g, -(-32 // g.shape[0]), axis=0)
+    if g.shape[1] < 32:
+        g = np.repeat(g, -(-32 // g.shape[1]), axis=1)
     ys = np.linspace(0, g.shape[0], 33, dtype=int)
     xs = np.linspace(0, g.shape[1], 33, dtype=int)
     # area pooling via prefix sums (exact box means, vectorized)
@@ -691,19 +697,23 @@ def phash_near_pairs(hashes: rd.Dataset, *, max_hamming: int = 3,
         lambda df: df.drop_duplicates(["id_a", "id_b"]), buckets=buckets)
 
 
-def afp64(pcm: np.ndarray, sample_rate: int) -> int:
+def afp64(pcm: np.ndarray, sample_rate: int) -> int | None:
     """64-bit spectral audio fingerprint (the pHash recipe in the
-    time-frequency plane): 16 equal time segments x 4 log-spaced
+    time-frequency plane): 4 equal time segments x 16 log-spaced
     frequency bands of FFT energy, log-compressed, thresholded against
-    the median — robust to small additive noise and re-encoding;
-    Hamming distance tracks audible difference."""
+    the median — frequency-fine because a stationary tone makes every
+    time segment identical. Robust to small additive noise and
+    re-encoding; Hamming distance tracks audible difference. Returns
+    None for degenerate clips (< 128 samples) — no meaningful spectrum
+    exists, and a sentinel hash would pair every short clip with every
+    other."""
     x = pcm.astype(np.float64)
     if x.ndim > 1:
         x = x.mean(axis=1)
     n_seg, n_band = 4, 16
     seg = len(x) // n_seg
     if seg < 2 * n_band:
-        return 0
+        return None
     frames = x[:n_seg * seg].reshape(n_seg, seg)
     spec = np.abs(np.fft.rfft(frames, axis=1))
     nyq = spec.shape[1]
@@ -738,8 +748,9 @@ class AudioFPHasher:
                 ok.append(False)
                 continue
             pcm, sr = decode_wav(bytes(payload))
-            hashes.append(afp64(pcm, sr))
-            ok.append(True)
+            fp = afp64(pcm, sr)
+            hashes.append(0 if fp is None else fp)
+            ok.append(fp is not None)
         return pa.table({
             "item_id": batch["item_id"],
             "phash": pa.array(hashes, pa.uint64()),

@@ -2325,8 +2325,15 @@ def q_kg_ego(sf_dir: str) -> pd.DataFrame:
     from ..ops.graph import k_hop_neighbors
 
     edges = q_canon_sql(sf_dir).materialize()
-    seed = (edges.select_columns(["canonical_src"]).to_pandas()
-            ["canonical_src"].astype(str).min())
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"m": pd.Series([], dtype=str)})
+        return pd.DataFrame({"m": [df["canonical_src"].astype(str).min()]})
+
+    # per-block mins -> driver fold: O(blocks) rows, not O(edges)
+    seed = (edges.map_batches(block_min, batch_format="pandas")
+            .to_pandas()["m"].min())
     return k_hop_neighbors(edges, seed=seed, k=2)
 
 
