@@ -1084,7 +1084,7 @@ def grouped_zscore_outliers(ds: rd.Dataset, key_cols: list[str],
     same closed formula the SQL oracle writes. Zero-variance groups
     emit nothing (z is undefined there, and SQL's ``std > 0`` guard
     drops them identically). Appends a ``z`` column."""
-    from .joins import hash_inner_join
+    from .joins import auto_inner_join
 
     if len(key_cols) != 1:
         raise ValueError("grouped_zscore_outliers: single key column "
@@ -1093,7 +1093,10 @@ def grouped_zscore_outliers(ds: rd.Dataset, key_cols: list[str],
     mom = grouped_moments(ds, key_cols, value_col, buckets=buckets)
 
     slim = mom.select_columns([key, "mean", "std_pop"])
-    joined = hash_inner_join(ds, slim, key, buckets=buckets)
+    # cost-based: the moments table is one row per key — broadcast at
+    # any realistic group vocabulary, co-bucketed shuffle only when the
+    # key space is itself corpus-sized
+    joined = auto_inner_join(ds, slim, key, buckets=buckets)
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         std = df["std_pop"].to_numpy(np.float64)
