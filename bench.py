@@ -320,6 +320,32 @@ def run_scaling(sf_dir: str, cpu_pair: tuple[int, int] = (8, 32)) -> dict:
     }
 
 
+# The driver that records BENCH_r{N}.json keeps only the LAST 2000 chars of
+# stdout and parses the JSON line out of that window; round 3's line grew past
+# it (113 queries) and was recorded unparsed. The stdout line is therefore
+# kept compact — headline fields plus the slowest queries — with the full
+# per-query detail written to bench_full.json next to this file (and stderr).
+_STDOUT_LIMIT = 1800
+_ALWAYS_KEEP = ("kg_extract", "kg_canonicalize")
+
+
+def _compact(result: dict, limit: int = _STDOUT_LIMIT) -> dict:
+    out = dict(result)
+    spread = out.pop("queries_spread", None)
+    if spread:
+        out["spread_max"] = max(spread.values())
+    queries = dict(out.get("queries", {}))
+    out["queries_sum_sec"] = round(sum(queries.values()), 3)
+    out["queries_n"] = len(queries)
+    # drop cheapest queries until the serialized line fits the window
+    by_cost = sorted(queries, key=lambda k: (k in _ALWAYS_KEEP, queries[k]))
+    while len(json.dumps(out)) > limit and by_cost:
+        queries.pop(by_cost.pop(0))
+        out["queries"] = queries
+        out["queries_elided"] = out["queries_n"] - len(queries)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -332,7 +358,15 @@ def main() -> None:
         result = run_scaling(SF_DIR, (lo, hi))
     else:
         result = run_benchmarks(SF_DIR, NUM_CPUS, kg_only=args.kg_only)
-    print(json.dumps(result))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result), file=sys.stderr)
+    print(json.dumps(_compact(result)))
 
 
 if __name__ == "__main__":
