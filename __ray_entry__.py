@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_firstlast": q.q_events_firstlast,
         "type_encode": q.q_type_encode,
         "user_types": q.q_user_types,
+        "events_json": q.q_events_json,
+        "events_winsorize": q.q_events_winsorize,
+        "tpch_q14": q.q_tpch_q14,
+        "tpch_q4": q.q_tpch_q4,
+        "tpch_q19": q.q_tpch_q19,
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
@@ -1104,6 +1109,73 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT event_type, ','
                               ORDER BY event_type) AS types
             FROM events GROUP BY user_id
+        """,
+        "events_json": """
+            WITH j AS (SELECT event_type,
+                              TRY_CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(k) AS BIGINT) AS n_k,
+                   CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+            FROM j GROUP BY event_type
+        """,
+        "events_winsorize": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_cont(CAST(cents AS DOUBLE), 0.05) AS lo,
+                         quantile_cont(CAST(cents AS DOUBLE), 0.95) AS hi
+                  FROM e GROUP BY event_type)
+            SELECT event_id, e.event_type, cents,
+                   least(greatest(CAST(cents AS DOUBLE), lo), hi) AS wcents
+            FROM e JOIN q ON e.event_type = q.event_type
+        """,
+        "tpch_q14": """
+            WITH f AS (
+              SELECT 0 AS g,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev,
+                     p_type = 'PROMO' AS is_promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= DATE '1996-03-01'
+                AND l_shipdate < DATE '1996-04-01')
+            SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+                        AS BIGINT) AS promo_rev_e4,
+                   CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+                   100.0 * CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+                                AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE) AS promo_pct
+            FROM f GROUP BY g
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q19": """
+            WITH f AS (
+              SELECT 0 AS g,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                     AND l_quantity BETWEEN 1 AND 15)
+                 OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+                     AND l_quantity BETWEEN 10 AND 25)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+                     AND l_quantity BETWEEN 20 AND 35))
+            SELECT CAST(sum(rev) AS BIGINT) AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM f GROUP BY g
         """,
         "events_firstlast": """
             WITH e AS (SELECT user_id, ts, event_id,

@@ -2358,3 +2358,230 @@ def q_kg_pmi(sf_dir: str) -> rd.Dataset:
     from ..ops.agg import pmi_pairs
 
     return pmi_pairs(q_entities(sf_dir), "doc_id", "label", min_pair=2)
+
+
+# --- semi-structured JSON extraction (ops/jsonops.py) ------------------------
+
+def q_events_json(sf_dir: str) -> rd.Dataset:
+    """Per-type aggregate over a JSON-extracted column: ``events.props``
+    is a JSON string; ``$.k`` comes out through polars' vectorized JSON
+    path kernel (pure per-block map, zero shuffle), then one tiny
+    bucketed merge. Pins extract -> TRY_CAST -> aggregate against
+    DuckDB's ``json_extract_string``."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.jsonops import json_extract_columns
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    withk = json_extract_columns(ev, "props", {"k": ("$.k", "int64")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"]
+        return (pd.DataFrame({
+            "event_type": df["event_type"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "n_k": k.notna().to_numpy().astype(np.int64),
+            "sum_k": k.fillna(0).to_numpy(dtype="int64"),
+        }).groupby("event_type", as_index=False, sort=False).sum())
+
+    return bucketed_groupby(
+        withk.map_batches(partial, batch_format="pandas"),
+        ["event_type"], sum_merge(["event_type"], ["n", "n_k", "sum_k"]))
+
+
+# --- grouped winsorization (ops/agg.py quantiles + broadcast clamp) ----------
+
+def q_events_winsorize(sf_dir: str) -> rd.Dataset:
+    """Winsorize value-cents to the per-type [p05, p95] continuous
+    quantiles: bounds come from the exact histogram-partial quantile
+    shuffle (vocabulary-sized result), broadcast into a pure clamp map —
+    the raw rows are never shuffled. The input is scanned twice (bounds
+    pass + clamp pass), the streaming-safe trade at 100 TB vs holding
+    the corpus to attach five numbers."""
+    import ray
+
+    from ..ops.agg import grouped_quantile_cont
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(cents.astype(np.int64))})
+
+    cents_ds = ev.map_batches(to_cents, batch_format="pyarrow")
+    bounds = grouped_quantile_cont(
+        cents_ds.select_columns(["event_type", "cents"]),
+        ["event_type"], "cents", {"lo": 0.05, "hi": 0.95}).to_pandas()
+    lo_s = bounds.set_index("event_type")["lo"].astype(np.float64)
+    hi_s = bounds.set_index("event_type")["hi"].astype(np.float64)
+    bref = ray.put((lo_s, hi_s))
+
+    def clamp(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(bref)
+        lo = df["event_type"].map(lo_m).to_numpy(np.float64)
+        hi = df["event_type"].map(hi_m).to_numpy(np.float64)
+        c = df["cents"].to_numpy(np.float64)
+        df["wcents"] = np.minimum(np.maximum(c, lo), hi)
+        return df
+
+    return cents_ds.map_batches(clamp, batch_format="pandas")
+
+
+# --- TPC-H Q14 / Q4 / Q19 (adapted to this data's domains) -------------------
+
+Q14_START, Q14_END = "1996-03-01", "1996-04-01"
+
+
+def q_tpch_q14(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q14 promo-revenue ratio (promo == p_type = 'PROMO' in this
+    data's flat type domain): part is a broadcast partkey set (zero
+    shuffle for the dimension side), revenue partials are exact
+    1e-4-dollar int64 sums, and the single-row percentage is a closed
+    float64 formula over the two exact sums."""
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"]).to_pandas()
+    promo = np.sort(part.loc[part["p_type"] == "PROMO",
+                             "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(promo)
+
+    lo, hi = pd.Timestamp(Q14_START), pd.Timestamp(Q14_END)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        ext_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = ext_c * (100 - disc_p)
+        isp = np.isin(df["l_partkey"].to_numpy(np.int64), ray.get(pref))
+        return (pd.DataFrame({
+            "g": np.zeros(len(df), dtype=np.int64),
+            "promo_rev_e4": np.where(isp, rev, 0),
+            "total_rev_e4": rev,
+        }).groupby("g", as_index=False, sort=False).sum())
+
+    merged = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        ["g"], sum_merge(["g"], ["promo_rev_e4", "total_rev_e4"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["promo_rev_e4", "total_rev_e4"]].copy()
+        out["promo_pct"] = (
+            100.0 * out["promo_rev_e4"].to_numpy(np.float64)
+            / out["total_rev_e4"].to_numpy(np.float64))
+        return out
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+Q4_START, Q4_END = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q4(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 order-priority checking, adapted to this data (EXISTS a
+    returned line, l_returnflag = 'R'; no commit/receipt dates in the
+    synthetic lineitem): the correlated EXISTS is rewritten as
+    per-block-distinct orderkey partials -> co-bucketed semi join
+    against the date-windowed orders scan -> tiny priority groupby."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_semi_join
+
+    lo, hi = pd.Timestamp(Q4_START), pd.Timestamp(Q4_END)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def owin(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return keep[["o_orderkey", "o_orderpriority"]]
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+
+    def lkeys(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["l_returnflag"] == "R", "l_orderkey"]
+        return pd.DataFrame(
+            {"o_orderkey": np.unique(k.to_numpy(np.int64))})
+
+    kept = hash_semi_join(orders.map_batches(owin, batch_format="pandas"),
+                          li.map_batches(lkeys, batch_format="pandas"),
+                          "o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False, sort=False).agg(
+            order_count=("o_orderkey", "size"))
+        g["order_count"] = g["order_count"].astype(np.int64)
+        return g
+
+    return bucketed_groupby(
+        kept.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        sum_merge(["o_orderpriority"], ["order_count"]))
+
+
+# (brand, max p_size, quantity band) disjunction arms for adapted Q19
+Q19_ARMS = (("Brand#1", 15, 1, 15),
+            ("Brand#2", 30, 10, 25),
+            ("Brand#3", 45, 20, 35))
+
+
+def q_tpch_q19(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q19 discounted revenue under a DISJUNCTION of
+    (brand, size, quantity-band) arms, adapted to this part table's
+    columns (no p_container; p_size plays its role). The part side is a
+    broadcast partkey -> (brand, size) lookup; each block evaluates the
+    OR-of-ANDs vectorized and emits one partial row — no shuffle of
+    lineitem at all, matching how a disjunctive pred pushes into a
+    broadcast join rather than forcing an all-to-all."""
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand",
+                                    "p_size"]).to_pandas()
+    lut = (part.set_index("p_partkey")[["p_brand", "p_size"]])
+    pref = ray.put((lut["p_brand"], lut["p_size"].astype(np.int64)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        brand_m, size_m = ray.get(pref)
+        keys = df["l_partkey"]
+        brand = keys.map(brand_m).to_numpy(object)
+        size = keys.map(size_m).to_numpy(np.float64)
+        qty = df["l_quantity"].to_numpy(np.float64)
+        mask = np.zeros(len(df), dtype=bool)
+        for b, smax, qlo, qhi in Q19_ARMS:
+            mask |= ((brand == b) & (size >= 1) & (size <= smax)
+                     & (qty >= qlo) & (qty <= qhi))
+        df = df[mask]
+        ext_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({
+            "g": np.zeros(len(df), dtype=np.int64),
+            "revenue_e4": ext_c * (100 - disc_p),
+            "n_lines": np.ones(len(df), dtype=np.int64),
+        }).groupby("g", as_index=False, sort=False).sum())
+
+    merged = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        ["g"], sum_merge(["g"], ["revenue_e4", "n_lines"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["revenue_e4", "n_lines"]]
+
+    return merged.map_batches(finish, batch_format="pandas")

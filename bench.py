@@ -236,6 +236,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
                 lambda: q.q_events_outliers(sf_dir).count(),
             "user_intersect_all":
                 lambda: q.q_user_intersect_all(sf_dir).count(),
+            "events_json": lambda: q.q_events_json(sf_dir).count(),
+            "events_winsorize":
+                lambda: q.q_events_winsorize(sf_dir).count(),
+            "tpch_q14": lambda: q.q_tpch_q14(sf_dir).count(),
+            "tpch_q4": lambda: q.q_tpch_q4(sf_dir).count(),
+            "tpch_q19": lambda: q.q_tpch_q19(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -3148,3 +3148,54 @@ def test_pmi_pairs_known_counts():
     # a filtered pair: min_pair=2 keeps (x,z) with cab=2
     assert out.loc[("x", "z"), "cab"] == 2
     assert abs(out.loc[("x", "z"), "pmi"]) < 1e-12
+
+
+def test_json_extract_columns_semantics():
+    """Missing path / JSON null / failed cast / malformed doc / row null
+    all yield NULL; nested paths and every dtype work; clashing output
+    names and bad paths are rejected."""
+    from ai_knowledgegraph_extractor_ray.ops.jsonops import (
+        json_extract_columns)
+
+    docs = ['{"k": 69, "f": 1.5, "b": true, "s": "hi", "a": {"b": 7}}',
+            '{"k": null}', '{"k": "notanint"}', 'not json', None,
+            '{"other": 1}']
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)),
+                                      "props": docs}))
+    out = json_extract_columns(ds, "props", {
+        "k": ("$.k", "int64"), "f": ("$.f", "float64"),
+        "b": ("$.b", "bool"), "s": ("$.s", "string"),
+        "ab": ("$.a.b", "int64"), "miss": ("$.zzz", "string"),
+    }).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert out["k"].tolist()[0] == 69
+    assert out["k"].isna().tolist() == [False, True, True, True, True, True]
+    assert out["f"].iloc[0] == 1.5 and np.isnan(out["f"].iloc[1])
+    assert bool(out["b"].iloc[0]) is True
+    assert out["s"].iloc[0] == "hi" and pd.isna(out["s"].iloc[1])
+    assert out["ab"].tolist()[0] == 7 and out["ab"].isna().iloc[1]
+    assert out["miss"].isna().all()
+
+    with pytest.raises(ValueError, match="dtype"):
+        json_extract_columns(ds, "props", {"x": ("$.k", "int32")})
+    with pytest.raises(ValueError, match="path"):
+        json_extract_columns(ds, "props", {"x": ("k", "int64")})
+    with pytest.raises(ValueError, match="already exist"):
+        json_extract_columns(ds, "props", {"doc_id": ("$.k", "int64")})
+
+
+def test_json_extract_stdlib_fallback_matches():
+    """The no-polars fallback path returns the same values as the
+    vectorized path on the same tricky block."""
+    from ai_knowledgegraph_extractor_ray.ops import jsonops
+
+    docs = ['{"k": 69, "b": true, "s": "hi", "a": {"b": 7}}',
+            '{"k": null}', '{"k": "x"}', 'not json', None]
+    df = pd.DataFrame({"props": docs})
+    fields = {"k": ("$.k", "int64"), "b": ("$.b", "bool"),
+              "s": ("$.s", "string"), "ab": ("$.a.b", "int64")}
+    fast = jsonops._extract_block(df.copy(), "props", dict(fields))
+    slow = jsonops._extract_block_stdlib(df.copy(), "props", dict(fields))
+    for c in fields:
+        assert [None if pd.isna(v) else v for v in fast[c]] \
+            == [None if pd.isna(v) else v for v in slow[c]], c
