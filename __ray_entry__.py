@@ -132,6 +132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": q.q_tpch_q14,
         "tpch_q4": q.q_tpch_q4,
         "tpch_q19": q.q_tpch_q19,
+        "tpch_q7": q.q_tpch_q7,
+        "tpch_q13": q.q_tpch_q13,
+        "tpch_q15": q.q_tpch_q15,
+        "tpch_q17": q.q_tpch_q17,
+        "tpch_q22": q.q_tpch_q22,
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
@@ -1159,6 +1164,88 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q13": """
+            WITH cc AS (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+              GROUP BY c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM cc GROUP BY c_count
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT)
+                       AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue_e4
+            FROM supplier JOIN revenue USING (s_suppkey)
+            WHERE total_revenue_e4 = (SELECT max(total_revenue_e4)
+                                      FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": """
+            WITH bl AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'),
+            st AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(round(l_quantity * 5) AS BIGINT))
+                          AS BIGINT) AS sum_qty5,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM bl GROUP BY l_partkey),
+            f AS (
+              SELECT 0 AS g,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM bl JOIN st USING (l_partkey)
+              WHERE 25 * CAST(round(l_quantity) AS BIGINT) * n < sum_qty5)
+            SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
+            FROM f GROUP BY g
+        """,
+        "tpch_q22": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                       FROM customer),
+            a AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM c WHERE cents > 0)
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+            FROM c, a
+            WHERE cents * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '1999-01-01')
+            GROUP BY c_nationkey
         """,
         "tpch_q19": """
             WITH f AS (

@@ -391,5 +391,19 @@ def hash_exchange_dataset(ds: rd.Dataset, num_partitions: int | None,
     out_refs = [_exchange_merge.remote(merge_fn, *refs_per_pid[p])
                 for p in range(num_partitions) if totals[p] > 0]
     if not out_refs:
+        # Zero qualifying rows anywhere: preserve the OUTPUT schema by
+        # running the merge once over a schema-typed empty partition table
+        # from the map wave (Dataset.schema() is unreliable on empty
+        # object-dtype inputs), so empty results stay column-compatible
+        # with non-empty ones.
+        first = next((refs[0] for refs in refs_per_pid if refs), None)
+        if first is not None:
+            try:
+                empty = ray.get(first)
+                if XPID in empty.column_names:   # absent on all-empty maps
+                    empty = empty.drop_columns([XPID])
+                return rd.from_arrow(merge_fn(empty))
+            except Exception:   # merge_fn not empty-safe: schemaless path
+                pass
         return rd.from_items([])
     return rd.from_arrow_refs(out_refs)

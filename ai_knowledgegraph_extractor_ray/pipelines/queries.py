@@ -2585,3 +2585,348 @@ def q_tpch_q19(sf_dir: str) -> rd.Dataset:
         return df[["revenue_e4", "n_lines"]]
 
     return merged.map_batches(finish, batch_format="pandas")
+
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q7_START, Q7_END = "1995-01-01", "1997-01-01"
+
+
+def q_tpch_q7(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 volume shipping between two nations. Distributed shape:
+    supplier and nation are driver-tiny broadcasts folded into the
+    lineitem scan (suppkey -> supp_nation, rows outside the two nations
+    dropped at the scan); orders⋈customer runs through the cost-based
+    auto plan; the one mandatory exchange is the orderkey join between
+    the pre-aggregated lineitem partials and the dated orders; the
+    cross-pair filter and the 2x2xyears rollup finish on the
+    vocabulary-sized result. Exact e4 integer money."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import auto_inner_join, hash_inner_join
+
+    lo, hi = pd.Timestamp(Q7_START), pd.Timestamp(Q7_END)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    pair_keys = {k for k, v in nname.items() if v in Q7_NATIONS}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(pair_keys)]
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                               sup["s_nationkey"].astype(int))))
+    pair_ref = ray.put(frozenset(pair_keys))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin(ray.get(pair_ref))]
+        return pd.DataFrame({
+            "o_custkey": df["c_custkey"].to_numpy(np.int64),
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64)})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def okeys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64)})
+
+    ord_cust = auto_inner_join(
+        orders.map_batches(okeys, batch_format="pandas"),
+        cust.map_batches(cust_slim, batch_format="pandas"), "o_custkey")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        smap = ray.get(sup_ref)
+        nk = df["l_suppkey"].map(smap)
+        keep = nk.notna().to_numpy()
+        df = df[keep]
+        ext_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "s_nationkey": nk[keep].to_numpy(np.int64),
+            "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+            "revenue_e4": ext_c * (100 - disc_p),
+        }).groupby(["l_orderkey", "s_nationkey", "l_year"],
+                   as_index=False, sort=False).sum())
+
+    joined = hash_inner_join(
+        li.map_batches(li_partial, batch_format="pandas"), ord_cust,
+        "l_orderkey")
+
+    def pair_sum(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s_nationkey"].to_numpy(np.int64)
+        c = df["c_nationkey"].to_numpy(np.int64)
+        df = df[s != c]                     # the FRANCE/GERMANY cross pair
+        return (df[["s_nationkey", "c_nationkey", "l_year", "revenue_e4"]]
+                .groupby(["s_nationkey", "c_nationkey", "l_year"],
+                         as_index=False, sort=False).sum())
+
+    per_pair = bucketed_groupby(
+        joined.map_batches(pair_sum, batch_format="pandas"),
+        ["s_nationkey", "c_nationkey", "l_year"],
+        sum_merge(["s_nationkey", "c_nationkey", "l_year"],
+                  ["revenue_e4"]), buckets=4).to_pandas()
+    # 2 nations x 2 directions x years: driver-side finish like Q5/Q10,
+    # with explicit dtypes so the empty result keeps its schema (Ray Data
+    # erases schemas on fully-empty pandas-origin block chains)
+    if per_pair.empty:
+        per_pair = pd.DataFrame({"s_nationkey": pd.Series(dtype=np.int64),
+                                 "c_nationkey": pd.Series(dtype=np.int64),
+                                 "l_year": pd.Series(dtype=np.int64),
+                                 "revenue_e4": pd.Series(dtype=np.int64)})
+    out = pd.DataFrame({
+        "supp_nation": per_pair["s_nationkey"].map(nname).astype("string"),
+        "cust_nation": per_pair["c_nationkey"].map(nname).astype("string"),
+        "l_year": per_pair["l_year"].astype(np.int64),
+        "revenue_e4": per_pair["revenue_e4"].astype(np.int64)})
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def q_tpch_q13(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 customer order-count distribution (filter adapted to
+    this data: non-finished orders, o_orderstatus <> 'F', instead of the
+    absent o_comment pattern). Shape: per-custkey count partials merge
+    once, LEFT join against the customer key scan keeps zero-order
+    customers, and the second aggregation runs over the
+    count-cardinality-sized result."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_inner_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderstatus"])
+
+    def opartial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"] != "F"]
+        g = df.groupby("o_custkey", as_index=False, sort=False).agg(
+            c_count=("o_orderstatus", "size"))
+        return pd.DataFrame({
+            "c_custkey": g["o_custkey"].to_numpy(np.int64),
+            "c_count": g["c_count"].to_numpy(np.int64)})
+
+    counts = bucketed_groupby(
+        orders.map_batches(opartial, batch_format="pandas"),
+        ["c_custkey"], sum_merge(["c_custkey"], ["c_count"]))
+
+    withz = hash_inner_join(cust, counts, "c_custkey", how="left")
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.nan_to_num(
+            df["c_count"].to_numpy(np.float64), nan=0.0).astype(np.int64)
+        return (pd.DataFrame({"c_count": c,
+                              "custdist": np.ones(len(df), np.int64)})
+                .groupby("c_count", as_index=False, sort=False).sum())
+
+    return bucketed_groupby(
+        withz.map_batches(dist_partial, batch_format="pandas"),
+        ["c_count"], sum_merge(["c_count"], ["custdist"]), buckets=4)
+
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q15(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 top supplier(s) by quarterly revenue: per-suppkey
+    revenue partials merge to a supplier-cardinality table, the scalar
+    max and the name attach finish driver-side (supplier is a
+    driver-tiny dimension). Exact e4 integer revenue makes the max
+    tie-exact, matching the oracle's = (SELECT max(...)) semantics."""
+    import pyarrow.parquet as pq
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    lo, hi = pd.Timestamp(Q15_START), pd.Timestamp(Q15_END)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        ext_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({
+            "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "total_revenue_e4": ext_c * (100 - disc_p),
+        }).groupby("s_suppkey", as_index=False, sort=False).sum())
+
+    rev = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        ["s_suppkey"], sum_merge(["s_suppkey"], ["total_revenue_e4"]),
+        buckets=4).to_pandas()
+    if rev.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype="string"),
+                             "total_revenue_e4": pd.Series(dtype=np.int64)})
+    top = rev[rev["total_revenue_e4"] == rev["total_revenue_e4"].max()]
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(sup, on="s_suppkey").sort_values("s_suppkey")
+    return (out[["s_suppkey", "s_name", "total_revenue_e4"]]
+            .astype({"s_suppkey": np.int64, "s_name": "string",
+                     "total_revenue_e4": np.int64})
+            .reset_index(drop=True))
+
+
+Q17_BRAND = "Brand#1"
+Q22_RECENT = "1999-01-01"
+
+
+def q_tpch_q17(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q17 small-quantity-order revenue (brand-only predicate;
+    this part table has no p_container). Two scans, zero shuffle of
+    lineitem rows: pass 1 merges per-part quantity sums/counts for the
+    brand's parts (a parts-cardinality table), whose 0.2*avg thresholds
+    broadcast into pass 2's filter+sum partials. The correlated
+    subquery becomes the classic aggregate-join-back, with the
+    threshold comparison cross-multiplied to exact integers
+    (5 * qty * n < sum_qty) so no float boundary can flip a row."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = np.sort(part.loc[part["p_brand"] == Q17_BRAND,
+                                  "p_partkey"].to_numpy(np.int64))
+    bref = ray.put(brand_keys)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[np.isin(df["l_partkey"].to_numpy(np.int64),
+                        ray.get(bref))]
+        qty = df["l_quantity"].to_numpy()
+        return (pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "sum_qty5": np.round(qty * 5).astype(np.int64),
+            "n": np.ones(len(df), dtype=np.int64),
+        }).groupby("l_partkey", as_index=False, sort=False).sum())
+
+    stats = bucketed_groupby(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        ["l_partkey"], sum_merge(["l_partkey"], ["sum_qty5", "n"]),
+        buckets=4).to_pandas()
+    # l_quantity < 0.2 * avg(qty)  <=>  5*qty*n < sum_qty5*n/5*... kept
+    # exact as: 25 * qty * n < 5*sum_qty (both sides integers)
+    s5 = ray.put(dict(zip(stats["l_partkey"].astype(int),
+                          stats["sum_qty5"].astype(int))))
+    nn = ray.put(dict(zip(stats["l_partkey"].astype(int),
+                          stats["n"].astype(int))))
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sum5, cnt = ray.get(s5), ray.get(nn)
+        keys = df["l_partkey"]
+        sq = keys.map(sum5)
+        keep = sq.notna().to_numpy()
+        df, sq = df[keep], sq[keep].to_numpy(np.int64)
+        n = df["l_partkey"].map(cnt).to_numpy(np.int64)
+        qty25 = np.round(df["l_quantity"].to_numpy() * 25).astype(np.int64)
+        small = qty25 * n < sq
+        ext_c = np.round(
+            df.loc[small, "l_extendedprice"].to_numpy() * 100
+        ).astype(np.int64)
+        return (pd.DataFrame({
+            "g": np.zeros(small.sum(), dtype=np.int64),
+            "sum_cents": ext_c,
+            "n_lines": np.ones(small.sum(), dtype=np.int64),
+        }).groupby("g", as_index=False, sort=False).sum())
+
+    merged = bucketed_groupby(
+        li.map_batches(rev_partial, batch_format="pandas"),
+        ["g"], sum_merge(["g"], ["sum_cents", "n_lines"]), buckets=1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["sum_cents", "n_lines"]].copy()
+        out["avg_yearly_cents"] = (
+            out["sum_cents"].to_numpy(np.float64) / 7.0)
+        return out
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def q_tpch_q22(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 global-sales-opportunity (adapted: no c_phone column,
+    so the country-code grouping becomes c_nationkey and the 'positive
+    balance' reference population is all customers). Shape: one scan
+    computes the exact integer (sum_cents, n) of the positive-balance
+    average; rich customers filter with the cross-multiplied integer
+    comparison cents*n > sum_cents (no float boundary); the no-RECENT-orders
+    predicate (every customer here has SOME order, so a date window
+    keeps the anti join non-degenerate) is the co-bucketed anti join;
+    the nation rollup merges a 25-row result."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64),
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64),
+            "cents": c})
+
+    cust_c = cust.map_batches(cents, batch_format="pandas")
+
+    def avg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df[df["cents"] > 0]
+        return pd.DataFrame({
+            "g": np.zeros(len(pos), dtype=np.int64),
+            "s": pos["cents"].to_numpy(np.int64),
+            "n": np.ones(len(pos), dtype=np.int64),
+        }).groupby("g", as_index=False, sort=False).sum()
+
+    scal = bucketed_groupby(
+        cust_c.map_batches(avg_partial, batch_format="pandas"),
+        ["g"], sum_merge(["g"], ["s", "n"]), buckets=1).to_pandas()
+    s_tot = int(scal["s"].iloc[0]) if len(scal) else 0
+    n_tot = int(scal["n"].iloc[0]) if len(scal) else 1
+
+    def rich_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["cents"].to_numpy(np.int64) * n_tot > s_tot]
+
+    rich = cust_c.map_batches(rich_only, batch_format="pandas")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    recent = pd.Timestamp(Q22_RECENT)
+
+    def okeys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderdate"] >= recent]
+        return pd.DataFrame(
+            {"c_custkey": np.unique(df["o_custkey"].to_numpy(np.int64))})
+
+    noord = hash_anti_join(rich, orders.map_batches(
+        okeys, batch_format="pandas"), "c_custkey")
+
+    def nat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "c_nationkey": df["c_nationkey"].to_numpy(np.int64),
+            "numcust": np.ones(len(df), dtype=np.int64),
+            "totacctbal_cents": df["cents"].to_numpy(np.int64),
+        }).groupby("c_nationkey", as_index=False, sort=False).sum())
+
+    return bucketed_groupby(
+        noord.map_batches(nat_partial, batch_format="pandas"),
+        ["c_nationkey"],
+        sum_merge(["c_nationkey"], ["numcust", "totacctbal_cents"]),
+        buckets=4)

@@ -242,6 +242,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "tpch_q14": lambda: q.q_tpch_q14(sf_dir).count(),
             "tpch_q4": lambda: q.q_tpch_q4(sf_dir).count(),
             "tpch_q19": lambda: q.q_tpch_q19(sf_dir).count(),
+            "tpch_q7": lambda: len(q.q_tpch_q7(sf_dir)),
+            "tpch_q13": lambda: q.q_tpch_q13(sf_dir).count(),
+            "tpch_q15": lambda: len(q.q_tpch_q15(sf_dir)),
+            "tpch_q17": lambda: q.q_tpch_q17(sf_dir).count(),
+            "tpch_q22": lambda: q.q_tpch_q22(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -3199,3 +3199,19 @@ def test_json_extract_stdlib_fallback_matches():
     for c in fields:
         assert [None if pd.isna(v) else v for v in fast[c]] \
             == [None if pd.isna(v) else v for v in slow[c]], c
+
+
+def test_join_empty_side_keeps_schema():
+    """A join whose qualifying rows are ALL filtered out still returns a
+    dataset with the joined schema (round-4: the exchange's all-empty
+    path runs the merge on a typed empty partition table instead of
+    returning a schemaless from_items([]))."""
+    from ai_knowledgegraph_extractor_ray.ops.joins import hash_inner_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                        "a": pd.Series(dtype="int64")}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1, 2], "b": [10, 20]}))
+    out = hash_inner_join(left, right, "k")
+    sch = out.schema()
+    assert sch is not None and set(sch.names) == {"k", "a", "b"}
+    assert out.count() == 0
