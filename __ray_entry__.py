@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": q.q_tpch_q15,
         "tpch_q17": q.q_tpch_q17,
         "tpch_q22": q.q_tpch_q22,
+        "tpch_q8": q.q_tpch_q8,
+        "events_histogram": q.q_events_histogram,
+        "alias_fuzzy": q.q_alias_fuzzy,
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
@@ -1230,6 +1233,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "alias_fuzzy": f"""
+            WITH ents AS ({_ENTITIES_SQL}),
+            d AS (SELECT DISTINCT label FROM ents),
+            p AS (SELECT substr(label, 1, 1) || substr(label, 3) AS label
+                  FROM d WHERE length(label) % 3 = 0 AND length(label) >= 3),
+            u AS (SELECT DISTINCT label
+                  FROM (SELECT label FROM d UNION ALL SELECT label FROM p))
+            SELECT a.label AS label_a, b.label AS label_b
+            FROM u a JOIN u b ON a.label < b.label
+            WHERE levenshtein(a.label, b.label) <= 1
+        """,
+        "tpch_q8": """
+            WITH f AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev,
+                     n1.n_name = 'NATION_5' AS is_target
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END)
+                        AS BIGINT) AS num_e4,
+                   CAST(sum(rev) AS BIGINT) AS den_e4,
+                   CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END)
+                        AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS mkt_share
+            FROM f GROUP BY o_year
+        """,
+        "events_histogram": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            b AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi
+                  FROM e GROUP BY event_type)
+            SELECT e.event_type,
+                   least((cents - lo) * 10 // (hi - lo + 1),
+                         CAST(9 AS BIGINT)) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e JOIN b ON e.event_type = b.event_type
+            GROUP BY 1, 2
         """,
         "tpch_q22": """
             WITH c AS (SELECT c_custkey, c_nationkey,

@@ -2930,3 +2930,185 @@ def q_tpch_q22(sf_dir: str) -> rd.Dataset:
         ["c_nationkey"],
         sum_merge(["c_nationkey"], ["numcust", "totacctbal_cents"]),
         buckets=4)
+
+
+Q8_REGION, Q8_TYPE, Q8_NATION = "ASIA", "ECONOMY", "NATION_5"
+Q8_START, Q8_END = "1995-01-01", "1997-01-01"
+
+
+def q_tpch_q8(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8 national market share (adapted to the flat p_type
+    domain): three driver-tiny broadcasts (ECONOMY partkeys, supplier ->
+    is-target-nation flag, ASIA customer keys via nation⋈region) fold
+    into the scans; lineitem pre-aggregates (orderkey, flag) revenue
+    partials before the single orderkey exchange against the dated ASIA
+    orders; the year rollup merges a years-sized table. The share is a
+    closed float64 ratio of exact e4 integer sums."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import auto_inner_join, hash_inner_join
+
+    lo, hi = pd.Timestamp(Q8_START), pd.Timestamp(Q8_END)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = nat[nat["n_regionkey"].isin(
+        reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"])]
+    asia_ref = ray.put(frozenset(asia["n_nationkey"].astype(int)))
+    target_keys = set(nat.loc[nat["n_name"] == Q8_NATION,
+                              "n_nationkey"].astype(int))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_flag_ref = ray.put(dict(zip(
+        sup["s_suppkey"].astype(int),
+        sup["s_nationkey"].astype(int).isin(target_keys))))
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    econ_ref = ray.put(np.sort(part.loc[part["p_type"] == Q8_TYPE,
+                                        "p_partkey"].to_numpy(np.int64)))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin(ray.get(asia_ref))]
+        return pd.DataFrame(
+            {"o_custkey": df["c_custkey"].to_numpy(np.int64)})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def dated(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)})
+
+    ord_cust = auto_inner_join(
+        orders.map_batches(dated, batch_format="pandas"),
+        cust.map_batches(cust_slim, batch_format="pandas"), "o_custkey")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[np.isin(df["l_partkey"].to_numpy(np.int64),
+                        ray.get(econ_ref))]
+        flag = df["l_suppkey"].map(ray.get(sup_flag_ref))
+        ext_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = ext_c * (100 - disc_p)
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "num_e4": np.where(flag.to_numpy(bool), rev, 0),
+            "den_e4": rev,
+        }).groupby("l_orderkey", as_index=False, sort=False).sum())
+
+    joined = hash_inner_join(
+        li.map_batches(li_partial, batch_format="pandas"), ord_cust,
+        "l_orderkey")
+
+    def year_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["o_year", "num_e4", "den_e4"]]
+                .groupby("o_year", as_index=False, sort=False).sum())
+
+    merged = bucketed_groupby(
+        joined.map_batches(year_sum, batch_format="pandas"),
+        ["o_year"], sum_merge(["o_year"], ["num_e4", "den_e4"]),
+        buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_year", "num_e4", "den_e4"]].copy()
+        out["mkt_share"] = (out["num_e4"].to_numpy(np.float64)
+                            / out["den_e4"].to_numpy(np.float64))
+        return out
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+HIST_BINS = 10
+
+
+def q_events_histogram(sf_dir: str) -> rd.Dataset:
+    """Per-type equi-width histogram of value-cents: the [min, max]
+    range comes from a vocabulary-sized min/max partial merge, then the
+    broadcast bounds drive a pure binning map + (type, bin) count merge.
+    Bin index is the exact integer formula min((c - lo) * B // (hi - lo
+    + 1), B - 1) on both sides, so no float boundary can move a row
+    between bins; empty bins are absent (GROUP BY semantics)."""
+    import ray
+
+    from ..ops.agg import bucketed_groupby
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5)
+        return pa.table({"event_type": t["event_type"],
+                         "cents": pa.array(cents.astype(np.int64))})
+
+    cents_ds = ev.map_batches(to_cents, batch_format="pyarrow")
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False, sort=False).agg(
+            lo=("cents", "min"), hi=("cents", "max"))
+        return g
+
+    def mm_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False, sort=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    bounds = bucketed_groupby(
+        cents_ds.map_batches(mm_partial, batch_format="pandas"),
+        ["event_type"], mm_merge, buckets=2).to_pandas()
+    lo_m = bounds.set_index("event_type")["lo"].astype(np.int64)
+    hi_m = bounds.set_index("event_type")["hi"].astype(np.int64)
+    bref = ray.put((lo_m, hi_m))
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo_s, hi_s = ray.get(bref)
+        lo = df["event_type"].map(lo_s).to_numpy(np.int64)
+        hi = df["event_type"].map(hi_s).to_numpy(np.int64)
+        c = df["cents"].to_numpy(np.int64)
+        b = np.minimum((c - lo) * HIST_BINS // (hi - lo + 1),
+                       HIST_BINS - 1)
+        return (pd.DataFrame({"event_type": df["event_type"],
+                              "bin": b.astype(np.int64),
+                              "n": np.ones(len(df), np.int64)})
+                .groupby(["event_type", "bin"], as_index=False,
+                         sort=False).sum())
+
+    from ..ops.agg import sum_merge
+    return bucketed_groupby(
+        cents_ds.map_batches(bin_partial, batch_format="pandas"),
+        ["event_type", "bin"],
+        sum_merge(["event_type", "bin"], ["n"]), buckets=4)
+
+
+def q_alias_fuzzy(sf_dir: str) -> rd.Dataset:
+    """Fuzzy (edit-distance-1) alias pairs over the entity vocabulary —
+    the typo tier of entity linking below the exact lower() alias match.
+    The synthetic labels contain no natural typos, so a deterministic
+    perturbation (labels with length % 3 == 0 lose their 2nd character)
+    plants them, mirrored exactly in the SQL oracle; the operator under
+    test is ``canonicalize.fuzzy_label_pairs`` — deletion-neighborhood
+    blocking, one shuffle, exact linear-time verify."""
+    ents = q_entities(sf_dir).select_columns(["label"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["label"].astype(str)
+        typo = lab[(lab.str.len() % 3 == 0) & (lab.str.len() >= 3)]
+        return pd.DataFrame(
+            {"label": pd.concat([lab, typo.str[0] + typo.str[2:]],
+                                ignore_index=True)})
+
+    return cz.fuzzy_label_pairs(
+        ents.map_batches(plant, batch_format="pandas"), col="label")

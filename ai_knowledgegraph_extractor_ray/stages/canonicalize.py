@@ -561,3 +561,90 @@ def canonical_nodes_table(alias: rd.Dataset | pd.DataFrame):
     # pair-bounded, same driver-side justification as the alias build
     return un.union(rd.from_pandas(
         _canonical_nodes_merge(cl_df.drop(columns="is_clustered"))[cols]))
+
+
+# --- fuzzy alias pairing (round 4) ------------------------------------------
+
+def _within_one_edit(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 in O(len) without the DP table."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                       # exactly one substitution allowed
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:                        # normalize: a is the shorter one
+        a, b, la, lb = b, a, lb, la
+    i = 0                              # one insertion into a yields b
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_label_pairs(labels: rd.Dataset, col: str = "label") -> rd.Dataset:
+    """Distinct label pairs within Levenshtein distance 1 — the fuzzy
+    tier of entity linking (typo'd aliases the exact lower() match in
+    the alias table can't catch).
+
+    Scale shape (the SymSpell deletion-neighborhood identity): two
+    strings are within one edit only if they share an element of
+    {s} ∪ single-deletions(s), so each distinct label fans out to its
+    <= len+1 deletion variants, ONE shuffle co-buckets labels sharing a
+    variant, and in-bucket self-joins emit candidate pairs that a
+    linear-time exact check then verifies. No all-pairs stage anywhere:
+    candidate volume is bounded by variant collisions, which for
+    near-full-length variants stay near-linear in the vocabulary. A
+    pathological corpus (thousands of labels one edit apart in one
+    neighborhood) concentrates its own cluster's pairs in one bucket —
+    the same inherent hot-key caveat as the LSH band buckets.
+
+    Output: (label_a, label_b) with label_a < label_b, distinct."""
+    from ..ops.agg import bucketed_groupby
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col: df[col].drop_duplicates()})
+
+    def distinct_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    uniq = bucketed_groupby(
+        labels.map_batches(distinct_partial, batch_format="pandas"),
+        [col], distinct_merge)
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        vs, ls = [], []
+        for s in df[col].astype(str):
+            vs.append(s)
+            ls.append(s)
+            for i in range(len(s)):
+                vs.append(s[:i] + s[i + 1:])
+                ls.append(s)
+        return pd.DataFrame({"variant": vs, "label": ls})
+
+    fan = uniq.map_batches(variants, batch_format="pandas")
+
+    def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="variant")
+        m = m[m["label_x"] < m["label_y"]]
+        return (m[["label_x", "label_y"]]
+                .drop_duplicates()
+                .rename(columns={"label_x": "label_a",
+                                 "label_y": "label_b"}))
+
+    cand = bucketed_groupby(fan, ["variant"], pair_merge)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()      # same pair from multiple variants
+        keep = [_within_one_edit(a, b)
+                for a, b in zip(df["label_a"], df["label_b"])]
+        return df[np.array(keep, dtype=bool)] if len(df) else df
+
+    return bucketed_groupby(cand, ["label_a", "label_b"], verify,
+                            buckets=4)

@@ -247,6 +247,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "tpch_q15": lambda: len(q.q_tpch_q15(sf_dir)),
             "tpch_q17": lambda: q.q_tpch_q17(sf_dir).count(),
             "tpch_q22": lambda: q.q_tpch_q22(sf_dir).count(),
+            "tpch_q8": lambda: q.q_tpch_q8(sf_dir).count(),
+            "events_histogram":
+                lambda: q.q_events_histogram(sf_dir).count(),
+            "alias_fuzzy": lambda: q.q_alias_fuzzy(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -286,3 +286,43 @@ def test_model_scorer_without_runtime_raises_importerror():
         pass
     with pytest.raises(ImportError, match="sentence-transformers"):
         ModelEmbedScorer("all-MiniLM-L6-v2")
+
+
+def test_within_one_edit_cases():
+    from ai_knowledgegraph_extractor_ray.stages.canonicalize import (
+        _within_one_edit)
+
+    assert _within_one_edit("abc", "abc")
+    assert _within_one_edit("abc", "abd")      # substitution
+    assert _within_one_edit("abc", "ab")       # deletion
+    assert _within_one_edit("ab", "abc")       # insertion
+    assert _within_one_edit("abc", "axbc")     # mid insertion
+    assert not _within_one_edit("ab", "ba")    # transposition = 2 edits
+    assert not _within_one_edit("abc", "adc2")
+    assert not _within_one_edit("abcd", "ab")
+
+
+def test_fuzzy_label_pairs_blocking_and_verify():
+    """Deletion-neighborhood candidates include a distance-2 decoy
+    ('ab'/'ba' share deletion variants) that the exact verify must
+    reject; true distance-1 pairs across sub/del/ins all surface."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.stages.canonicalize import (
+        fuzzy_label_pairs)
+
+    labels = ["Paris", "Pariss", "Parys", "ab", "ba",
+              "London", "Londn", "Tokyo", "Tokyo"]
+    ds = rd.from_pandas(pd.DataFrame({"label": labels}))
+    out = fuzzy_label_pairs(ds).to_pandas()
+    got = {tuple(r) for r in out[["label_a", "label_b"]].itertuples(
+        index=False)}
+    assert ("Paris", "Pariss") in got
+    assert ("Paris", "Parys") in got
+    assert ("Londn", "London") in got
+    assert ("ab", "ba") not in got             # decoy rejected
+    assert ("Pariss", "Parys") not in got      # distance 2
+    # output is distinct, ordered pairs
+    assert (out["label_a"] < out["label_b"]).all()
+    assert not out.duplicated().any()
