@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--canonicalize", action="store_true",
                     help="run phase 2 (alias table + canonical graph) after extraction")
+    ap.add_argument("--typo-tier", action="store_true",
+                    help="also link edit-distance-1 aliases during "
+                         "canonicalization (beyond exact reference parity)")
     ap.add_argument("--stats", action="store_true",
                     help="print graph stats for the version and exit")
     args = ap.parse_args(argv)
@@ -78,7 +81,12 @@ def main(argv: list[str] | None = None) -> int:
         summary = kg.run_kg_job(read_transcripts(args.input), cfg, args.out,
                                 resume=not args.no_resume)
         if args.canonicalize:
-            summary["canonical"] = kg.run_canonicalize_job(args.out, cfg)
+            link = None
+            if args.typo_tier:
+                from .stages.canonicalize import LinkParams
+                link = LinkParams(typo_tier=True)
+            summary["canonical"] = kg.run_canonicalize_job(args.out, cfg,
+                                                           link=link)
         print(json.dumps(summary))
         return 0
     finally:

@@ -243,6 +243,11 @@ class LinkParams:
     jaccard_threshold: float = 0.66
     cosine_threshold: float = 0.60
     max_bucket: int = 64      # degenerate-bucket guard
+    # typo tier: union edit-distance-1 norm pairs (deletion-neighborhood
+    # blocking, fuzzy_label_pairs) into the LSH candidates — catches short
+    # typo'd aliases whose shingle Jaccard falls below the LSH threshold.
+    # Off by default: exact reference-parity runs must not cluster extra.
+    typo_tier: bool = False
 
 
 def _candidate_pairs(surfaces: rd.Dataset, p: LinkParams) -> pd.DataFrame:
@@ -286,6 +291,21 @@ def _candidate_pairs(surfaces: rd.Dataset, p: LinkParams) -> pd.DataFrame:
     if "norm_a" not in df.columns:  # every bucket empty -> schemaless frame
         return pd.DataFrame(columns=["norm_a", "norm_b", "jaccard"])
     return df.drop_duplicates(["norm_a", "norm_b"])
+
+
+def _typo_pairs(surfaces: rd.Dataset) -> pd.DataFrame:
+    """The typo tier's pair list: exact edit-distance-1 norm pairs from
+    the deletion-neighborhood blocking. These BYPASS the embed scorer —
+    for the short strings this tier exists for ('ibm'/'ibn'), shingle
+    overlap is near zero, so a shingle-hash cosine would veto exactly
+    the pairs the exact character-level verify already proved close."""
+    fz = fuzzy_label_pairs(surfaces.select_columns(["norm"]),
+                           col="norm").to_pandas()
+    if "norm_a" not in fz.columns or not len(fz):
+        return pd.DataFrame(columns=["norm_a", "norm_b", "jaccard"])
+    fz["jaccard"] = [jaccard(shingles(a), shingles(b))
+                     for a, b in zip(fz["norm_a"], fz["norm_b"])]
+    return fz
 
 
 def _union_find_clusters(pairs: pd.DataFrame) -> dict[str, str]:
@@ -359,6 +379,12 @@ def build_alias_table(nodes: rd.Dataset, cfg: KGConfig,
                 concurrency=cfg.link_scorer_concurrency, num_cpus=1,
             ).to_pandas()
         pairs = scored[scored["cos_sim"] >= link.cosine_threshold]
+
+    if link.typo_tier:
+        pairs = pd.concat(
+            [pairs[["norm_a", "norm_b", "jaccard"]],
+             _typo_pairs(surfaces)],
+            ignore_index=True).drop_duplicates(["norm_a", "norm_b"])
 
     root_of = _union_find_clusters(pairs)
     clustered = frozenset(pairs["norm_a"]) | frozenset(pairs["norm_b"])
@@ -605,8 +631,10 @@ def fuzzy_label_pairs(labels: rd.Dataset, col: str = "label") -> rd.Dataset:
     neighborhood) concentrates its own cluster's pairs in one bucket —
     the same inherent hot-key caveat as the LSH band buckets.
 
-    Output: (label_a, label_b) with label_a < label_b, distinct."""
+    Output: (<col>_a, <col>_b) with <col>_a < <col>_b, distinct."""
     from ..ops.agg import bucketed_groupby
+
+    ca, cb = f"{col}_a", f"{col}_b"
 
     def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({col: df[col].drop_duplicates()})
@@ -626,25 +654,23 @@ def fuzzy_label_pairs(labels: rd.Dataset, col: str = "label") -> rd.Dataset:
             for i in range(len(s)):
                 vs.append(s[:i] + s[i + 1:])
                 ls.append(s)
-        return pd.DataFrame({"variant": vs, "label": ls})
+        return pd.DataFrame({"variant": vs, col: ls})
 
     fan = uniq.map_batches(variants, batch_format="pandas")
 
     def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="variant")
-        m = m[m["label_x"] < m["label_y"]]
-        return (m[["label_x", "label_y"]]
+        m = m[m[f"{col}_x"] < m[f"{col}_y"]]
+        return (m[[f"{col}_x", f"{col}_y"]]
                 .drop_duplicates()
-                .rename(columns={"label_x": "label_a",
-                                 "label_y": "label_b"}))
+                .rename(columns={f"{col}_x": ca, f"{col}_y": cb}))
 
     cand = bucketed_groupby(fan, ["variant"], pair_merge)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates()      # same pair from multiple variants
         keep = [_within_one_edit(a, b)
-                for a, b in zip(df["label_a"], df["label_b"])]
+                for a, b in zip(df[ca], df[cb])]
         return df[np.array(keep, dtype=bool)] if len(df) else df
 
-    return bucketed_groupby(cand, ["label_a", "label_b"], verify,
-                            buckets=4)
+    return bucketed_groupby(cand, [ca, cb], verify, buckets=4)

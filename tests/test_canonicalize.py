@@ -326,3 +326,24 @@ def test_fuzzy_label_pairs_blocking_and_verify():
     # output is distinct, ordered pairs
     assert (out["label_a"] < out["label_b"]).all()
     assert not out.duplicated().any()
+
+
+def test_typo_tier_links_short_aliases():
+    """'IBM'/'IBN' share no trigram shingles, so LSH+cosine never links
+    them; the typo tier (edit-distance-1, scorer-bypassed) does. Off by
+    default to preserve exact reference parity."""
+    labels = ["IBM"] * 5 + ["IBN"] * 2 + ["Globex Industries"] * 3
+
+    base = cz.build_alias_table(nodes_ds(labels), CFG).to_pandas()
+    bn = base.set_index("norm")
+    assert bn.loc["ibm", "canonical_id"] != bn.loc["ibn", "canonical_id"]
+
+    link = cz.LinkParams(typo_tier=True)
+    fuzz = cz.build_alias_table(nodes_ds(labels), CFG,
+                                link=link).to_pandas()
+    fn = fuzz.set_index("norm")
+    assert fn.loc["ibm", "canonical_id"] == fn.loc["ibn", "canonical_id"]
+    assert fn.loc["ibn", "canonical_label"] == "IBM"   # most-mentioned rep
+    assert int(fn.loc["ibm", "cluster_mentions"]) == 7
+    assert (fn.loc["globex industries", "canonical_id"]
+            != fn.loc["ibm", "canonical_id"])
