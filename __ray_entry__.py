@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8": q.q_tpch_q8,
         "events_histogram": q.q_events_histogram,
         "alias_fuzzy": q.q_alias_fuzzy,
+        "doc_logprob": q.q_doc_logprob,
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
@@ -1233,6 +1234,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "doc_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        w -> w <> '')) AS term
+              FROM documents),
+            c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks
+                  GROUP BY term),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+            lp AS (SELECT term, ln(CAST(c AS DOUBLE) / t) AS lp
+                   FROM c, t)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(round(avg(lp) * 10000) AS BIGINT) AS logprob_bp
+            FROM toks JOIN lp USING (term)
+            GROUP BY doc_id
         """,
         "alias_fuzzy": f"""
             WITH ents AS ({_ENTITIES_SQL}),

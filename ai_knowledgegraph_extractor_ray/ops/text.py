@@ -434,3 +434,79 @@ def chunk_documents(ds: rd.Dataset, *, chunk_chars: int = 512,
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def unigram_logprob_score(ds: rd.Dataset, *, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_vocab: int = 5_000_000) -> rd.Dataset:
+    """CCNet-style unigram language-model quality score: the mean
+    ``ln p(token)`` of each document under the corpus's own unigram
+    distribution (documents of improbable tokens score low — the
+    perplexity-filter stage of web-corpus pipelines, evaluated with the
+    corpus itself as the LM so the score is closed-form and oracle-
+    checkable). Output: ``(id_col, n_tokens, logprob_bp)``; tokenless
+    documents are absent (SQL GROUP BY semantics).
+
+    Scale shape mirrors ``tfidf_top_terms``: one vocabulary-sized count
+    shuffle, the ``{term: ln(c/T)}`` map broadcasts once, and scoring is
+    a pure per-block map (a doc's tokens live in its own row — no second
+    shuffle). ``math.log`` (libm) for the table, matching the oracle's
+    ``ln`` to the last ulp; per-doc means are bp-rounded so summation
+    order cannot flip a comparison."""
+    import math
+
+    import ray
+
+    from .dedup import _block_tokens
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        flat, didx, _ = _block_tokens(t, text_col)
+        if not len(didx):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=False)
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    from .agg import bucketed_groupby, sum_merge
+    vocab = bucketed_groupby(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["term"], sum_merge(["term"], ["c"])).to_pandas()
+    if len(vocab) > max_vocab:
+        raise ValueError(
+            f"unigram_logprob_score: vocabulary {len(vocab)} exceeds "
+            f"max_vocab={max_vocab}; prune or shard the LM table")
+    total = int(vocab["c"].sum())
+    lp = {t: math.log(c / total) for t, c in zip(vocab["term"], vocab["c"])}
+    lp_ref = ray.put(lp)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import ray as _ray
+        lp_map = _ray.get(lp_ref)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "logprob_bp": pa.array([], pa.int64())})
+        flat, didx, _ = _block_tokens(t, text_col)
+        if not len(didx):
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=False)
+        lp_u = np.fromiter((lp_map[w] for w in uniq), dtype=np.float64,
+                           count=len(uniq))
+        n_d = np.bincount(didx, minlength=len(ids))
+        s_d = np.bincount(didx, weights=lp_u[codes], minlength=len(ids))
+        m = n_d > 0
+        mean = s_d[m] / n_d[m]
+        return pa.table({
+            id_col: pa.array(ids[m], pa.int64()),
+            "n_tokens": pa.array(n_d[m].astype(np.int64)),
+            "logprob_bp": pa.array(
+                np.round(mean * 10000).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

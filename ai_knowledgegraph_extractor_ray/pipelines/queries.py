@@ -3112,3 +3112,12 @@ def q_alias_fuzzy(sf_dir: str) -> rd.Dataset:
 
     return cz.fuzzy_label_pairs(
         ents.map_batches(plant, batch_format="pandas"), col="label")
+
+
+def q_doc_logprob(sf_dir: str) -> rd.Dataset:
+    """Unigram LM perplexity-filter score per document (CCNet-style
+    quality tier): one vocab count shuffle + broadcast logprob table +
+    pure scoring map."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text_ops.unigram_logprob_score(docs)

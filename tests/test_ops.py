@@ -3215,3 +3215,21 @@ def test_join_empty_side_keeps_schema():
     sch = out.schema()
     assert sch is not None and set(sch.names) == {"k", "a", "b"}
     assert out.count() == 0
+
+
+def test_unigram_logprob_score_known_corpus():
+    """Hand-checked unigram LM: corpus tokens {a:3, b:1} -> T=4,
+    lp(a)=ln(3/4), lp(b)=ln(1/4); doc means follow; tokenless docs are
+    absent from the output."""
+    import math
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a a", "a b", "", "   "]}))
+    out = (text.unigram_logprob_score(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_tokens"].tolist() == [2, 2]
+    lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
+    assert out["logprob_bp"].tolist() == [
+        round(lp_a * 10000), round((lp_a + lp_b) / 2 * 10000)]
