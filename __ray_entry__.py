@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram": q.q_events_histogram,
         "alias_fuzzy": q.q_alias_fuzzy,
         "doc_logprob": q.q_doc_logprob,
+        "events_vrange": q.q_events_vrange,
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
@@ -1234,6 +1235,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "events_vrange": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, cents,
+                   CAST(sum(cents) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS vsum
+            FROM e
         """,
         "doc_logprob": r"""
             WITH toks AS (

@@ -39,7 +39,7 @@ from .agg import bucketed_groupby
 _KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum",
           "rank", "dense_rank", "ntile", "percent_rank", "cume_dist",
           "first_value", "last_value", "ewma",
-          "rolling_min", "rolling_max", "rolling_mean"}
+          "rolling_min", "rolling_max", "rolling_mean", "range_sum"}
 
 
 @dataclass(frozen=True)
@@ -70,7 +70,8 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
         if s.kind not in ("row_number", "ntile") and not s.src:
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs src")
         if s.kind in ("lag", "lead", "rolling_sum", "rolling_min",
-                      "rolling_max", "rolling_mean", "ntile") and (
+                      "rolling_max", "rolling_mean", "ntile",
+                      "range_sum") and (
                 not isinstance(s.param, int) or s.param <= 0):
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
                              f"positive integer param, got {s.param!r}")
@@ -155,6 +156,27 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                 if fn in ("min", "max") and pd.api.types.is_integer_dtype(
                         df[s.src]):
                     out = out.astype(df[s.src].dtype)
+            elif s.kind == "range_sum":
+                # SQL SUM(src) OVER (... ORDER BY order[0] RANGE BETWEEN
+                # param PRECEDING AND CURRENT ROW) — a VALUE-based frame
+                # over the (numeric) ordering column: the frame holds
+                # every key row with order value in [cur - param, cur],
+                # INCLUDING later-positioned peers of the current row
+                # (RANGE semantics, unlike the ROWS kinds above). Per key:
+                # prefix sums + two binary searches, O(n log n) total.
+                ocol = order[0]
+                use_int = pd.api.types.is_integer_dtype(df[s.src])
+                vdt = np.int64 if use_int else np.float64
+                ovals = df[ocol].to_numpy()
+                vvals = df[s.src].to_numpy(vdt)
+                res = np.empty(len(df), dtype=vdt)
+                for idx in g.indices.values():      # contiguous: df sorted
+                    o, v = ovals[idx], vvals[idx]
+                    cs = np.concatenate([[vdt(0)], np.cumsum(v)])
+                    r = np.searchsorted(o, o, side="right")
+                    lft = np.searchsorted(o, o - s.param, side="left")
+                    res[idx] = cs[r] - cs[lft]
+                out = pd.Series(res, index=df.index)
             elif s.kind == "cum_sum":
                 out = g[s.src].cumsum()
             elif s.kind == "ewma":

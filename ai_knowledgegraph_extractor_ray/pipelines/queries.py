@@ -3121,3 +3121,30 @@ def q_doc_logprob(sf_dir: str) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return text_ops.unigram_logprob_score(docs)
+
+
+def q_events_vrange(sf_dir: str) -> rd.Dataset:
+    """Value-based RANGE window frame: per-user sum of value-cents over
+    the trailing ONE HOUR of event time (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW — includes equal-timestamp peers, unlike
+    the ROWS-frame rolling kinds). Timestamps run as exact int64
+    microseconds so the window boundary is integer arithmetic."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            "cents": np.round(
+                df["value"].to_numpy() * 100).astype(np.int64)})
+
+    out = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["ts_us", "event_id"],
+        specs=[WindowSpec(out="vsum", kind="range_sum", src="cents",
+                          param=3_600_000_000)])
+    return out.select_columns(["event_id", "user_id", "cents", "vsum"])

@@ -3233,3 +3233,26 @@ def test_unigram_logprob_score_known_corpus():
     lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
     assert out["logprob_bp"].tolist() == [
         round(lp_a * 10000), round((lp_a + lp_b) / 2 * 10000)]
+
+
+def test_range_sum_window_peers_and_boundary():
+    """RANGE frame: equal-order peers are ALL in each other's frame
+    (even later-positioned ones), and the value exactly param below the
+    current order value is included (inclusive boundary)."""
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec, keyed_window)
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"],
+        "o": [0, 10, 10, 15, 30, 5],
+        "v": [1, 2, 4, 8, 16, 100],
+        "rid": [0, 1, 2, 3, 4, 5],
+    })
+    out = (keyed_window(rd.from_pandas(df), by="k", order=["o", "rid"],
+                        specs=[WindowSpec(out="s", kind="range_sum",
+                                          src="v", param=10)])
+           .to_pandas().sort_values("rid"))
+    # o=0: [0-10,0] -> {1}; o=10 (both peers): [0,10] -> 1+2+4=7;
+    # o=15: [5,15] -> 2+4+8=14; o=30: [20,30] -> 16; b/o=5 -> 100
+    assert out["s"].tolist() == [1, 7, 7, 14, 16, 100]
+    assert out["s"].dtype == np.int64
