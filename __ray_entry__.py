@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alias_fuzzy": q.q_alias_fuzzy,
         "doc_logprob": q.q_doc_logprob,
         "events_vrange": q.q_events_vrange,
+        "collocations": q.q_collocations,
         # --- below here: outside the driver's 50-query gate window ---
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
@@ -1235,6 +1236,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "collocations": r"""
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            bi AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                          unnest(ws[2:len(ws)]) AS w2
+                   FROM toks WHERE len(ws) >= 2),
+            uni AS (SELECT unnest(ws) AS w FROM toks),
+            cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni
+                   GROUP BY w),
+            t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM uni),
+            b AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bi),
+            cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bi
+                   GROUP BY w1, w2)
+            SELECT w1, w2, n,
+                   CAST(round(ln((CAST(n AS DOUBLE) * t * t)
+                                 / (b * CAST(x.c AS DOUBLE)
+                                    * CAST(y.c AS DOUBLE))) * 10000)
+                        AS BIGINT) AS pmi_bp
+            FROM cb
+            JOIN cu x ON x.w = w1
+            JOIN cu y ON y.w = w2, t, b
+            WHERE n >= 5
         """,
         "events_vrange": """
             WITH e AS (SELECT event_id, user_id, ts,

@@ -510,3 +510,101 @@ def unigram_logprob_score(ds: rd.Dataset, *, id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_collocations(ds: rd.Dataset, *, text_col: str = "text",
+                        min_count: int = 5,
+                        max_vocab: int = 5_000_000) -> rd.Dataset:
+    """Corpus collocations: adjacent-token bigrams scored by pointwise
+    mutual information ``ln((n12/B) / ((c1/T)(c2/T)))`` — the classic
+    phrase-discovery statistic (high-PMI bigrams are multiword units a
+    tokenizer or phrase-merger should treat atomically). Output:
+    ``(w1, w2, n, pmi_bp)`` for bigrams with ``n >= min_count``.
+
+    Scale shape: bigram and unigram count partials (both flat-token
+    vectorized) each merge through one vocabulary-sized shuffle; the
+    unigram map broadcasts (``max_vocab``-guarded like tfidf) and the
+    PMI finish is a pure map over the distributed bigram table — the
+    ``min_count`` filter runs there, so the rare-bigram tail (most of a
+    web corpus's bigram vocabulary) never concentrates anywhere."""
+    import math
+
+    import ray
+
+    from .agg import bucketed_groupby, sum_merge
+    from .dedup import _block_tokens
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        flat, didx, _ = _block_tokens(t, text_col)
+        if len(didx) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = flat.to_numpy(zero_copy_only=False)
+        same = didx[:-1] == didx[1:]
+        g = (pd.DataFrame({"w1": toks[:-1][same], "w2": toks[1:][same]})
+             .groupby(["w1", "w2"], as_index=False, sort=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        flat, didx, _ = _block_tokens(t, text_col)
+        if not len(didx):
+            return pa.table({"w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=False)
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"w": pa.array(uniq, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    bi = bucketed_groupby(
+        ds.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"], sum_merge(["w1", "w2"], ["n"]))
+    uni = bucketed_groupby(
+        ds.map_batches(unigram_partial, batch_format="pyarrow"),
+        ["w"], sum_merge(["w"], ["c"])).to_pandas()
+    if len(uni) > max_vocab:
+        raise ValueError(
+            f"bigram_collocations: vocabulary {len(uni)} exceeds "
+            f"max_vocab={max_vocab}; prune or shard the unigram table")
+    total_t = float(uni["c"].sum())
+    cmap = dict(zip(uni["w"], uni["c"].astype(int)))
+    cref = ray.put(cmap)
+
+    # total bigram count: vocabulary-sized partial sum over the merged
+    # bigram table (distributed; only the scalar comes back)
+    def bsum(df):
+        import pandas as pd
+        return pd.DataFrame({"b": [int(df["n"].sum())]})
+
+    total_b = float(bi.map_batches(bsum, batch_format="pandas")
+                    .to_pandas()["b"].sum())
+
+    def finish(df):
+        import pandas as pd
+        import ray as _ray
+        cm = _ray.get(cref)
+        df = df[df["n"].to_numpy(np.int64) >= min_count]
+        if not len(df):
+            return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "pmi_bp": pd.Series(dtype=np.int64)})
+        c1 = df["w1"].map(cm).to_numpy(np.float64)
+        c2 = df["w2"].map(cm).to_numpy(np.float64)
+        n = df["n"].to_numpy(np.float64)
+        # association-order arithmetic mirrors the SQL text exactly so
+        # the last-ulp ln argument (and the bp rounding) agree
+        ratio = (n * total_t * total_t) / (total_b * c1 * c2)
+        pmi = np.fromiter((math.log(x) for x in ratio),
+                          dtype=np.float64, count=len(ratio))
+        out = df[["w1", "w2"]].copy()
+        out["n"] = df["n"].astype(np.int64)
+        out["pmi_bp"] = np.round(pmi * 10000).astype(np.int64)
+        return out
+
+    return bi.map_batches(finish, batch_format="pandas")

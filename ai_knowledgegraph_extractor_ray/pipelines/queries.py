@@ -3148,3 +3148,12 @@ def q_events_vrange(sf_dir: str) -> rd.Dataset:
         specs=[WindowSpec(out="vsum", kind="range_sum", src="cents",
                           param=3_600_000_000)])
     return out.select_columns(["event_id", "user_id", "cents", "vsum"])
+
+
+def q_collocations(sf_dir: str) -> rd.Dataset:
+    """Bigram collocations by PMI over document tokens (phrase
+    discovery): two vocab-sized count shuffles + broadcast unigram map +
+    distributed PMI finish with the min-count filter applied in place."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return text_ops.bigram_collocations(docs, min_count=5)

@@ -3256,3 +3256,22 @@ def test_range_sum_window_peers_and_boundary():
     # o=15: [5,15] -> 2+4+8=14; o=30: [20,30] -> 16; b/o=5 -> 100
     assert out["s"].tolist() == [1, 7, 7, 14, 16, 100]
     assert out["s"].dtype == np.int64
+
+
+def test_bigram_collocations_known_counts():
+    """Hand-checked PMI on a 3-doc corpus; bigrams never span documents;
+    min_count filters the tail."""
+    import math
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["x y x y", "x y", "y x"]}))
+    out = text.bigram_collocations(ds, min_count=3).to_pandas()
+    # bigrams: doc0: (x,y),(y,x),(x,y); doc1: (x,y); doc2: (y,x)
+    # counts: (x,y)=4? no: doc0 has x y x y -> (x,y),(y,x),(x,y) = 2+1
+    # total (x,y) = 3, (y,x) = 2; B = 5; unigrams x=4, y=4, T = 8
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["w1"], r["w2"], r["n"]) == ("x", "y", 3)
+    pmi = math.log((3 * 8.0 * 8.0) / (5.0 * 4 * 4))
+    assert r["pmi_bp"] == round(pmi * 10000)
