@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_vrange": q.q_events_vrange,
         "collocations": q.q_collocations,
         # --- below here: outside the 50-query gate window ---
+        # (added after the 50-slot window filled; check_oracle-verified)
+        "events_transitions": q.q_events_transitions,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1225,6 +1227,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "events_transitions": """
+            WITH led AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS next_type
+              FROM events),
+            c AS (SELECT event_type, next_type,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM led WHERE next_type IS NOT NULL
+                  GROUP BY event_type, next_type)
+            SELECT event_type, next_type, n,
+                   CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY event_type)
+                            AS DOUBLE) AS p
+            FROM c
         """,
         "collocations": r"""
             WITH toks AS (

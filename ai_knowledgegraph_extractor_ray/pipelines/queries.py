@@ -3157,3 +3157,41 @@ def q_collocations(sf_dir: str) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return text_ops.bigram_collocations(docs, min_count=5)
+
+
+def q_events_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order Markov transition estimates over per-user event
+    streams: for each (event_type -> next event_type) adjacency under
+    the (ts, event_id) total order, the global count and row probability
+    P(next | cur). One keyed-window shuffle (lead) + a 25-row transition
+    rollup; the probability is a closed float64 ratio of exact counts."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    led = keyed_window(
+        ev, by="user_id", order=["ts", "event_id"],
+        specs=[WindowSpec(out="next_type", kind="lead",
+                          src="event_type", param=1)])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["next_type"].notna()]
+        g = (df.groupby(["event_type", "next_type"], as_index=False,
+                        sort=False).agg(n=("event_id", "size")))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    merged = bucketed_groupby(
+        led.map_batches(partial, batch_format="pandas"),
+        ["event_type", "next_type"],
+        sum_merge(["event_type", "next_type"], ["n"]),
+        buckets=2).to_pandas()
+    # vocabulary-sized (|types|^2): the row-probability finish is
+    # driver-side like the other tiny rollups
+    tot = merged.groupby("event_type")["n"].transform("sum")
+    merged["p"] = merged["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    out = merged.sort_values(["event_type", "next_type"],
+                             kind="mergesort").reset_index(drop=True)
+    return rd.from_pandas(out[["event_type", "next_type", "n", "p"]])
