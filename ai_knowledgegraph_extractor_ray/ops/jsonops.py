@@ -15,7 +15,11 @@ Semantics (pinned by the DuckDB ``json_extract_string`` oracle):
 - a missing path, JSON ``null``, or an unparsable document yields NULL
 - scalar values are extracted as their string form, then cast to the
   requested dtype (``int64`` / ``float64`` / ``string`` / ``bool``);
-  a failed cast yields NULL rather than raising (SQL TRY_CAST)
+  a failed cast yields NULL rather than raising (SQL TRY_CAST).
+  Divergence note: the int64 cast is STRICT (``'1.5'`` -> NULL) where
+  DuckDB's ``TRY_CAST('1.5' AS BIGINT)`` rounds to 2 — the oracle
+  comparison holds because the oracled column is integer-valued;
+  ``bool`` accepts only the string forms ``true``/``false``
 - paths use the ``$.field[.sub]`` JSONPath subset polars and DuckDB
   both implement
 """
@@ -38,20 +42,32 @@ _DTYPES = ("int64", "float64", "string", "bool")
 def _extract_block(df: pd.DataFrame, col: str,
                    fields: dict[str, tuple[str, str]]) -> pd.DataFrame:
     if _HAVE_POLARS:
+        import pyarrow as pa
+        import pyarrow.compute as _pc
         s = pl.Series(col, df[col].astype(object).to_numpy(), dtype=pl.Utf8)
         for out, (path, dtype) in fields.items():
             vals = s.str.json_path_match(path)
             if dtype == "int64":
-                # TRY_CAST semantics: non-numeric -> null; keep a nullable
-                # Int64 so NULLs survive (driver compares as object/NaN)
-                v = vals.cast(pl.Int64, strict=False)
-                df[out] = pd.array(v.to_numpy(), dtype="Int64")
+                # TRY_CAST semantics: non-integer string -> null. Stay on
+                # the Arrow path end-to-end: Int64-with-null .to_numpy()
+                # would round-trip through float64 and corrupt integers
+                # above 2^53 whenever the block contains any null
+                arr = vals.cast(pl.Int64, strict=False).to_arrow()
+                df[out] = pd.array(arr.to_pandas(
+                    integer_object_nulls=True), dtype="Int64")
             elif dtype == "float64":
                 v = vals.cast(pl.Float64, strict=False)
                 df[out] = v.to_numpy().astype(np.float64)
             elif dtype == "bool":
-                df[out] = pd.array(
-                    (vals == "true").to_numpy(), dtype="boolean")
+                # only the string forms 'true'/'false' cast; anything
+                # else is a failed cast -> NULL (matches the docstring
+                # and the stdlib fallback)
+                arr = vals.to_arrow().cast(pa.string())
+                t = _pc.equal(arr, "true")
+                valid = _pc.or_kleene(t, _pc.equal(arr, "false"))
+                res = _pc.if_else(_pc.fill_null(valid, False), t,
+                                  pa.nulls(len(arr), pa.bool_()))
+                df[out] = pd.array(res.to_pandas(), dtype="boolean")
             else:
                 df[out] = vals.to_pandas()
         return df
@@ -73,6 +89,15 @@ def _extract_block_stdlib(df: pd.DataFrame, col: str,
             cur = cur[part]
         return cur
 
+    def string_form(v: object) -> str | None:
+        # polars json_path_match yields the scalar's STRING form; mirror
+        # it so both paths share one cast semantics
+        if v is None or isinstance(v, (dict, list)):
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     parsed = []
     for raw in df[col].astype(object):
         try:
@@ -80,23 +105,28 @@ def _extract_block_stdlib(df: pd.DataFrame, col: str,
         except (TypeError, ValueError):
             parsed.append(None)
     for out, (path, dtype) in fields.items():
-        vals = [walk(p, path) if p is not None else None for p in parsed]
+        vals = [string_form(walk(p, path)) if p is not None else None
+                for p in parsed]
         if dtype == "int64":
-            df[out] = pd.array(
-                [int(v) if isinstance(v, (int, float)) and not isinstance(
-                    v, bool) else None for v in vals], dtype="Int64")
+            def to_i(v):
+                try:
+                    return int(v)          # strict: '1.5' -> NULL
+                except (TypeError, ValueError):
+                    return None
+            df[out] = pd.array([to_i(v) for v in vals], dtype="Int64")
         elif dtype == "float64":
-            df[out] = np.array(
-                [float(v) if isinstance(v, (int, float)) and not isinstance(
-                    v, bool) else np.nan for v in vals], dtype=np.float64)
+            def to_f(v):
+                try:
+                    return float(v)
+                except (TypeError, ValueError):
+                    return np.nan
+            df[out] = np.array([to_f(v) for v in vals], dtype=np.float64)
         elif dtype == "bool":
             df[out] = pd.array(
-                [v if isinstance(v, bool) else None for v in vals],
-                dtype="boolean")
+                [True if v == "true" else False if v == "false" else None
+                 for v in vals], dtype="boolean")
         else:
-            df[out] = pd.array(
-                [v if isinstance(v, str) else None for v in vals],
-                dtype="string")
+            df[out] = pd.array(vals, dtype="string")
     return df
 
 

@@ -2815,7 +2815,8 @@ def q_tpch_q17(sf_dir: str) -> rd.Dataset:
         qty = df["l_quantity"].to_numpy()
         return (pd.DataFrame({
             "l_partkey": df["l_partkey"].to_numpy(np.int64),
-            "sum_qty5": np.round(qty * 5).astype(np.int64),
+            # floor(x+0.5): DuckDB round-half-away for the positive qty
+            "sum_qty5": np.floor(qty * 5 + 0.5).astype(np.int64),
             "n": np.ones(len(df), dtype=np.int64),
         }).groupby("l_partkey", as_index=False, sort=False).sum())
 
@@ -2837,8 +2838,11 @@ def q_tpch_q17(sf_dir: str) -> rd.Dataset:
         keep = sq.notna().to_numpy()
         df, sq = df[keep], sq[keep].to_numpy(np.int64)
         n = df["l_partkey"].map(cnt).to_numpy(np.int64)
-        qty25 = np.round(df["l_quantity"].to_numpy() * 25).astype(np.int64)
-        small = qty25 * n < sq
+        # mirror the oracle's 25 * round(l_quantity) * n exactly:
+        # floor(x + 0.5) == DuckDB round-half-away for positive qty
+        qty_r = np.floor(
+            df["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        small = 25 * qty_r * n < sq
         ext_c = np.round(
             df.loc[small, "l_extendedprice"].to_numpy() * 100
         ).astype(np.int64)
@@ -3000,6 +3004,11 @@ def q_tpch_q8(sf_dir: str) -> rd.Dataset:
         df = df[np.isin(df["l_partkey"].to_numpy(np.int64),
                         ray.get(econ_ref))]
         flag = df["l_suppkey"].map(ray.get(sup_flag_ref))
+        # a suppkey with no supplier row must drop from BOTH sums (the
+        # oracle's supplier join excludes it); an unguarded NaN flag
+        # would cast to True and inflate the numerator
+        keep = flag.notna().to_numpy()
+        df, flag = df[keep], flag[keep].astype(bool)
         ext_c = np.round(
             df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)

@@ -357,8 +357,10 @@ def _compact(result: dict, limit: int = _STDOUT_LIMIT) -> dict:
     queries = dict(out.get("queries", {}))
     out["queries_sum_sec"] = round(sum(queries.values()), 3)
     out["queries_n"] = len(queries)
-    # drop cheapest queries until the serialized line fits the window
-    by_cost = sorted(queries, key=lambda k: (k in _ALWAYS_KEEP, queries[k]))
+    # drop cheapest queries until the serialized line fits the window;
+    # the _ALWAYS_KEEP headline entries are never droppable
+    by_cost = sorted((k for k in queries if k not in _ALWAYS_KEEP),
+                     key=queries.get)
     while len(json.dumps(out)) > limit and by_cost:
         queries.pop(by_cost.pop(0))
         out["queries"] = queries

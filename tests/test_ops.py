@@ -3176,6 +3176,19 @@ def test_json_extract_columns_semantics():
     assert out["ab"].tolist()[0] == 7 and out["ab"].isna().iloc[1]
     assert out["miss"].isna().all()
 
+    # int64 exactness above 2^53 must survive a null in the same block
+    big = 9007199254740993
+    ds2 = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "props": ['{"k": %d}' % big, '{"x": 1}',
+                  '{"k": 1.5}', '{"b": "maybe"}']}))
+    o2 = json_extract_columns(ds2, "props", {
+        "k": ("$.k", "int64"), "b": ("$.b", "bool"),
+    }).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert o2["k"].iloc[0] == big            # no float64 round-trip
+    assert o2["k"].isna().tolist() == [False, True, True, True]  # '1.5' strict
+    assert o2["b"].isna().all()              # non-true/false -> NULL
+
     with pytest.raises(ValueError, match="dtype"):
         json_extract_columns(ds, "props", {"x": ("$.k", "int32")})
     with pytest.raises(ValueError, match="path"):
@@ -3190,7 +3203,8 @@ def test_json_extract_stdlib_fallback_matches():
     from ai_knowledgegraph_extractor_ray.ops import jsonops
 
     docs = ['{"k": 69, "b": true, "s": "hi", "a": {"b": 7}}',
-            '{"k": null}', '{"k": "x"}', 'not json', None]
+            '{"k": null}', '{"k": "x"}', 'not json', None,
+            '{"k": 9007199254740993, "b": "maybe"}', '{"k": 1.5}']
     df = pd.DataFrame({"props": docs})
     fields = {"k": ("$.k", "int64"), "b": ("$.b", "bool"),
               "s": ("$.s", "string"), "ab": ("$.a.b", "int64")}
