@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- below here: outside the 50-query gate window ---
         # (added after the 50-slot window filled; check_oracle-verified)
         "events_transitions": q.q_events_transitions,
+        "events_spikes": q.q_events_spikes,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1227,6 +1228,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "events_spikes": """
+            WITH h AS (SELECT event_type,
+                              strftime(date_trunc('hour', ts),
+                                       '%Y-%m-%d %H:00:00') AS hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, hour, n,
+                         CAST(row_number() OVER win AS BIGINT) AS rn,
+                         CAST(coalesce(sum(n) OVER (win ROWS BETWEEN 24
+                              PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                           AS prev_s,
+                         CAST(coalesce(sum(n * n) OVER (win ROWS BETWEEN
+                              24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                           AS prev_q
+                  FROM h
+                  WINDOW win AS (PARTITION BY event_type ORDER BY hour)),
+            f AS (SELECT event_type, hour, n,
+                         CAST(least(rn - 1, 24) AS DOUBLE) AS np,
+                         CAST(prev_s AS DOUBLE) AS s,
+                         CAST(prev_q AS DOUBLE) AS q2
+                  FROM w WHERE rn > 1),
+            v AS (SELECT event_type, hour, n, s / np AS mean,
+                         (q2 - s * s / np) / np AS var
+                  FROM f)
+            SELECT event_type, hour, n,
+                   CAST(round((CAST(n AS DOUBLE) - mean) / sqrt(var)
+                              * 10000) AS BIGINT) AS z_bp
+            FROM v WHERE var > 0
         """,
         "events_transitions": """
             WITH led AS (

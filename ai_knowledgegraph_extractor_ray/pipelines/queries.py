@@ -3204,3 +3204,73 @@ def q_events_transitions(sf_dir: str) -> rd.Dataset:
     out = merged.sort_values(["event_type", "next_type"],
                              kind="mergesort").reset_index(drop=True)
     return rd.from_pandas(out[["event_type", "next_type", "n", "p"]])
+
+
+SPIKE_BASE = 24          # trailing baseline window (hours), current excluded
+
+
+def q_events_spikes(sf_dir: str) -> rd.Dataset:
+    """Time-series anomaly detection on the hourly event stream: each
+    (event_type, hour) count is z-scored against the TRAILING 24-hour
+    baseline (current hour excluded — rolling sums of n and n^2 over a
+    25-row frame minus the current row, composed from the existing
+    window kinds; no new primitive). Rows with at least one prior hour
+    and positive baseline variance emit ``z_bp``. Shape: one tiny
+    hourly rollup shuffle + one types-keyed window shuffle over the
+    types x hours table."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"))
+        g = df.groupby(["event_type", "hour"], as_index=False,
+                       sort=False).agg(n=("ts", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hourly = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour"], sum_merge(["event_type", "hour"], ["n"]),
+        buckets=2)
+
+    def add_sq(df: pd.DataFrame) -> pd.DataFrame:
+        df["n2"] = df["n"].to_numpy(np.int64) ** 2
+        return df
+
+    w = keyed_window(
+        hourly.map_batches(add_sq, batch_format="pandas"),
+        by="event_type", order=["hour"],
+        specs=[WindowSpec(out="rn", kind="row_number"),
+               WindowSpec(out="r_s", kind="rolling_sum", src="n",
+                          param=SPIKE_BASE + 1),
+               WindowSpec(out="r_q", kind="rolling_sum", src="n2",
+                          param=SPIKE_BASE + 1)])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        prev_s = df["r_s"].to_numpy(np.int64) - n
+        prev_q = df["r_q"].to_numpy(np.int64) - n * n
+        n_prev = np.minimum(df["rn"].to_numpy(np.int64) - 1, SPIKE_BASE)
+        keep = n_prev > 0
+        df, n = df[keep], n[keep]
+        prev_s, prev_q, n_prev = prev_s[keep], prev_q[keep], n_prev[keep]
+        npf = n_prev.astype(np.float64)
+        mean = prev_s.astype(np.float64) / npf
+        var = (prev_q.astype(np.float64)
+               - prev_s.astype(np.float64) * prev_s.astype(np.float64)
+               / npf) / npf
+        pos = var > 0
+        z = np.zeros(len(df))
+        z[pos] = (n[pos].astype(np.float64) - mean[pos]) / np.sqrt(var[pos])
+        out = pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "hour": df["hour"].astype("string"),
+            "n": n,
+            "z_bp": np.round(z * 10000).astype(np.int64)})
+        return out[pos]
+
+    return w.map_batches(finish, batch_format="pandas")

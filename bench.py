@@ -256,6 +256,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "collocations": lambda: q.q_collocations(sf_dir).count(),
             "events_transitions":
                 lambda: q.q_events_transitions(sf_dir).count(),
+            "events_spikes": lambda: q.q_events_spikes(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box
