@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (added after the 50-slot window filled; check_oracle-verified)
         "events_transitions": q.q_events_transitions,
         "events_spikes": q.q_events_spikes,
+        "events_wquantiles": q.q_events_wquantiles,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1228,6 +1229,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "events_wquantiles": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              coalesce(TRY_CAST(json_extract_string(
+                                  props, '$.k') AS BIGINT), 0) AS w
+                       FROM events),
+            x AS (SELECT event_type, cents
+                  FROM e, UNNEST(range(w)) AS t(i))
+            SELECT event_type,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+                   CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM x GROUP BY event_type
         """,
         "events_spikes": """
             WITH h AS (SELECT event_type,

@@ -338,6 +338,57 @@ def grouped_quantile_disc(ds: rd.Dataset, key_cols: list[str],
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
 
 
+def grouped_weighted_quantile_disc(ds: rd.Dataset, key_cols: list[str],
+                                   value_col: str, weight_col: str,
+                                   quantiles: dict[str, float],
+                                   buckets: int | None = None
+                                   ) -> rd.Dataset:
+    """EXACT discrete quantiles of the WEIGHT-EXPANDED multiset (each row
+    counts ``weight`` times, integer weights >= 0) — the weighted-percentile
+    data-prep primitive SQL lacks natively. Identical scale shape to
+    ``grouped_quantile_disc``: weights fold into the (key, value) histogram
+    partials (a weight IS a count), so the shuffle carries bounded
+    histograms, never expanded rows. Pinned against the SQL expansion
+    oracle ``unnest(range(w))`` + ``quantile_disc``. Also emits ``n``
+    (total weight per group); zero-total groups are dropped (their
+    expanded multiset is empty, matching the oracle's GROUP BY)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(key_cols + [value_col], sort=False,
+                        dropna=False)[weight_col]
+             .sum().rename("_cnt").reset_index())
+        g["_cnt"] = g["_cnt"].astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        folded = (df.groupby(key_cols + [value_col], sort=False,
+                             dropna=False)["_cnt"]
+                  .sum().reset_index().sort_values(key_cols + [value_col],
+                                                   kind="mergesort"))
+        out_rows = []
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
+        for k, g in folded.groupby(key, sort=False, dropna=False):
+            g = g[g["_cnt"].to_numpy() > 0]
+            if not len(g):
+                continue
+            vals = g[value_col].to_numpy()
+            cum = np.cumsum(g["_cnt"].to_numpy())
+            n = int(cum[-1])
+            row = dict(zip(key_cols, k if isinstance(k, tuple) else (k,)))
+            for name, q in quantiles.items():
+                rank = int(np.ceil(q * n - 1e-9)) if q > 0 else 1
+                row[name] = vals[int(np.searchsorted(cum, max(rank, 1)))]
+            row["n"] = n
+            out_rows.append(row)
+        cols = key_cols + list(quantiles) + ["n"]
+        if not out_rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(out_rows)[cols]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
 def grouped_quantile_cont(ds: rd.Dataset, key_cols: list[str],
                           value_col: str, quantiles: dict[str, float],
                           buckets: int | None = None) -> rd.Dataset:

@@ -3274,3 +3274,29 @@ def q_events_spikes(sf_dir: str) -> rd.Dataset:
         return out[pos]
 
     return w.map_batches(finish, batch_format="pandas")
+
+
+def q_events_wquantiles(sf_dir: str) -> rd.Dataset:
+    """Weighted discrete quantiles per event type: value-cents weighted
+    by the JSON-extracted props.k (each row counts k times). The weights
+    fold into the histogram partials — the shuffle never carries
+    expanded rows — pinned against the SQL unnest(range(w)) expansion
+    oracle."""
+    from ..ops.agg import grouped_weighted_quantile_disc
+    from ..ops.jsonops import json_extract_columns
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "props"])
+    withk = json_extract_columns(ev, "props", {"k": ("$.k", "int64")})
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": np.floor(
+                df["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+            "w": df["k"].fillna(0).to_numpy(dtype="int64")})
+
+    return grouped_weighted_quantile_disc(
+        withk.map_batches(prep, batch_format="pandas"),
+        ["event_type"], "cents", "w",
+        {"p50_cents": 0.5, "p90_cents": 0.9})

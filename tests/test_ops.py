@@ -3289,3 +3289,25 @@ def test_bigram_collocations_known_counts():
     assert (r["w1"], r["w2"], r["n"]) == ("x", "y", 3)
     pmi = math.log((3 * 8.0 * 8.0) / (5.0 * 4 * 4))
     assert r["pmi_bp"] == round(pmi * 10000)
+
+
+def test_grouped_weighted_quantile_disc_expansion_equivalence():
+    """Weighted quantiles == plain quantile_disc over the weight-expanded
+    multiset; zero-weight rows and zero-total groups vanish."""
+    from ai_knowledgegraph_extractor_ray.ops.agg import (
+        grouped_weighted_quantile_disc)
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "v": [10, 20, 30, 5, 7, 9],
+        "w": [1, 3, 1, 0, 2, 0]})
+    out = (grouped_weighted_quantile_disc(
+        rd.from_pandas(df), ["k"], "v", "w",
+        {"p50": 0.5, "p100": 1.0}).to_pandas()
+        .sort_values("k").reset_index(drop=True))
+    # a expands to [10,20,20,20,30]: p50=20 (rank ceil(2.5)=3), p100=30
+    # b expands to [7,7]: p50=7; c has zero total weight -> absent
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["p50"].tolist() == [20, 7]
+    assert out["p100"].tolist() == [30, 7]
+    assert out["n"].tolist() == [5, 2]
