@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q.q_events_transitions,
         "events_spikes": q.q_events_spikes,
         "events_wquantiles": q.q_events_wquantiles,
+        "lineitem_skyline": q.q_lineitem_skyline,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1229,6 +1230,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "lineitem_skyline": """
+            WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS price_cents,
+                              CAST(round(l_quantity) AS BIGINT) AS qty
+                       FROM lineitem),
+            d AS (SELECT price_cents, qty, CAST(count(*) AS BIGINT) AS n
+                  FROM t GROUP BY price_cents, qty)
+            SELECT price_cents, qty, n FROM d a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d o
+                WHERE o.price_cents <= a.price_cents AND o.qty >= a.qty
+                  AND (o.price_cents < a.price_cents OR o.qty > a.qty))
         """,
         "events_wquantiles": """
             WITH e AS (SELECT event_type,

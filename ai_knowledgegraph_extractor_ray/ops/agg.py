@@ -1253,3 +1253,50 @@ def pmi_pairs(ds: rd.Dataset, group_col: str, item_col: str, *,
         return out
 
     return cab.map_batches(finish, batch_format="pandas")
+
+
+def skyline_2d(ds: rd.Dataset, x_col: str, y_col: str, *,
+               buckets: int = 1) -> rd.Dataset:
+    """Distributed 2-D skyline (Pareto frontier): rows not DOMINATED by
+    any other row, where a dominator has ``x`` <= and ``y`` >= with at
+    least one strict (x minimized, y maximized — flip signs to change
+    direction). Output: distinct surviving ``(x, y)`` pairs with their
+    total multiplicity ``n`` (equal pairs never dominate each other).
+
+    Scale shape: each block reduces to its LOCAL skyline first — any
+    globally non-dominated pair is locally non-dominated, and a pair
+    dominated in one block is dominated by a survivor of that block's
+    partial, so local pruning loses nothing and the merge sees only
+    skyline-sized partials. The final fold re-runs the same scan. The
+    per-block scan is one sort + vectorized prefix-max — no pairwise
+    stage anywhere."""
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([x_col, y_col], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return _skyline_scan(g, x_col, y_col)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        folded = (df.groupby([x_col, y_col], sort=False)["n"]
+                  .sum().reset_index())
+        return _skyline_scan(folded, x_col, y_col)
+
+    partials = ds.map_batches(local_skyline, batch_format="pandas")
+    return bucketed_groupby(partials, [x_col, y_col], merge,
+                            buckets=buckets)
+
+
+def _skyline_scan(g: pd.DataFrame, x_col: str, y_col: str) -> pd.DataFrame:
+    """Skyline of distinct (x, y) pairs: sort x asc / y desc; within an
+    x-group only the max-y pair can survive; it survives iff its y
+    strictly exceeds the running max y over all smaller x."""
+    if not len(g):
+        return g
+    g = g.sort_values([x_col, y_col], ascending=[True, False],
+                      kind="mergesort").reset_index(drop=True)
+    first = ~g[x_col].duplicated()
+    cand = g[first].reset_index(drop=True)
+    y = cand[y_col].to_numpy()
+    prevmax = np.concatenate([[-np.inf], np.maximum.accumulate(y)[:-1]])
+    return cand[y > prevmax]

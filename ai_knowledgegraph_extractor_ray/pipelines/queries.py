@@ -3300,3 +3300,24 @@ def q_events_wquantiles(sf_dir: str) -> rd.Dataset:
         withk.map_batches(prep, batch_format="pandas"),
         ["event_type"], "cents", "w",
         {"p50_cents": 0.5, "p90_cents": 0.9})
+
+
+def q_lineitem_skyline(sf_dir: str) -> rd.Dataset:
+    """Pareto frontier of lineitem on (price minimized, quantity
+    maximized): local per-block skylines prune before the one tiny
+    merge — no pairwise comparison stage anywhere, unlike the oracle's
+    quadratic NOT EXISTS."""
+    from ..ops.agg import skyline_2d
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "price_cents": np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+            "qty": np.floor(
+                df["l_quantity"].to_numpy() + 0.5).astype(np.int64)})
+
+    return skyline_2d(li.map_batches(prep, batch_format="pandas"),
+                      "price_cents", "qty")

@@ -3311,3 +3311,29 @@ def test_grouped_weighted_quantile_disc_expansion_equivalence():
     assert out["p50"].tolist() == [20, 7]
     assert out["p100"].tolist() == [30, 7]
     assert out["n"].tolist() == [5, 2]
+
+
+def test_skyline_2d_domination_and_ties():
+    """Skyline semantics: equal pairs never dominate each other (both
+    kept, multiplicity summed); strict domination on either axis kills;
+    local-prune + merge equals the brute-force answer."""
+    from ai_knowledgegraph_extractor_ray.ops.agg import skyline_2d
+
+    rows = [(1, 10), (1, 10), (2, 10),   # (2,10) dominated by (1,10)
+            (1, 5),                      # dominated by (1,10)
+            (0, 3), (3, 12), (3, 12), (4, 12)]  # (4,12) dom by (3,12)
+    df = pd.DataFrame(rows, columns=["x", "y"])
+    out = (skyline_2d(rd.from_pandas(df.sample(frac=1, random_state=0)
+                                     .reset_index(drop=True)), "x", "y")
+           .to_pandas().sort_values(["x", "y"]).reset_index(drop=True))
+    got = list(out.itertuples(index=False, name=None))
+    # brute force over distinct pairs
+    import itertools
+    d = df.groupby(["x", "y"]).size().reset_index(name="n")
+    keep = []
+    for _, r in d.iterrows():
+        dom = ((d["x"] <= r["x"]) & (d["y"] >= r["y"])
+               & ((d["x"] < r["x"]) | (d["y"] > r["y"]))).any()
+        if not dom:
+            keep.append((r["x"], r["y"], r["n"]))
+    assert got == sorted(keep)
