@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spikes": q.q_events_spikes,
         "events_wquantiles": q.q_events_wquantiles,
         "lineitem_skyline": q.q_lineitem_skyline,
+        "events_wquantiles_cont": q.q_events_wquantiles_cont,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1230,6 +1231,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "events_wquantiles_cont": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              coalesce(TRY_CAST(json_extract_string(
+                                  props, '$.k') AS BIGINT), 0) AS w
+                       FROM events),
+            x AS (SELECT event_type, cents
+                  FROM e, UNNEST(range(w)) AS t(i))
+            SELECT event_type,
+                   quantile_cont(CAST(cents AS DOUBLE), 0.5) AS p50_cents,
+                   quantile_cont(CAST(cents AS DOUBLE), 0.9) AS p90_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM x GROUP BY event_type
         """,
         "lineitem_skyline": """
             WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

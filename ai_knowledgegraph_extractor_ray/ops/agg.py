@@ -440,6 +440,60 @@ def grouped_quantile_cont(ds: rd.Dataset, key_cols: list[str],
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
 
 
+def grouped_weighted_quantile_cont(ds: rd.Dataset, key_cols: list[str],
+                                   value_col: str, weight_col: str,
+                                   quantiles: dict[str, float],
+                                   buckets: int | None = None
+                                   ) -> rd.Dataset:
+    """Continuous (interpolated) quantiles of the WEIGHT-EXPANDED multiset
+    — ``quantile_cont`` over each row repeated ``weight`` times (integer
+    weights >= 0) without ever expanding: weights fold into the
+    (key, value) histogram partials and the merge interpolates off the
+    cumulative weights with the same bit-for-bit DuckDB formula as
+    :func:`grouped_quantile_cont`. Zero-total groups are dropped."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(key_cols + [value_col], sort=False,
+                        dropna=False)[weight_col]
+             .sum().rename("_cnt").reset_index())
+        g["_cnt"] = g["_cnt"].astype(np.int64)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        folded = (df.groupby(key_cols + [value_col], sort=False,
+                             dropna=False)["_cnt"]
+                  .sum().reset_index().sort_values(key_cols + [value_col],
+                                                   kind="mergesort"))
+        out_rows = []
+        key = key_cols[0] if len(key_cols) == 1 else key_cols
+        for k, g in folded.groupby(key, sort=False, dropna=False):
+            g = g[g["_cnt"].to_numpy() > 0]
+            if not len(g):
+                continue
+            vals = g[value_col].to_numpy().astype(np.float64)
+            cum = np.cumsum(g["_cnt"].to_numpy())
+            n = int(cum[-1])
+            row = dict(zip(key_cols, k if isinstance(k, tuple) else (k,)))
+            for name, q in quantiles.items():
+                rn = q * (n - 1)
+                frn, crn = np.floor(rn), np.ceil(rn)
+                lo = vals[int(np.searchsorted(cum, frn + 1))]
+                if crn == frn:
+                    row[name] = float(lo)
+                else:
+                    hi = vals[int(np.searchsorted(cum, crn + 1))]
+                    row[name] = float((crn - rn) * lo + (rn - frn) * hi)
+            row["n"] = n
+            out_rows.append(row)
+        cols = key_cols + list(quantiles) + ["n"]
+        if not out_rows:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(out_rows)[cols]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
+
+
 def _grouping_sets_ladder(partials: rd.Dataset, key_cols: list[str],
                           value_cols: list[str], subsets: list[list[str]],
                           buckets: int | None, chain: bool) -> rd.Dataset:

@@ -3321,3 +3321,27 @@ def q_lineitem_skyline(sf_dir: str) -> rd.Dataset:
 
     return skyline_2d(li.map_batches(prep, batch_format="pandas"),
                       "price_cents", "qty")
+
+
+def q_events_wquantiles_cont(sf_dir: str) -> rd.Dataset:
+    """Interpolated weighted quantiles per event type (weights =
+    JSON-extracted props.k) — same histogram-partial fold as the
+    discrete variant, continuous interpolation off cumulative weights."""
+    from ..ops.agg import grouped_weighted_quantile_cont
+    from ..ops.jsonops import json_extract_columns
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "props"])
+    withk = json_extract_columns(ev, "props", {"k": ("$.k", "int64")})
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": np.floor(
+                df["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+            "w": df["k"].fillna(0).to_numpy(dtype="int64")})
+
+    return grouped_weighted_quantile_cont(
+        withk.map_batches(prep, batch_format="pandas"),
+        ["event_type"], "cents", "w",
+        {"p50_cents": 0.5, "p90_cents": 0.9})

@@ -3337,3 +3337,19 @@ def test_skyline_2d_domination_and_ties():
         if not dom:
             keep.append((r["x"], r["y"], r["n"]))
     assert got == sorted(keep)
+
+
+def test_grouped_weighted_quantile_cont_expansion_equivalence():
+    """Interpolated weighted quantiles equal quantile_cont over the
+    expanded multiset (hand-checked: [10,20,20,20,30] p50=20, p90=26)."""
+    from ai_knowledgegraph_extractor_ray.ops.agg import (
+        grouped_weighted_quantile_cont)
+
+    df = pd.DataFrame({"k": ["a"] * 3, "v": [10, 20, 30],
+                       "w": [1, 3, 1]})
+    out = grouped_weighted_quantile_cont(
+        rd.from_pandas(df), ["k"], "v", "w",
+        {"p50": 0.5, "p90": 0.9}).to_pandas()
+    assert out["p50"].iloc[0] == 20.0
+    assert out["p90"].iloc[0] == 26.0
+    assert out["n"].iloc[0] == 5
