@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wquantiles": q.q_events_wquantiles,
         "lineitem_skyline": q.q_lineitem_skyline,
         "events_wquantiles_cont": q.q_events_wquantiles_cont,
+        "kg_linkpred": q.q_kg_linkpred,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1231,6 +1232,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "kg_linkpred": f"""
+            WITH edges AS ({_CANON_EDGES_SQL}),
+            und AS (SELECT DISTINCT
+                        least(canonical_src, canonical_dst) AS u,
+                        greatest(canonical_src, canonical_dst) AS v
+                    FROM edges WHERE canonical_src <> canonical_dst),
+            adj AS (SELECT u AS node, v AS z FROM und
+                    UNION SELECT v, u FROM und),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+                    FROM adj GROUP BY node),
+            wedge AS (SELECT a.node AS node_a, b.node AS node_b, a.z
+                      FROM adj a JOIN adj b
+                        ON a.z = b.z AND a.node < b.node),
+            pairs AS (SELECT node_a, node_b,
+                             CAST(count(*) AS BIGINT) AS common,
+                             sum(1.0 / ln(CAST(dz.d AS DOUBLE))) AS aa
+                      FROM wedge JOIN deg dz ON dz.node = wedge.z
+                      GROUP BY node_a, node_b
+                      HAVING count(*) >= 2)
+            SELECT node_a, node_b, common,
+                   CAST(floor(CAST(common AS DOUBLE)
+                              / (CAST(da.d AS DOUBLE)
+                                 + CAST(db.d AS DOUBLE)
+                                 - CAST(common AS DOUBLE)) * 10000 + 0.5)
+                        AS BIGINT) AS jac_bp,
+                   CAST(floor(aa * 10000 + 0.5) AS BIGINT) AS aa_bp
+            FROM pairs
+            JOIN deg da ON da.node = node_a
+            JOIN deg db ON db.node = node_b
         """,
         "events_wquantiles_cont": """
             WITH e AS (SELECT event_type,

@@ -371,3 +371,118 @@ def k_hop_neighbors(edges: rd.Dataset, *, seed: str, k: int = 2,
     out["hop"] = out["hop"].astype("int64")
     return out.sort_values(["hop", "node"],
                            kind="mergesort").reset_index(drop=True)
+
+
+def link_prediction_scores(edges: rd.Dataset, *,
+                           src_col: str = "canonical_src",
+                           dst_col: str = "canonical_dst",
+                           min_common: int = 2,
+                           max_nodes: int = 50_000_000) -> rd.Dataset:
+    """Link-prediction similarity scores for node pairs sharing >=
+    ``min_common`` neighbors in the undirected simple graph: common-
+    neighbor count, neighbor-set Jaccard, and Adamic-Adar
+    (sum over shared z of 1 / ln(deg z)).
+
+    Scale shape: distinct undirected adjacency -> one shuffle keyed on
+    the SHARED neighbor z (each z's neighbor list meets in one bucket,
+    emitting its pairs vectorized — the same sum-of-deg^2 wedge bound
+    as triangle counting, with the same hub caveat: degree-cap or
+    degree-order hubs first on power-law graphs); pair partials then
+    merge through one (a, b)-keyed shuffle, and the degree map
+    broadcasts for the closed-formula finish. ``min_common`` prunes in
+    the merge, so the singles-dominated tail never materializes."""
+    import ray
+
+    from .agg import bucketed_groupby, sum_merge
+
+    def und_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].astype(str).to_numpy()
+        b = df[dst_col].astype(str).to_numpy()
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        return (pd.DataFrame({"u": u, "v": v})
+                .drop_duplicates())
+
+    und = bucketed_groupby(
+        edges.map_batches(und_partial, batch_format="pandas"),
+        ["u", "v"], lambda df: df.drop_duplicates(["u", "v"]))
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["u"].to_numpy(),
+                                    df["v"].to_numpy()]),
+            "z": np.concatenate([df["v"].to_numpy(),
+                                 df["u"].to_numpy()])})
+
+    adj = und.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False, sort=False).agg(
+            d=("z", "size"))
+        g["d"] = g["d"].astype(np.int64)
+        return g
+
+    deg = bucketed_groupby(
+        adj.map_batches(deg_partial, batch_format="pandas"),
+        ["node"], sum_merge(["node"], ["d"])).to_pandas()
+    if len(deg) > max_nodes:
+        raise ValueError(
+            f"link_prediction_scores: {len(deg)} nodes exceed max_nodes="
+            f"{max_nodes}; shard the degree map or raise the cap")
+    import math
+
+    # libm log (not numpy's SIMD log, whose last ulp can differ and flip
+    # a bp rounding) for the per-z Adamic-Adar addends, precomputed once
+    dmap = dict(zip(deg["node"], deg["d"].astype(int)))
+    amap = {n: 1.0 / math.log(d) for n, d in dmap.items() if d >= 2}
+    dref = ray.put((dmap, amap))
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        _, am = ray.get(dref)
+        m = df.merge(df, on="z")
+        m = m[m["node_x"] < m["node_y"]]
+        if not len(m):
+            return pd.DataFrame({"node_a": pd.Series(dtype="object"),
+                                 "node_b": pd.Series(dtype="object"),
+                                 "common": pd.Series(dtype=np.int64),
+                                 "aa": pd.Series(dtype=np.float64)})
+        # a shared z always has degree >= 2, so am covers every lookup
+        m = m.assign(common=np.int64(1),
+                     aa=m["z"].map(am).to_numpy(np.float64))
+        return (m.rename(columns={"node_x": "node_a",
+                                  "node_y": "node_b"})
+                [["node_a", "node_b", "common", "aa"]]
+                .groupby(["node_a", "node_b"], as_index=False,
+                         sort=False).sum())
+
+    pairs = bucketed_groupby(
+        adj.map_batches(lambda df: df, batch_format="pandas"),
+        ["z"], wedge_pairs)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["node_a", "node_b"], as_index=False,
+                        sort=False).agg(common=("common", "sum"),
+                                        aa=("aa", "sum")))
+        g = g[g["common"].to_numpy() >= min_common]
+        return g
+
+    folded = bucketed_groupby(pairs, ["node_a", "node_b"], fold)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        dm, _ = ray.get(dref)
+        da = df["node_a"].map(dm).to_numpy(np.float64)
+        db = df["node_b"].map(dm).to_numpy(np.float64)
+        c = df["common"].to_numpy(np.float64)
+        jac = c / (da + db - c)
+        return pd.DataFrame({
+            "node_a": df["node_a"].astype("string"),
+            "node_b": df["node_b"].astype("string"),
+            "common": df["common"].astype(np.int64),
+            "jac_bp": np.floor(jac * 10000 + 0.5).astype(np.int64),
+            "aa_bp": np.floor(
+                df["aa"].to_numpy(np.float64) * 10000 + 0.5
+            ).astype(np.int64)})
+
+    return folded.map_batches(finish, batch_format="pandas")

@@ -3345,3 +3345,12 @@ def q_events_wquantiles_cont(sf_dir: str) -> rd.Dataset:
         withk.map_batches(prep, batch_format="pandas"),
         ["event_type"], "cents", "w",
         {"p50_cents": 0.5, "p90_cents": 0.9})
+
+
+def q_kg_linkpred(sf_dir: str) -> rd.Dataset:
+    """Link-prediction scores over the deterministic canonical graph:
+    common-neighbor count, neighbor-set Jaccard, Adamic-Adar — the
+    wedge-shuffle similarity join (same bound as triangle counting)."""
+    from ..ops.graph import link_prediction_scores
+
+    return link_prediction_scores(q_canon_sql(sf_dir), min_common=2)

@@ -3353,3 +3353,37 @@ def test_grouped_weighted_quantile_cont_expansion_equivalence():
     assert out["p50"].iloc[0] == 20.0
     assert out["p90"].iloc[0] == 26.0
     assert out["n"].iloc[0] == 5
+
+
+def test_link_prediction_scores_known_graph():
+    """Hand-checked wedge graph: star a-(b,c,d) plus edge b-c.
+    Neighbors: a={b,c,d}, b={a,c}, c={a,b}, d={a}.
+    Shared-neighbor pairs with >= 2 common: (b,c) share {a}: common=1
+    (filtered); a-b share c? a nb b? pairs sharing 2+: b,c share a only.
+    Use min_common=1 to check all scores."""
+    import math
+
+    from ai_knowledgegraph_extractor_ray.ops.graph import (
+        link_prediction_scores)
+
+    edges = pd.DataFrame({
+        "canonical_src": ["a", "a", "a", "b"],
+        "canonical_dst": ["b", "c", "d", "c"]})
+    out = (link_prediction_scores(rd.from_pandas(edges), min_common=1)
+           .to_pandas().sort_values(["node_a", "node_b"])
+           .reset_index(drop=True))
+    got = {(r.node_a, r.node_b): (r.common, r.jac_bp, r.aa_bp)
+           for r in out.itertuples()}
+    # (b,c): share {a}; deg b=2, c=2, a=3 -> jac 1/(2+2-1)=1/3,
+    # aa = 1/ln(3)
+    assert got[("b", "c")][0] == 1
+    assert got[("b", "c")][1] == round(1 / 3 * 10000)
+    assert got[("b", "c")][2] == math.floor(1 / math.log(3) * 10000 + 0.5)
+    # (b,d): share {a}; jac = 1/(2+1-1) = 0.5
+    assert got[("b", "d")] == (1, 5000,
+                               math.floor(1 / math.log(3) * 10000 + 0.5))
+    # (a,b) share c (deg 2): jac = 1/(3+2-1) = 0.25, aa = 1/ln(2)
+    assert got[("a", "b")] == (1, 2500,
+                               math.floor(1 / math.log(2) * 10000 + 0.5))
+    # no pair with zero shared neighbors appears
+    assert ("a", "d") not in got
