@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline": q.q_lineitem_skyline,
         "events_wquantiles_cont": q.q_events_wquantiles_cont,
         "kg_linkpred": q.q_kg_linkpred,
+        "events_systematic": q.q_events_systematic,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1232,6 +1233,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(cents) AS DOUBLE) / 7.0 AS avg_yearly_cents
             FROM f GROUP BY g
+        """,
+        "events_systematic": """
+            WITH r AS (
+              SELECT event_id, user_id,
+                     CAST(row_number() OVER (
+                          ORDER BY ts, event_id) AS BIGINT) AS rn
+              FROM events)
+            SELECT event_id, user_id, rn
+            FROM r WHERE rn % 97 = 0
         """,
         "kg_linkpred": f"""
             WITH edges AS ({_CANON_EDGES_SQL}),

@@ -3354,3 +3354,34 @@ def q_kg_linkpred(sf_dir: str) -> rd.Dataset:
     from ..ops.graph import link_prediction_scores
 
     return link_prediction_scores(q_canon_sql(sf_dir), min_common=2)
+
+
+SYS_K, SYS_OFF = 97, 0    # systematic sampling stride and phase
+
+
+def q_events_systematic(sf_dir: str) -> rd.Dataset:
+    """Systematic (every k-th) sampling under a global total order —
+    the stratified-in-time cousin of hash sampling: global row numbers
+    come from the range-partitioned sample sort, then a pure modulus
+    filter keeps every 97th event by (ts, event_id). Deterministic and
+    exactly reproducible, unlike random_shuffle-based takes."""
+    from ..ops.sort import global_row_number
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64)})
+
+    rn = global_row_number(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["ts_us", "event_id"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["rn"].to_numpy(np.int64) % SYS_K) == SYS_OFF
+        return df[keep][["event_id", "user_id", "rn"]]
+
+    return rn.map_batches(pick, batch_format="pandas")

@@ -264,6 +264,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_wquantiles_cont":
                 lambda: q.q_events_wquantiles_cont(sf_dir).count(),
             "kg_linkpred": lambda: q.q_kg_linkpred(sf_dir).count(),
+            "events_systematic":
+                lambda: q.q_events_systematic(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box
