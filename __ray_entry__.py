@@ -118,6 +118,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wquantiles_cont": q.q_events_wquantiles_cont,
         "kg_linkpred": q.q_kg_linkpred,
         "events_systematic": q.q_events_systematic,
+        "tpch_q12": q.q_tpch_q12,
+        "tpch_q21": q.q_tpch_q21,
+        "tpch_q9": q.q_tpch_q9,
+        "tpch_q11": q.q_tpch_q11,
+        "events_twa": q.q_events_twa,
+        "events_gapfill": q.q_events_gapfill,
+        "events_mad": q.q_events_mad,
+        "events_lift": q.q_events_lift,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1242,6 +1250,146 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_id, user_id, rn
             FROM r WHERE rn % 97 = 0
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q21": """
+            WITH per AS (
+              SELECT l_orderkey, l_suppkey,
+                     count(*) FILTER (WHERE l_returnflag = 'R') AS n_r
+              FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            qual AS (
+              SELECT l_orderkey, count(*) AS n_supp,
+                     count(*) FILTER (WHERE n_r > 0) AS n_ret
+              FROM per GROUP BY l_orderkey),
+            waits AS (
+              SELECT p.l_orderkey, p.l_suppkey, p.n_r
+              FROM per p
+              JOIN qual q ON q.l_orderkey = p.l_orderkey
+              JOIN orders o ON o.o_orderkey = p.l_orderkey
+              WHERE q.n_supp >= 2 AND q.n_ret = 1 AND p.n_r > 0
+                AND o.o_orderstatus = 'F')
+            SELECT s_name, CAST(sum(w.n_r) AS BIGINT) AS numwait
+            FROM waits w
+            JOIN supplier s ON s.s_suppkey = w.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_9'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "tpch_q9": """
+            WITH profit AS (
+              SELECT n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     - 10 * CAST(round(p_retailprice * 100) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT) AS amount_e4
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE contains(p_name, 'red'))
+            SELECT nation, o_year,
+                   CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+            FROM profit GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS value_e4
+              FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value_e4 FROM v
+            WHERE value_e4 * 10 * (SELECT count(*) FROM v)
+                  > 11 * (SELECT sum(value_e4) FROM v)
+            ORDER BY value_e4 DESC, l_partkey
+        """,
+        "events_twa": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     lead(epoch_us(ts)) OVER (
+                         PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS nxt
+              FROM events),
+            p AS (
+              SELECT user_id,
+                     CAST(sum(cents * coalesce(nxt - ts_us, 0)) AS BIGINT)
+                       AS wsum,
+                     CAST(sum(coalesce(nxt - ts_us, 0)) AS BIGINT)
+                       AS span_us
+              FROM e GROUP BY user_id)
+            SELECT user_id, span_us,
+                   CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) AS twa
+            FROM p WHERE span_us > 0
+        """,
+        "events_gapfill": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (
+                         PARTITION BY user_id, epoch_us(ts) // 3600000000
+                         ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events),
+            lph AS (SELECT user_id, h, cents FROM e WHERE rn = 1),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                     FROM lph GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+                     FROM span)
+            SELECT g.user_id, g.h, l.cents
+            FROM grid g ASOF JOIN lph l
+              ON g.user_id = l.user_id AND g.h >= l.h
+        """,
+        "events_mad": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(quantile_disc(cents, 0.5) AS BIGINT)
+                           AS med_cents
+                  FROM e GROUP BY event_type),
+            d AS (SELECT e.event_type,
+                         abs(e.cents - m.med_cents) AS adev
+                  FROM e JOIN m USING (event_type))
+            SELECT m.event_type, m.n, m.med_cents,
+                   CAST(quantile_disc(d.adev, 0.5) AS BIGINT) AS mad_cents
+            FROM d JOIN m ON d.event_type = m.event_type
+            GROUP BY m.event_type, m.n, m.med_cents
+        """,
+        "events_lift": """
+            WITH e AS (SELECT event_type,
+                              CAST(hour(ts) AS BIGINT) AS hod
+                       FROM events),
+            c AS (SELECT event_type, hod,
+                         CAST(count(*) AS BIGINT) AS observed
+                  FROM e GROUP BY event_type, hod),
+            r AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS rc
+                  FROM c GROUP BY event_type),
+            h AS (SELECT hod, CAST(sum(observed) AS BIGINT) AS cc
+                  FROM c GROUP BY hod),
+            t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c)
+            SELECT c.event_type, c.hod, c.observed,
+                   CAST(r.rc * h.cc AS DOUBLE) / CAST(t.n AS DOUBLE)
+                     AS expected,
+                   CAST(c.observed * t.n AS DOUBLE)
+                     / CAST(r.rc * h.cc AS DOUBLE) AS lift
+            FROM c JOIN r USING (event_type) JOIN h USING (hod)
+            CROSS JOIN t
         """,
         "kg_linkpred": f"""
             WITH edges AS ({_CANON_EDGES_SQL}),

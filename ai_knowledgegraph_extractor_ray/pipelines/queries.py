@@ -3385,3 +3385,492 @@ def q_events_systematic(sf_dir: str) -> rd.Dataset:
         return df[keep][["event_id", "user_id", "rn"]]
 
     return rn.map_batches(pick, batch_format="pandas")
+
+
+# --- adapted TPC-H Q12 / Q21 / Q9 / Q11 ------------------------------------
+# The synthetic schema has no l_shipmode / l_commitdate / l_receiptdate /
+# partsupp, so each adaptation preserves the ORIGINAL query's distributed
+# shape (the part the engine must prove) while substituting available
+# columns; the oracle SQL pins the adapted semantics exactly.
+
+Q12_START, Q12_END = "1996-01-01", "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_tpch_q12(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12 shipping-priority line counts, adapted: l_linestatus
+    plays the absent l_shipmode's role and the date window runs on
+    l_shipdate. Shape: both scans slim to (orderkey, one payload column)
+    -> cost-based orderkey equi-join -> conditional-count partials ->
+    tiny per-status merge."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import auto_inner_join
+
+    lo, hi = pd.Timestamp(Q12_START), pd.Timestamp(Q12_END)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linestatus",
+                                  "l_shipdate"])
+
+    def lslim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_linestatus": df["l_linestatus"].astype("string")})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def oslim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "is_high": df["o_orderpriority"].isin(Q12_HIGH).to_numpy(bool)})
+
+    joined = auto_inner_join(
+        li.map_batches(lslim, batch_format="pandas"),
+        orders.map_batches(oslim, batch_format="pandas"), "l_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        is_hi = df["is_high"].to_numpy(bool)
+        return (pd.DataFrame({
+            "l_linestatus": df["l_linestatus"],
+            "high_line_count": is_hi.astype(np.int64),
+            "low_line_count": (~is_hi).astype(np.int64),
+        }).groupby("l_linestatus", as_index=False, sort=False).sum())
+
+    return bucketed_groupby(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["l_linestatus"],
+        sum_merge(["l_linestatus"], ["high_line_count", "low_line_count"]),
+        buckets=2)
+
+
+Q21_NATION = "NATION_9"
+
+
+def q_tpch_q21(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted to this
+    schema (no commit/receipt dates): a supplier "kept an order waiting"
+    when it is the SOLE supplier with returned ('R') lines on a
+    multi-supplier finished ('F') order; numwait counts its R lines.
+    The correlated EXISTS / NOT EXISTS pair becomes one orderkey-keyed
+    exchange whose merge folds (orderkey, suppkey) partials and applies
+    the sole-returner predicate vectorized, then a semi join against the
+    F-order scan; the finish (supplier name + nation filter + top-100)
+    runs on the supplier-cardinality result with driver-tiny dimension
+    broadcasts (reference has no such operator; north-star join family)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_semi_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+
+    def lpartial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "n_r": (df["l_returnflag"] == "R").to_numpy()
+                   .astype(np.int64),
+            "n_lines": np.ones(len(df), dtype=np.int64),
+        }).groupby(["l_orderkey", "l_suppkey"], as_index=False,
+                   sort=False).sum()
+
+    def order_merge(df: pd.DataFrame) -> pd.DataFrame:
+        # fold cross-block partials, then the sole-returner predicate:
+        # >= 2 distinct suppliers on the order, exactly 1 with R lines
+        f = (df.groupby(["l_orderkey", "l_suppkey"], as_index=False,
+                        sort=False)[["n_r", "n_lines"]].sum())
+        is_r = (f["n_r"].to_numpy(np.int64) > 0)
+        per = (pd.DataFrame({
+            "l_orderkey": f["l_orderkey"],
+            "n_supp": np.ones(len(f), dtype=np.int64),
+            "n_ret": is_r.astype(np.int64),
+        }).groupby("l_orderkey", as_index=False, sort=False).sum())
+        ok = per.loc[(per["n_supp"].to_numpy() >= 2)
+                     & (per["n_ret"].to_numpy() == 1), ["l_orderkey"]]
+        r = f[is_r].merge(ok, on="l_orderkey")
+        return pd.DataFrame({
+            "l_orderkey": r["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": r["l_suppkey"].to_numpy(np.int64),
+            "numwait": r["n_r"].to_numpy(np.int64)})
+
+    waits = bucketed_groupby(
+        li.map_batches(lpartial, batch_format="pandas"),
+        ["l_orderkey"], order_merge)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+
+    def okeys(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["o_orderstatus"] == "F", "o_orderkey"]
+        return pd.DataFrame({"l_orderkey": k.to_numpy(np.int64)})
+
+    kept = hash_semi_join(waits,
+                          orders.map_batches(okeys, batch_format="pandas"),
+                          "l_orderkey")
+
+    def spartial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["l_suppkey", "numwait"]]
+                .groupby("l_suppkey", as_index=False, sort=False).sum())
+
+    per_supp = bucketed_groupby(
+        kept.map_batches(spartial, batch_format="pandas"),
+        ["l_suppkey"], sum_merge(["l_suppkey"], ["numwait"]),
+        buckets=4).to_pandas()
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    keep_nk = set(nat.loc[nat["n_name"] == Q21_NATION, "n_nationkey"]
+                  .astype(int))
+    sup = sup[sup["s_nationkey"].astype(int).isin(keep_nk)]
+    if per_supp.empty:
+        per_supp = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                                 "numwait": pd.Series(dtype=np.int64)})
+    out = per_supp.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = (out[["s_name", "numwait"]]
+           .astype({"s_name": "string", "numwait": np.int64})
+           .sort_values(["numwait", "s_name"],
+                        ascending=[False, True], kind="mergesort")
+           .head(100).reset_index(drop=True))
+    return out
+
+
+Q9_NAME_SUBSTR = "red"
+
+
+def q_tpch_q9(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 product-type profit by (nation, year), adapted: with no
+    partsupp table, unit cost is 0.1 x p_retailprice, so profit_e4 =
+    ext_c*(100-disc_p) - 10*retail_c*qty — exact int64 money. Shape:
+    part (name-filtered) and supplier are driver-tiny broadcast lookups
+    folded into the lineitem scan; per-(orderkey, nation) pre-aggregated
+    partials take the one real exchange against the orders year scan;
+    the (nation x year) finish is vocabulary-sized."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_inner_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.contains(Q9_NAME_SUBSTR, regex=False)]
+    retail_c = pd.Series(
+        np.round(part["p_retailprice"].to_numpy() * 100).astype(np.int64),
+        index=part["p_partkey"].astype(np.int64))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = pd.Series(sup["s_nationkey"].astype(np.int64).to_numpy(),
+                     index=sup["s_suppkey"].astype(np.int64))
+    lut_ref = ray.put((retail_c, smap))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"])
+
+    def lpartial(df: pd.DataFrame) -> pd.DataFrame:
+        rc_m, s_m = ray.get(lut_ref)
+        rc = df["l_partkey"].map(rc_m)
+        keep = rc.notna().to_numpy()
+        df, rc = df[keep], rc[keep]
+        ext_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        amount = (ext_c * (100 - disc_p)
+                  - 10 * rc.to_numpy(np.int64) * qty)
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "s_nationkey": df["l_suppkey"].map(s_m).to_numpy(np.int64),
+            "amount_e4": amount,
+        }).groupby(["l_orderkey", "s_nationkey"], as_index=False,
+                   sort=False).sum())
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def oyears(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)})
+
+    joined = hash_inner_join(
+        li.map_batches(lpartial, batch_format="pandas"),
+        orders.map_batches(oyears, batch_format="pandas"), "l_orderkey")
+
+    def npartial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[["s_nationkey", "o_year", "amount_e4"]]
+                .groupby(["s_nationkey", "o_year"], as_index=False,
+                         sort=False).sum())
+
+    per = bucketed_groupby(
+        joined.map_batches(npartial, batch_format="pandas"),
+        ["s_nationkey", "o_year"],
+        sum_merge(["s_nationkey", "o_year"], ["amount_e4"]),
+        buckets=4).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    if per.empty:
+        per = pd.DataFrame({"s_nationkey": pd.Series(dtype=np.int64),
+                            "o_year": pd.Series(dtype=np.int64),
+                            "amount_e4": pd.Series(dtype=np.int64)})
+    out = pd.DataFrame({
+        "nation": per["s_nationkey"].map(nname).astype("string"),
+        "o_year": per["o_year"].astype(np.int64),
+        "profit_e4": per["amount_e4"].astype(np.int64)})
+    return (out.sort_values(["nation", "o_year"],
+                            ascending=[True, False], kind="mergesort")
+            .reset_index(drop=True))
+
+
+Q11_NUM, Q11_DEN = 11, 10    # keep parts with value > 1.1x the mean value
+
+
+def q_tpch_q11(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 important-stock identification, adapted: per-partkey
+    lineitem revenue stands in for the absent partsupp value, and the
+    HAVING > (scalar subquery) threshold keeps parts above 1.1x the
+    MEAN part value (the original's fixed corpus fraction is degenerate
+    on this data's part cardinalities), applied to the part-cardinality
+    merged table integer-cross-multiplied — no float threshold. Shape:
+    one partkey-keyed partial-sum exchange; the scalar total is an
+    aggregate of the ALREADY-MERGED small table, never a second scan of
+    lineitem."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ext_c = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_p = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "value_e4": ext_c * (100 - disc_p),
+        }).groupby("l_partkey", as_index=False, sort=False).sum())
+
+    per = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], sum_merge(["l_partkey"], ["value_e4"])).to_pandas()
+    if per.empty:
+        return pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                             "value_e4": pd.Series(dtype=np.int64)})
+    total = int(per["value_e4"].sum())
+    keep = per[per["value_e4"].to_numpy(np.int64) * Q11_DEN * len(per)
+               > total * Q11_NUM]
+    return (keep.astype({"l_partkey": np.int64, "value_e4": np.int64})
+            .sort_values(["value_e4", "l_partkey"],
+                         ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True))
+
+
+# --- time-weighted average / gap-fill resample / MAD / lift ----------------
+
+def q_events_twa(sf_dir: str) -> rd.Dataset:
+    """Per-user TIME-WEIGHTED average event value: each event's cents
+    weigh the microseconds until the user's next event (the last event
+    weighs 0), twa = sum(cents*dt) / observed span. One keyed-window
+    lead shuffle + a user-cardinality sum merge; numerators are exact
+    int64 and the single float division runs in the same op order as
+    the oracle."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            "cents": np.round(
+                df["value"].to_numpy() * 100).astype(np.int64)})
+
+    led = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["ts_us", "event_id"],
+        specs=[WindowSpec(out="nxt", kind="lead", src="ts_us", param=1)])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nxt = df["nxt"].to_numpy(np.float64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        dt = np.where(np.isnan(nxt), 0.0, nxt - ts).astype(np.int64)
+        return (pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "wsum": df["cents"].to_numpy(np.int64) * dt,
+            "span_us": dt,
+        }).groupby("user_id", as_index=False, sort=False).sum())
+
+    merged = bucketed_groupby(
+        led.map_batches(partial, batch_format="pandas"),
+        ["user_id"], sum_merge(["user_id"], ["wsum", "span_us"]),
+        buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["span_us"].to_numpy(np.int64) > 0]
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "span_us": df["span_us"].to_numpy(np.int64),
+            "twa": (df["wsum"].to_numpy(np.float64)
+                    / df["span_us"].to_numpy(np.float64))})
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+_HOUR_US = 3_600_000_000
+
+
+def q_events_gapfill(sf_dir: str) -> rd.Dataset:
+    """Hourly gap-fill / forward-fill resample per user: the sparse event
+    stream densifies to every hour between the user's first and last
+    active hour, carrying the latest value-cents forward across silent
+    hours (the sparse->dense resample that precedes time-series feature
+    extraction). One user-keyed hash exchange (bucketed_groupby on raw
+    rows, byte-auto-sized buckets); each bucket densifies ALL its users
+    vectorized — last-per-hour via groupby-tail, grids via repeat/arange,
+    forward-fill via one searchsorted over a composite (user, hour) int64
+    key — never a Python loop over hours or users."""
+    from ..ops.agg import bucketed_groupby
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            "cents": np.round(
+                df["value"].to_numpy() * 100).astype(np.int64)})
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        df["h"] = df["ts_us"].to_numpy(np.int64) // _HOUR_US
+        last = df.groupby(["user_id", "h"], sort=True,
+                          as_index=False).tail(1)
+        last = last.sort_values(["user_id", "h"], kind="mergesort")
+        uid = last["user_id"].to_numpy(np.int64)
+        h = last["h"].to_numpy(np.int64)
+        spans = (pd.DataFrame({"user_id": uid, "h0": h, "h1": h})
+                 .groupby("user_id", as_index=False, sort=True)
+                 .agg(h0=("h0", "min"), h1=("h1", "max")))
+        counts = (spans["h1"].to_numpy(np.int64)
+                  - spans["h0"].to_numpy(np.int64) + 1)
+        g_uid = np.repeat(spans["user_id"].to_numpy(np.int64), counts)
+        offs = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        g_h = np.repeat(spans["h0"].to_numpy(np.int64), counts) + offs
+        # forward fill: predecessor row in `last` under the composite
+        # (user, hour) order; epoch-hours < 2**20 for any sane timestamp
+        # horizon, so the packed key is collision-free
+        key_last = (uid << np.int64(20)) | h
+        key_grid = (g_uid << np.int64(20)) | g_h
+        idx = np.searchsorted(key_last, key_grid, side="right") - 1
+        return pd.DataFrame({
+            "user_id": g_uid, "h": g_h,
+            "cents": last["cents"].to_numpy(np.int64)[idx]})
+
+    return bucketed_groupby(
+        ev.map_batches(prep, batch_format="pandas"), ["user_id"], densify)
+
+
+def q_events_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per event_type (the robust dispersion
+    gate for outlier-tolerant quality filtering): two grouped exact
+    discrete-quantile passes — histogram partials ride both shuffles,
+    never raw rows — with the per-type median broadcast between them."""
+    import ray
+
+    from ..ops.agg import grouped_quantile_disc
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "cents": np.round(
+                df["value"].to_numpy() * 100).astype(np.int64)})
+
+    cents = ev.map_batches(prep, batch_format="pandas")
+    med = grouped_quantile_disc(cents, ["event_type"], "cents",
+                                {"med_cents": 0.5}).to_pandas()
+    med_ref = ray.put(pd.Series(med["med_cents"].to_numpy(np.int64),
+                                index=med["event_type"]))
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(ray.get(med_ref)).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "adev": np.abs(df["cents"].to_numpy(np.int64) - m)})
+
+    mad = grouped_quantile_disc(
+        cents.map_batches(dev, batch_format="pandas"),
+        ["event_type"], "adev", {"mad_cents": 0.5}).to_pandas()
+    out = med.merge(mad[["event_type", "mad_cents"]], on="event_type")
+    return (out[["event_type", "n", "med_cents", "mad_cents"]]
+            .astype({"event_type": "string", "n": np.int64,
+                     "med_cents": np.int64, "mad_cents": np.int64})
+            .sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_events_lift(sf_dir: str) -> pd.DataFrame:
+    """Contingency lift table event_type x hour-of-day: observed cell
+    counts vs independence-expected counts and the observed/expected
+    lift ratio — the chi-square / market-basket building block. One
+    partial-count pass merges to a (types x 24)-sized table; marginals
+    and the float finish run on that, with every float op in the same
+    order as the oracle (expected = (rc*cc)/N, lift = (o*N)/(rc*cc),
+    integer products exact first)."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "hod": df["ts"].dt.hour.to_numpy(np.int64),
+            "observed": np.ones(len(df), dtype=np.int64),
+        }).groupby(["event_type", "hod"], as_index=False,
+                   sort=False).sum())
+
+    cells = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hod"],
+        sum_merge(["event_type", "hod"], ["observed"]),
+        buckets=4).to_pandas()
+    if cells.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype="string"),
+            "hod": pd.Series(dtype=np.int64),
+            "observed": pd.Series(dtype=np.int64),
+            "expected": pd.Series(dtype=np.float64),
+            "lift": pd.Series(dtype=np.float64)})
+    o = cells["observed"].to_numpy(np.int64)
+    rc = cells.groupby("event_type")["observed"].transform("sum") \
+        .to_numpy(np.int64)
+    cc = cells.groupby("hod")["observed"].transform("sum") \
+        .to_numpy(np.int64)
+    n = int(o.sum())
+    out = pd.DataFrame({
+        "event_type": cells["event_type"].astype("string"),
+        "hod": cells["hod"].to_numpy(np.int64),
+        "observed": o,
+        "expected": (rc * cc).astype(np.float64) / float(n),
+        "lift": (o * n).astype(np.float64) / (rc * cc).astype(np.float64)})
+    return (out.sort_values(["event_type", "hod"], kind="mergesort")
+            .reset_index(drop=True))

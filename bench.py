@@ -266,6 +266,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "kg_linkpred": lambda: q.q_kg_linkpred(sf_dir).count(),
             "events_systematic":
                 lambda: q.q_events_systematic(sf_dir).count(),
+            "tpch_q12": lambda: q.q_tpch_q12(sf_dir).count(),
+            "tpch_q21": lambda: len(q.q_tpch_q21(sf_dir)),
+            "tpch_q9": lambda: len(q.q_tpch_q9(sf_dir)),
+            "tpch_q11": lambda: len(q.q_tpch_q11(sf_dir)),
+            "events_twa": lambda: q.q_events_twa(sf_dir).count(),
+            "events_gapfill": lambda: q.q_events_gapfill(sf_dir).count(),
+            "events_mad": lambda: len(q.q_events_mad(sf_dir)),
+            "events_lift": lambda: len(q.q_events_lift(sf_dir)),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

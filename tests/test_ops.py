@@ -2206,9 +2206,22 @@ def _write_tpch_mini(tmp_path):
         "s_name": [f"supp{i}" for i in range(12)],
         "s_nationkey": rng.randint(0, 5, 12).astype("int32"),
         "s_acctbal": rng.uniform(0, 9999, 12).round(2)})
+    # additive extras for the Q9/Q11/Q12/Q21 adaptations — drawn from a
+    # FRESH RandomState so the draw sequence above (and every test built
+    # on it) is byte-identical to before these columns existed
+    rng2 = np.random.RandomState(171)
+    li["l_partkey"] = rng2.randint(0, 60, n_li).astype("int64")
+    part = pd.DataFrame({
+        "p_partkey": np.arange(60, dtype="int64"),
+        "p_name": [("red widget %d" % i) if i % 3 == 0
+                   else ("blue bolt %d" % i) for i in range(60)],
+        "p_brand": [f"Brand#{1 + i % 3}" for i in range(60)],
+        "p_size": rng2.randint(1, 50, 60).astype("int64"),
+        "p_retailprice": rng2.uniform(100, 2000, 60).round(2)})
     for name, df in (("customer", cust), ("orders", orders),
                      ("lineitem", li), ("region", region),
-                     ("nation", nation), ("supplier", supplier)):
+                     ("nation", nation), ("supplier", supplier),
+                     ("part", part)):
         df.to_parquet(tmp_path / f"{name}.parquet")
     return cust, orders, li
 
@@ -3387,3 +3400,109 @@ def test_link_prediction_scores_known_graph():
                                math.floor(1 / math.log(2) * 10000 + 0.5))
     # no pair with zero shared neighbors appears
     assert ("a", "d") not in got
+
+
+def _canon_cmp(got, want, float_cols=()):
+    import numpy as np
+    import pandas as pd
+
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    g = got[sorted(got.columns)].sort_values(
+        sorted(got.columns), kind="mergesort").reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(
+        sorted(want.columns), kind="mergesort").reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in g.columns:
+        if c in float_cols:
+            assert np.allclose(g[c].to_numpy(float), w[c].to_numpy(float),
+                               atol=1e-9), c
+        else:
+            assert list(g[c].astype(str)) == list(w[c].astype(str)), c
+
+
+def test_tpch_q9_q11_q12_q21_match_duckdb(tmp_path, monkeypatch):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    _write_tpch_mini(tmp_path)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation", "supplier",
+              "part"):
+        con.register(t, pd.read_parquet(tmp_path / f"{t}.parquet"))
+    sql = entry.oracle_sql()
+
+    # the mini fixture only has NATION_0..4 — run Q21 against one of them
+    monkeypatch.setattr(q, "Q21_NATION", "NATION_2")
+    q21_sql = sql["tpch_q21"].replace("NATION_9", "NATION_2")
+    got21 = q.q_tpch_q21(str(tmp_path))
+    want21 = con.execute(q21_sql).df()
+    assert len(got21) > 0          # the predicate actually selects rows
+    _canon_cmp(got21, want21)
+
+    _canon_cmp(q.q_tpch_q12(str(tmp_path)),
+               con.execute(sql["tpch_q12"]).df())
+
+    got9 = q.q_tpch_q9(str(tmp_path))
+    want9 = con.execute(sql["tpch_q9"]).df()
+    assert len(got9) > 0
+    _canon_cmp(got9, want9)
+
+    got11 = q.q_tpch_q11(str(tmp_path))
+    want11 = con.execute(sql["tpch_q11"]).df()
+    assert 0 < len(got11) < 60     # non-degenerate threshold
+    _canon_cmp(got11, want11)
+
+
+def _write_events_mini(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(29)
+    n = 400
+    base = pd.Timestamp("2024-03-01").value // 1000
+    ts_us = base + np.sort(rng.randint(0, 3 * 86400 * 10**6, n))
+    # force same-hour duplicates and one exact-tie timestamp pair
+    ts_us[10] = ts_us[11]
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "user_id": rng.randint(0, 10, n).astype("int64"),
+        "event_type": rng.choice(["click", "view", "buy"], n),
+        "value": rng.uniform(0, 500, n).round(2)})
+    # a single-event user: grid must be exactly one row for it
+    ev.loc[n - 1, "user_id"] = 99
+    ev.to_parquet(tmp_path / "events.parquet")
+    return ev
+
+
+def test_events_twa_gapfill_mad_lift_match_duckdb(tmp_path):
+    import duckdb
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    ev = _write_events_mini(tmp_path)
+    con = duckdb.connect()
+    con.register("events", ev)
+    sql = entry.oracle_sql()
+
+    _canon_cmp(q.q_events_twa(str(tmp_path)),
+               con.execute(sql["events_twa"]).df(), float_cols=("twa",))
+
+    got_gf = q.q_events_gapfill(str(tmp_path)).to_pandas()
+    want_gf = con.execute(sql["events_gapfill"]).df()
+    _canon_cmp(got_gf, want_gf)
+    # the single-event user densifies to exactly one carried-forward row
+    assert (got_gf["user_id"] == 99).sum() == 1
+
+    _canon_cmp(q.q_events_mad(str(tmp_path)),
+               con.execute(sql["events_mad"]).df())
+
+    _canon_cmp(q.q_events_lift(str(tmp_path)),
+               con.execute(sql["events_lift"]).df(),
+               float_cols=("expected", "lift"))
