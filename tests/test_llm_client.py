@@ -32,7 +32,10 @@ class StubOllama(BaseHTTPRequestHandler):
     response_text = GOOD_GRAPH
     status = 200
     delay_s = 0.0
+    fail_every = 0          # N > 0: every Nth generate returns HTTP 500
     requests_seen: list = []
+    _n_gen = 0
+    _lock = threading.Lock()
 
     def log_message(self, *a):  # silence
         pass
@@ -49,14 +52,21 @@ class StubOllama(BaseHTTPRequestHandler):
     def do_POST(self):
         body = json.loads(
             self.rfile.read(int(self.headers["Content-Length"])))
-        type(self).requests_seen.append((self.path, body))
-        if type(self).delay_s:
-            time.sleep(type(self).delay_s)
-        self.send_response(type(self).status)
+        cls = type(self)
+        with cls._lock:
+            cls.requests_seen.append((self.path, body))
+            cls._n_gen += 1
+            n = cls._n_gen
+        if cls.delay_s:
+            time.sleep(cls.delay_s)
+        status = cls.status
+        if cls.fail_every and n % cls.fail_every == 0:
+            status = 500
+        self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.end_headers()
         self.wfile.write(json.dumps(
-            {"response": type(self).response_text}).encode())
+            {"response": cls.response_text}).encode())
 
 
 @pytest.fixture()
@@ -65,7 +75,9 @@ def stub_server():
     StubOllama.response_text = GOOD_GRAPH
     StubOllama.status = 200
     StubOllama.delay_s = 0.0
+    StubOllama.fail_every = 0
     StubOllama.requests_seen = []
+    StubOllama._n_gen = 0
     srv = ThreadingHTTPServer(("127.0.0.1", 0), StubOllama)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -183,6 +195,49 @@ def test_full_pipeline_actor_pool_over_http(stub_server, tmp_path):
     assert set(nodes["label"]) == {"Acme", "Bob"}
     edges = kg.read_edges(out, 1).to_pandas()
     assert set(edges["pred"]) == {"works_at"}
+
+
+def test_full_pipeline_llm_failures_mid_partition(stub_server, tmp_path):
+    """VERDICT r3 #7: induced mid-partition LLM failures must degrade to
+    the rules fallback PER CONVERSATION — never drop rows, never abort a
+    partition. Every 2nd generate call returns HTTP 500; the job still
+    commits every partition, every conversation keeps a graph, and the
+    output mixes stub-graph conversations (LLM succeeded) with
+    rule-extracted ones (LLM failed) — exactly the reference's
+    per-document openai -> ollama -> rules chain (services.py:102-115)
+    at partition scale. A follow-up resume computes nothing."""
+    import pyarrow.parquet as pq
+
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+
+    StubOllama.fail_every = 2
+    p = tmp_path / "t.parquet"
+    pq.write_table(src.synthetic_transcripts_table(
+        n_convs=8, seed=33, include_golden=False), p)
+    cfg = KGConfig(backend="llm", llm_base_url=stub_server,
+                   llm_model="tinyllama", num_partitions=2,
+                   extract_concurrency=2)
+    out = str(tmp_path / "out")
+    summary = kg.run_kg_job(src.read_transcripts(str(p)), cfg, out,
+                            resume=False)
+    assert summary["n_conversations"] == 8
+    assert summary["partitions_computed"] == 2
+
+    nodes = kg.read_nodes(out, 1).to_pandas()
+    per_conv = nodes.groupby("conv_id")["label"].agg(set)
+    assert len(per_conv) == 8                  # no conversation dropped
+    stub_graph = {"Acme", "Bob"}
+    n_llm = sum(labels == stub_graph for labels in per_conv)
+    n_rules = sum(not (labels & stub_graph) for labels in per_conv)
+    assert n_llm >= 1, "no conversation took the LLM path"
+    assert n_rules >= 1, "no conversation exercised the failure fallback"
+    assert n_llm + n_rules == 8                # no half-and-half graphs
+
+    resume = kg.run_kg_job(src.read_transcripts(str(p)), cfg, out,
+                           resume=True)
+    assert resume["partitions_computed"] == 0
+    assert resume["partitions_resumed"] == 2
 
 
 def test_backend_falls_back_on_garbage_json(stub_server):
