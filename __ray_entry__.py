@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": q.q_events_gapfill,
         "events_mad": q.q_events_mad,
         "events_lift": q.q_events_lift,
+        "events_rollmed": q.q_events_rollmed,
+        "events_newusers": q.q_events_newusers,
+        "session_concurrency": q.q_session_concurrency,
+        "vocab_stats": q.q_vocab_stats,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1390,6 +1394,85 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(r.rc * h.cc AS DOUBLE) AS lift
             FROM c JOIN r USING (event_type) JOIN h USING (hod)
             CROSS JOIN t
+        """,
+        "events_rollmed": """
+            SELECT event_id, user_id, cents,
+                   median(cents) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med10
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+        """,
+        "events_newusers": """
+            WITH e AS (SELECT user_id,
+                              strftime(ts, '%Y-%m-%d') AS day
+                       FROM events),
+            ev AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events
+                   FROM e GROUP BY day),
+            fu AS (SELECT user_id, min(day) AS day FROM e
+                   GROUP BY user_id),
+            nu AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+                   FROM fu GROUP BY day)
+            SELECT ev.day, ev.n_events,
+                   coalesce(nu.n_new_users, 0) AS n_new_users,
+                   CAST(sum(coalesce(nu.n_new_users, 0)) OVER (
+                        ORDER BY ev.day ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_users
+            FROM ev LEFT JOIN nu USING (day)
+        """,
+        # session_concurrency: sessions via the gap rule, then the same
+        # +1/-1 packed-key sweep both sides (starts sort before ends at
+        # an equal instant == started-at-or-before minus ended-strictly-
+        # before)
+        "session_concurrency": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS prev
+              FROM events),
+            m AS (SELECT user_id, ts,
+                         CASE WHEN prev IS NULL
+                                OR ts - prev > INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM o),
+            s AS (SELECT user_id, ts,
+                         CAST(sum(new_s) OVER (
+                              PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_idx
+                  FROM m),
+            sess AS (SELECT user_id, session_idx,
+                            min(ts) AS start_ts, max(ts) AS end_ts
+                     FROM s GROUP BY user_id, session_idx),
+            ev AS (SELECT epoch_us(start_ts) * 2 AS k, 1 AS d FROM sess
+                   UNION ALL
+                   SELECT epoch_us(end_ts) * 2 + 1, -1 FROM sess),
+            agg AS (SELECT k, sum(d) AS nd FROM ev GROUP BY k),
+            pre AS (SELECT k, sum(nd) OVER (
+                        ORDER BY k ROWS UNBOUNDED PRECEDING) AS conc
+                    FROM agg)
+            SELECT ss.user_id, ss.session_idx,
+                   strftime(ss.start_ts, '%Y-%m-%d %H:%M:%S')
+                     AS session_start,
+                   CAST(p.conc AS BIGINT) AS concurrency
+            FROM sess ss JOIN pre p ON p.k = epoch_us(ss.start_ts) * 2
+        """,
+        "vocab_stats": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(text, '\s+'), w -> w <> ''))
+                AS t
+              FROM documents),
+            c AS (SELECT t, count(*) AS n FROM toks GROUP BY t)
+            SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(count(*) FILTER (WHERE n = 1) AS BIGINT)
+                     AS n_hapax,
+                   CAST((10000 * count(*)) // greatest(sum(n), 1)
+                        AS BIGINT) AS ttr_bp
+            FROM c
         """,
         "kg_linkpred": f"""
             WITH edges AS ({_CANON_EDGES_SQL}),

@@ -39,7 +39,8 @@ from .agg import bucketed_groupby
 _KINDS = {"row_number", "lag", "lead", "cum_sum", "rolling_sum",
           "rank", "dense_rank", "ntile", "percent_rank", "cume_dist",
           "first_value", "last_value", "ewma",
-          "rolling_min", "rolling_max", "rolling_mean", "range_sum"}
+          "rolling_min", "rolling_max", "rolling_mean", "rolling_median",
+          "range_sum"}
 
 
 @dataclass(frozen=True)
@@ -70,8 +71,8 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
         if s.kind not in ("row_number", "ntile") and not s.src:
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs src")
         if s.kind in ("lag", "lead", "rolling_sum", "rolling_min",
-                      "rolling_max", "rolling_mean", "ntile",
-                      "range_sum") and (
+                      "rolling_max", "rolling_mean", "rolling_median",
+                      "ntile", "range_sum") and (
                 not isinstance(s.param, int) or s.param <= 0):
             raise ValueError(f"window {s.out!r}: kind {s.kind!r} needs a "
                              f"positive integer param, got {s.param!r}")
@@ -146,10 +147,13 @@ def keyed_window(ds: rd.Dataset, *, by: str, order: list[str],
                 # last row under the total order
                 out = g[s.src].transform("last")
             elif s.kind in ("rolling_min", "rolling_max",
-                            "rolling_mean"):
+                            "rolling_mean", "rolling_median"):
                 # SQL agg(src) OVER (... ROWS BETWEEN param-1 PRECEDING
                 # AND CURRENT ROW): pandas grouped rolling with
-                # min_periods=1 matches the shrinking leading frame
+                # min_periods=1 matches the shrinking leading frame.
+                # rolling_median interpolates even-sized frames (mean of
+                # the two middles) exactly like SQL median/quantile_cont
+                # as a window aggregate — output is float64
                 fn = s.kind.split("_")[1]
                 out = (g[s.src].rolling(s.param, min_periods=1)
                        .agg(fn).reset_index(level=0, drop=True))

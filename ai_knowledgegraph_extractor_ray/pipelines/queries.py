@@ -3874,3 +3874,200 @@ def q_events_lift(sf_dir: str) -> pd.DataFrame:
         "lift": (o * n).astype(np.float64) / (rc * cc).astype(np.float64)})
     return (out.sort_values(["event_type", "hod"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def q_events_rollmed(sf_dir: str) -> rd.Dataset:
+    """Rolling MEDIAN over the trailing 10 rows per user — the
+    order-statistic window kind (robust smoother; unlike the
+    sum/mean frames it needs the frame's values, not a running
+    aggregate). Same one-shuffle keyed-window shape; even-sized frames
+    interpolate (mean of the two middles), matching SQL median() OVER."""
+    from ..ops.window import WindowSpec, keyed_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            "cents": np.round(
+                df["value"].to_numpy() * 100).astype(np.int64)})
+
+    out = keyed_window(
+        ev.map_batches(prep, batch_format="pandas"),
+        by="user_id", order=["ts_us", "event_id"],
+        specs=[WindowSpec(out="med10", kind="rolling_median",
+                          src="cents", param=10)])
+    return out.select_columns(["event_id", "user_id", "cents", "med10"])
+
+
+def q_events_newusers(sf_dir: str) -> pd.DataFrame:
+    """Daily ingest dashboard: events per day, NEW users per day (first
+    event ever lands on that day) and the cumulative distinct-user
+    count — the streaming-ingest acceptance metric. Two distributed
+    aggregations (per-day counts; per-user min-day then per-day counts
+    of firsts), joined and prefix-summed on the day-cardinality result
+    driver-side."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day": df["ts"].dt.strftime("%Y-%m-%d").astype("string")})
+
+    prepped = bucketed_groupby(  # reused twice below; tiny partial rows
+        ev.map_batches(prep, batch_format="pandas").map_batches(
+            lambda df: df.assign(n_events=np.int64(1))
+            .groupby(["user_id", "day"], as_index=False, sort=False)
+            .sum(),
+            batch_format="pandas"),
+        ["user_id", "day"],
+        sum_merge(["user_id", "day"], ["n_events"]))
+
+    # per-day event counts (merge the (user, day) partials down)
+    daily = bucketed_groupby(
+        prepped.map_batches(
+            lambda df: df[["day", "n_events"]]
+            .groupby("day", as_index=False, sort=False).sum(),
+            batch_format="pandas"),
+        ["day"], sum_merge(["day"], ["n_events"]), buckets=4).to_pandas()
+
+    # per-user first day (string min == chronological for the fixed
+    # format), then new-user counts per day — both distributed
+    def first_day(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", as_index=False, sort=False)
+             .agg(day=("day", "min")))
+        return g.assign(n_new_users=np.int64(1))
+
+    firsts = bucketed_groupby(
+        prepped.map_batches(first_day, batch_format="pandas"),
+        ["user_id"],
+        lambda df: (df.groupby("user_id", as_index=False, sort=False)
+                    .agg(day=("day", "min"))
+                    .assign(n_new_users=np.int64(1))))
+    new_daily = bucketed_groupby(
+        firsts.map_batches(
+            lambda df: df[["day", "n_new_users"]]
+            .groupby("day", as_index=False, sort=False).sum(),
+            batch_format="pandas"),
+        ["day"], sum_merge(["day"], ["n_new_users"]),
+        buckets=4).to_pandas()
+
+    out = daily.merge(new_daily, on="day", how="left")
+    out["n_new_users"] = (out["n_new_users"].fillna(0).astype(np.int64))
+    out = out.sort_values("day", kind="mergesort").reset_index(drop=True)
+    out["cum_users"] = out["n_new_users"].cumsum().astype(np.int64)
+    return (out[["day", "n_events", "n_new_users", "cum_users"]]
+            .astype({"day": "string", "n_events": np.int64}))
+
+
+def q_session_concurrency(sf_dir: str) -> rd.Dataset:
+    """Concurrency sweep over gap-sessionized intervals: for every
+    session, how many sessions (any user, itself included) are open at
+    its start instant — open = started at or before AND not ended
+    strictly before. The interval counting problem becomes a +1/-1
+    delta stream on packed (time*2 + kind) keys (starts sort before
+    ends at the same instant, which IS the inclusive/exclusive
+    boundary rule), aggregated per unique key, run through the
+    distributed ordered prefix-sum, and joined back to the session
+    starts — no all-pairs interval join anywhere."""
+    from ..ops.agg import bucketed_groupby, ordered_prefix_sum, sum_merge
+    from ..ops.joins import hash_inner_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = df.groupby("user_id", sort=False)["ts"].diff()
+        new_s = gap.isna() | (gap > pd.Timedelta(minutes=SESSION_GAP_MIN))
+        df = df.assign(session_idx=new_s.groupby(
+            df["user_id"], sort=False).cumsum().astype("int64"))
+        out = df.groupby(["user_id", "session_idx"], as_index=False).agg(
+            start_ts=("ts", "min"), end_ts=("ts", "max"))
+        out["start_us"] = (out["start_ts"].astype("datetime64[us]")
+                           .astype(np.int64))
+        out["end_us"] = (out["end_ts"].astype("datetime64[us]")
+                         .astype(np.int64))
+        return out[["user_id", "session_idx", "start_us", "end_us"]]
+
+    sessions = bucketed_groupby(ds, ["user_id"], sessionize).materialize()
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.concatenate([df["start_us"].to_numpy(np.int64) * 2,
+                            df["end_us"].to_numpy(np.int64) * 2 + 1])
+        d = np.concatenate([np.ones(len(df), dtype=np.int64),
+                            -np.ones(len(df), dtype=np.int64)])
+        return (pd.DataFrame({"k": k, "d": d})
+                .groupby("k", as_index=False, sort=False).sum())
+
+    net = bucketed_groupby(
+        sessions.map_batches(deltas, batch_format="pandas"),
+        ["k"], sum_merge(["k"], ["d"]))
+    swept = ordered_prefix_sum(net, "k", "d", "concurrency")
+
+    def skeys(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(k=df["start_us"].to_numpy(np.int64) * 2)
+
+    joined = hash_inner_join(
+        sessions.map_batches(skeys, batch_format="pandas"),
+        swept.select_columns(["k", "concurrency"]), "k")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "session_idx": df["session_idx"].to_numpy(np.int64),
+            "session_start": pd.to_datetime(
+                df["start_us"].to_numpy(np.int64), unit="us")
+            .strftime("%Y-%m-%d %H:%M:%S").astype("string"),
+            "concurrency": df["concurrency"].to_numpy(np.int64)})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_vocab_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary profile: total tokens, distinct tokens, hapax
+    legomena (frequency-1 tokens) and the type-token ratio in basis
+    points — the Zipf-shape sanity gate before tokenizer training. One
+    vocab-sized count shuffle; the finish folds per-bucket (distinct,
+    hapax, total) partials, so no token list ever reaches the driver."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.dedup import _block_tokens
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _block_tokens(t, "text")
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = (pd.DataFrame({"token": flat.to_numpy(zero_copy_only=False)})
+             .groupby("token", as_index=False, sort=False)
+             .size().rename(columns={"size": "cnt"}))
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    counts = bucketed_groupby(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        ["token"], sum_merge(["token"], ["cnt"]))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cnt"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_tokens": [c.sum()], "n_distinct": [np.int64(len(c))],
+            "n_hapax": [np.int64((c == 1).sum())]})
+
+    parts = counts.map_batches(fold, batch_format="pandas").to_pandas()
+    n_tok = int(parts["n_tokens"].sum())
+    n_dis = int(parts["n_distinct"].sum())
+    return pd.DataFrame({
+        "n_tokens": pd.array([n_tok], dtype="int64"),
+        "n_distinct": pd.array([n_dis], dtype="int64"),
+        "n_hapax": pd.array([int(parts["n_hapax"].sum())], dtype="int64"),
+        "ttr_bp": pd.array([(10000 * n_dis) // max(n_tok, 1)],
+                           dtype="int64")})

@@ -274,6 +274,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "events_gapfill": lambda: q.q_events_gapfill(sf_dir).count(),
             "events_mad": lambda: len(q.q_events_mad(sf_dir)),
             "events_lift": lambda: len(q.q_events_lift(sf_dir)),
+            "events_rollmed": lambda: q.q_events_rollmed(sf_dir).count(),
+            "events_newusers": lambda: len(q.q_events_newusers(sf_dir)),
+            "session_concurrency":
+                lambda: q.q_session_concurrency(sf_dir).count(),
+            "vocab_stats": lambda: len(q.q_vocab_stats(sf_dir)),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

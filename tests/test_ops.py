@@ -3506,3 +3506,69 @@ def test_events_twa_gapfill_mad_lift_match_duckdb(tmp_path):
     _canon_cmp(q.q_events_lift(str(tmp_path)),
                con.execute(sql["events_lift"]).df(),
                float_cols=("expected", "lift"))
+
+
+def test_events_rollmed_newusers_concurrency_vocab_match_duckdb(tmp_path):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    ev = _write_events_mini(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["a b c a", "a a a", "", "unique words only here",
+                 "b c", "a b c a"]})
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.register("events", ev)
+    con.register("documents", docs)
+    sql = entry.oracle_sql()
+
+    _canon_cmp(q.q_events_rollmed(str(tmp_path)),
+               con.execute(sql["events_rollmed"]).df(),
+               float_cols=("med10",))
+
+    got_nu = q.q_events_newusers(str(tmp_path))
+    _canon_cmp(got_nu, con.execute(sql["events_newusers"]).df())
+    # cumulative distinct users ends at the true user count
+    assert got_nu["cum_users"].iloc[-1] == ev["user_id"].nunique()
+
+    got_sc = q.q_session_concurrency(str(tmp_path)).to_pandas()
+    _canon_cmp(got_sc, con.execute(sql["session_concurrency"]).df())
+    assert (got_sc["concurrency"] >= 1).all()   # a session sees itself
+
+    got_v = q.q_vocab_stats(str(tmp_path))
+    _canon_cmp(got_v, con.execute(sql["vocab_stats"]).df())
+    # hand-check on the tiny corpus: tokens = 4+3+0+4+2+4 = 17
+    assert int(got_v["n_tokens"][0]) == 17
+
+
+def test_rolling_median_window_kind_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.window import (
+        WindowSpec,
+        keyed_window,
+    )
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.choice(list("ab"), 300),
+        "o": np.arange(300, dtype="int64"),
+        "v": rng.randint(0, 50, 300).astype("int64")})
+    out = (keyed_window(
+        rd.from_pandas([df.iloc[:150], df.iloc[150:]]),
+        by="k", order=["o"],
+        specs=[WindowSpec(out="m", kind="rolling_median", src="v",
+                          param=4)],
+        buckets=2).to_pandas()
+        .sort_values(["k", "o"]).reset_index(drop=True))
+    ordered = df.sort_values(["k", "o"])
+    want = (ordered.groupby("k")["v"]
+            .rolling(4, min_periods=1).median()
+            .reset_index(drop=True))
+    assert np.allclose(out["m"].to_numpy(), want.to_numpy())
