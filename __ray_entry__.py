@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_newusers": q.q_events_newusers,
         "session_concurrency": q.q_session_concurrency,
         "vocab_stats": q.q_vocab_stats,
+        "tpch_q2": q.q_tpch_q2,
+        "tpch_q16": q.q_tpch_q16,
+        "tpch_q20": q.q_tpch_q20,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1458,6 +1461,72 @@ def oracle_sql() -> dict[str, str]:
                      AS session_start,
                    CAST(p.conc AS BIGINT) AS concurrency
             FROM sess ss JOIN pre p ON p.k = epoch_us(ss.start_ts) * 2
+        """,
+        "tpch_q2": """
+            WITH rs AS (
+              SELECT s_suppkey, s_name,
+                     CAST(round(s_acctbal * 100) AS BIGINT)
+                       AS acctbal_cents,
+                     n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            fp AS (SELECT p_partkey FROM part WHERE p_size % 5 = 0),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS cost_c
+              FROM lineitem
+              JOIN fp ON p_partkey = l_partkey
+              JOIN rs ON rs.s_suppkey = l_suppkey
+              GROUP BY l_partkey, l_suppkey),
+            mn AS (SELECT l_partkey, min(cost_c) AS mc FROM cost
+                   GROUP BY l_partkey)
+            SELECT rs.acctbal_cents, rs.s_name, rs.n_name,
+                   c.l_partkey, c.cost_c
+            FROM cost c
+            JOIN mn ON mn.l_partkey = c.l_partkey AND c.cost_c = mn.mc
+            JOIN rs ON rs.s_suppkey = c.l_suppkey
+            ORDER BY rs.acctbal_cents DESC, rs.s_name, c.l_partkey
+            LIMIT 100
+        """,
+        "tpch_q16": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+              WHERE l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier
+                  WHERE s_name LIKE '%7')),
+            pa AS (SELECT p_partkey, p_brand,
+                          CAST(p_size % 10 AS BIGINT) AS size_bucket
+                   FROM part WHERE p_brand <> 'Brand#1')
+            SELECT p_brand, size_bucket,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM pairs JOIN pa ON p_partkey = l_partkey
+            GROUP BY p_brand, size_bucket
+        """,
+        "tpch_q20": """
+            WITH red AS (SELECT p_partkey FROM part
+                         WHERE contains(p_name, 'red')),
+            ps AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(sum(round(l_quantity)) AS BIGINT) AS q
+              FROM lineitem JOIN red ON p_partkey = l_partkey
+              GROUP BY l_partkey, l_suppkey),
+            pt AS (SELECT l_partkey, sum(q) AS tq, count(*) AS ns
+                   FROM ps GROUP BY l_partkey),
+            dom AS (
+              SELECT ps.l_suppkey,
+                     CAST(count(*) AS BIGINT) AS n_parts
+              FROM ps JOIN pt USING (l_partkey)
+              WHERE ps.q * pt.ns > 2 * pt.tq
+              GROUP BY ps.l_suppkey)
+            SELECT s_name, n_name, n_parts
+            FROM dom
+            JOIN supplier ON s_suppkey = dom.l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            ORDER BY s_name
         """,
         "vocab_stats": r"""
             WITH toks AS (

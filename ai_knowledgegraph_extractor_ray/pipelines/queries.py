@@ -4071,3 +4071,200 @@ def q_vocab_stats(sf_dir: str) -> pd.DataFrame:
         "n_hapax": pd.array([int(parts["n_hapax"].sum())], dtype="int64"),
         "ttr_bp": pd.array([(10000 * n_dis) // max(n_tok, 1)],
                            dtype="int64")})
+
+
+Q2_REGION = "ASIA"
+
+
+def q_tpch_q2(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 minimum-cost supplier per part, adapted: with no
+    partsupp, the (part, supplier) cost is the MINIMUM line price the
+    pair ever shipped at; parts filter to p_size % 5 = 0 and suppliers
+    to region ASIA. The correlated min-subquery becomes ONE
+    partkey-keyed exchange whose merge folds (part, supplier) min
+    partials and keeps the rows achieving each part's min in place —
+    co-location makes the join-back free. Supplier/nation/region are
+    driver-tiny broadcasts; final order is the original's
+    (acctbal DESC, name, part) top-100."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..ops.agg import bucketed_groupby
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rk = set(reg.loc[reg["r_name"] == Q2_REGION, "r_regionkey"].astype(int))
+    nk = set(nat.loc[nat["n_regionkey"].astype(int).isin(rk),
+                     "n_nationkey"].astype(int))
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
+    sup = sup[sup["s_nationkey"].astype(int).isin(nk)]
+    sup_keys = frozenset(sup["s_suppkey"].astype(int))
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size"]).to_pandas()
+    fp = frozenset(
+        part.loc[part["p_size"].astype(int) % 5 == 0, "p_partkey"]
+        .astype(int))
+    luts = ray.put((sup_keys, fp))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk, pk = ray.get(luts)
+        df = df[df["l_partkey"].isin(pk) & df["l_suppkey"].isin(sk)]
+        g = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "cost_c": np.round(
+                df["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+        }).groupby(["l_partkey", "l_suppkey"], as_index=False,
+                   sort=False).min()
+        return g
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        f = (df.groupby(["l_partkey", "l_suppkey"], as_index=False,
+                        sort=False)["cost_c"].min())
+        mn = f.groupby("l_partkey")["cost_c"].transform("min")
+        return f[f["cost_c"].to_numpy() == mn.to_numpy()]
+
+    best = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], min_merge).to_pandas()
+    if best.empty:
+        best = pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                             "l_suppkey": pd.Series(dtype=np.int64),
+                             "cost_c": pd.Series(dtype=np.int64)})
+    out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = pd.DataFrame({
+        "acctbal_cents": np.round(
+            out["s_acctbal"].to_numpy(np.float64) * 100).astype(np.int64),
+        "s_name": out["s_name"].astype("string"),
+        "n_name": out["s_nationkey"].astype(int).map(nname)
+        .astype("string"),
+        "l_partkey": out["l_partkey"].astype(np.int64),
+        "cost_c": out["cost_c"].astype(np.int64)})
+    return (out.sort_values(
+        ["acctbal_cents", "s_name", "l_partkey"],
+        ascending=[False, True, True], kind="mergesort")
+        .head(100).reset_index(drop=True))
+
+
+def q_tpch_q16(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q16 supplier-count by part attribute, adapted: group key is
+    (p_brand, p_size % 10), excluding Brand#1 parts and a supplier
+    blocklist (names ending in '7' — the complaint-regex stand-in),
+    counting DISTINCT suppliers per group exactly. Shape: broadcast
+    part-attribute + exclusion lookups fold into the lineitem scan's
+    distinct-pair partials; grouped_count_distinct's one bucketed
+    shuffle finishes."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..ops.agg import grouped_count_distinct
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    excl = frozenset(sup.loc[sup["s_name"].str.endswith("7"),
+                             "s_suppkey"].astype(int))
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    part = part[part["p_brand"] != "Brand#1"]
+    brand = pd.Series(part["p_brand"].to_numpy(object),
+                      index=part["p_partkey"].astype(np.int64))
+    bucket = pd.Series(part["p_size"].astype(np.int64).to_numpy() % 10,
+                       index=part["p_partkey"].astype(np.int64))
+    luts = ray.put((excl, brand, bucket))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex, br, bu = ray.get(luts)
+        df = df[~df["l_suppkey"].isin(ex)].drop_duplicates()
+        b = df["l_partkey"].map(br)
+        keep = b.notna().to_numpy()
+        df = df[keep]
+        return pd.DataFrame({
+            "p_brand": b[keep].astype("string"),
+            "size_bucket": df["l_partkey"].map(bu).to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64)})
+
+    return grouped_count_distinct(
+        li.map_batches(pairs, batch_format="pandas"),
+        ["p_brand", "size_bucket"], "l_suppkey", out_col="supplier_cnt")
+
+
+Q20_SHARE_NUM = 2      # dominate = quantity share > 2x the mean supplier
+
+
+def q_tpch_q20(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 excess-supply suppliers, adapted: a supplier "dominates"
+    a red-named part when its shipped quantity exceeds 2x the part's
+    mean per-supplier quantity (the partsupp availqty > 0.5*shipped
+    threshold has no stand-in here); output = every dominating supplier
+    with how many parts it dominates. The nested per-part aggregate +
+    join-back runs inside ONE partkey-keyed merge (co-located), then a
+    supplier-cardinality count; names attach from the driver-tiny
+    dimension, ordered by name like the original."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    red = frozenset(
+        part.loc[part["p_name"].str.contains("red", regex=False),
+                 "p_partkey"].astype(int))
+    red_ref = ray.put(red)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(ray.get(red_ref))]
+        return (pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "q": np.round(df["l_quantity"].to_numpy()).astype(np.int64),
+        }).groupby(["l_partkey", "l_suppkey"], as_index=False,
+                   sort=False).sum())
+
+    def dominate(df: pd.DataFrame) -> pd.DataFrame:
+        f = (df.groupby(["l_partkey", "l_suppkey"], as_index=False,
+                        sort=False)["q"].sum())
+        tq = f.groupby("l_partkey")["q"].transform("sum").to_numpy(np.int64)
+        ns = f.groupby("l_partkey")["q"].transform("size") \
+            .to_numpy(np.int64)
+        keep = f["q"].to_numpy(np.int64) * ns > Q20_SHARE_NUM * tq
+        out = f[keep]
+        return pd.DataFrame({
+            "l_suppkey": out["l_suppkey"].to_numpy(np.int64),
+            "n_parts": np.ones(keep.sum(), dtype=np.int64)})
+
+    dom = bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"], dominate)
+    per_supp = bucketed_groupby(
+        dom, ["l_suppkey"], sum_merge(["l_suppkey"], ["n_parts"]),
+        buckets=4).to_pandas()
+    if per_supp.empty:
+        per_supp = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                                 "n_parts": pd.Series(dtype=np.int64)})
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    out = per_supp.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out = pd.DataFrame({
+        "s_name": out["s_name"].astype("string"),
+        "n_name": out["s_nationkey"].astype(int).map(nname)
+        .astype("string"),
+        "n_parts": out["n_parts"].astype(np.int64)})
+    return (out.sort_values("s_name", kind="mergesort")
+            .reset_index(drop=True))

@@ -279,6 +279,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "session_concurrency":
                 lambda: q.q_session_concurrency(sf_dir).count(),
             "vocab_stats": lambda: len(q.q_vocab_stats(sf_dir)),
+            "tpch_q2": lambda: len(q.q_tpch_q2(sf_dir)),
+            "tpch_q16": lambda: q.q_tpch_q16(sf_dir).count(),
+            "tpch_q20": lambda: len(q.q_tpch_q20(sf_dir)),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

@@ -3572,3 +3572,33 @@ def test_rolling_median_window_kind_matches_pandas():
             .rolling(4, min_periods=1).median()
             .reset_index(drop=True))
     assert np.allclose(out["m"].to_numpy(), want.to_numpy())
+
+
+def test_tpch_q2_q16_q20_match_duckdb(tmp_path):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    _write_tpch_mini(tmp_path)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "nation", "supplier", "part",
+              "region"):
+        con.register(t, pd.read_parquet(tmp_path / f"{t}.parquet"))
+    sql = entry.oracle_sql()
+
+    got2 = q.q_tpch_q2(str(tmp_path))
+    want2 = con.execute(sql["tpch_q2"]).df()
+    assert len(got2) > 0
+    _canon_cmp(got2, want2)
+
+    got16 = q.q_tpch_q16(str(tmp_path))
+    want16 = con.execute(sql["tpch_q16"]).df()
+    assert want16["supplier_cnt"].max() < 12   # blocklist actually bites
+    _canon_cmp(got16, want16)
+
+    got20 = q.q_tpch_q20(str(tmp_path))
+    want20 = con.execute(sql["tpch_q20"]).df()
+    assert len(got20) > 0
+    _canon_cmp(got20, want20)
