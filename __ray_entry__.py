@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q2": q.q_tpch_q2,
         "tpch_q16": q.q_tpch_q16,
         "tpch_q20": q.q_tpch_q20,
+        "events_equidepth": q.q_events_equidepth,
+        "embed_centroids": q.q_embed_centroids,
+        "orders_rfm": q.q_orders_rfm,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1527,6 +1530,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = dom.l_suppkey
             JOIN nation ON n_nationkey = s_nationkey
             ORDER BY s_name
+        """,
+        "events_equidepth": """
+            SELECT event_id, cents,
+                   CAST(ntile(16) OVER (ORDER BY cents, event_id)
+                        AS BIGINT) AS bucket
+            FROM (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+        """,
+        "embed_centroids": """
+            WITH x AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(i AS BIGINT) AS dim,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM embeddings,
+                   LATERAL unnest(range(1, len(embedding) + 1)) AS u(i))
+            SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_q
+            FROM x GROUP BY label, dim
+        """,
+        "orders_rfm": """
+            WITH per AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(epoch_us(max(o_orderdate)) // 86400000000
+                          AS BIGINT) AS recency_day,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS monetary_cents
+              FROM orders GROUP BY o_custkey)
+            SELECT c_custkey, recency_day, frequency, monetary_cents,
+                   CAST(ntile(5) OVER (ORDER BY recency_day DESC,
+                                       c_custkey) AS BIGINT) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency DESC,
+                                       c_custkey) AS BIGINT) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary_cents DESC,
+                                       c_custkey) AS BIGINT) AS m_score
+            FROM per
         """,
         "vocab_stats": r"""
             WITH toks AS (

@@ -4268,3 +4268,172 @@ def q_tpch_q20(sf_dir: str) -> pd.DataFrame:
         "n_parts": out["n_parts"].astype(np.int64)})
     return (out.sort_values("s_name", kind="mergesort")
             .reset_index(drop=True))
+
+
+EQUIDEPTH_K = 16
+
+
+def q_events_equidepth(sf_dir: str) -> rd.Dataset:
+    """GLOBAL equi-depth binning — NTILE(16) over the corpus-wide
+    (value, id) total order, the histogram-equalization / feature-
+    bucketize step. Ranks come from the range-partitioned sample sort
+    (one all-to-all); the tile stamp is the closed NTILE formula over
+    the broadcast row count, so no second pass."""
+    from ..ops.sort import global_row_number
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "cents": np.round(
+                df["value"].to_numpy() * 100).astype(np.int64)})
+
+    rn = global_row_number(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["cents", "event_id"]).materialize()
+    n = rn.count()
+    if n == 0:
+        return rn.select_columns(["event_id", "cents"])
+    k = EQUIDEPTH_K
+    base, big = n // k, n % k
+    cut = big * (base + 1)
+
+    def tile(df: pd.DataFrame) -> pd.DataFrame:
+        r0 = df["rn"].to_numpy(np.int64) - 1       # 0-based rank
+        t = np.where(r0 < cut,
+                     r0 // max(base + 1, 1),
+                     big + (r0 - cut) // max(base, 1)) + 1
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "cents": df["cents"].to_numpy(np.int64),
+            "bucket": t.astype(np.int64)})
+
+    return rn.map_batches(tile, batch_format="pandas")
+
+
+EMBED_Q = 1_000_000          # element quantization: 1e-6 units
+
+
+def q_embed_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroids (nearest-centroid classification /
+    cluster-summary primitive) over the list<float> column: elements
+    quantize to exact int64 1e-6 units so the per-(label, dim) sums are
+    order-independent, then ONE (label x dim)-sized shuffle and a
+    single float division — bit-identical to the SQL oracle. The
+    per-block partial is a numpy stack + one matmul-free add.reduce,
+    never a Python loop over vectors."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "label": pd.Series(dtype=np.int64),
+                "dim": pd.Series(dtype=np.int64),
+                "s": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64)})
+        mat = np.stack(df["embedding"].to_numpy())      # (rows, d) f32
+        q = np.round(mat.astype(np.float64) * EMBED_Q).astype(np.int64)
+        lab = df["label"].to_numpy(np.int64)
+        d = q.shape[1]
+        g = (pd.DataFrame({"label": np.repeat(lab, d),
+                           "dim": np.tile(np.arange(1, d + 1,
+                                                    dtype=np.int64),
+                                          len(lab)),
+                           "s": q.ravel(),
+                           "n": np.ones(len(lab) * d, dtype=np.int64)})
+             .groupby(["label", "dim"], as_index=False, sort=False).sum())
+        return g
+
+    merged = bucketed_groupby(
+        emb.map_batches(partial, batch_format="pandas"),
+        ["label", "dim"], sum_merge(["label", "dim"], ["s", "n"]),
+        buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"].to_numpy(np.int64),
+            "dim": df["dim"].to_numpy(np.int64),
+            "n": df["n"].to_numpy(np.int64),
+            "mean_q": (df["s"].to_numpy(np.float64)
+                       / df["n"].to_numpy(np.float64))})
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+RFM_K = 5
+
+
+def _ntile_scores(keys: np.ndarray, tiebreak: np.ndarray,
+                  k: int) -> np.ndarray:
+    """SQL NTILE(k) OVER (ORDER BY keys DESC, tiebreak ASC) — the first
+    n%k tiles get ceil(n/k) rows. Vectorized argsort + closed formula."""
+    n = len(keys)
+    order = np.lexsort((tiebreak, -keys))
+    r0 = np.empty(n, dtype=np.int64)
+    r0[order] = np.arange(n, dtype=np.int64)
+    base, big = n // k, n % k
+    cut = big * (base + 1)
+    return np.where(r0 < cut,
+                    r0 // max(base + 1, 1),
+                    big + (r0 - cut) // max(base, 1)) + 1
+
+
+def q_orders_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM customer scoring (recency / frequency / monetary quintiles —
+    the classic audience-segmentation aggregate): one custkey-keyed
+    partial-sum exchange builds the per-customer (last order day, order
+    count, lifetime cents); the three NTILE(5) scores finish on the
+    customer-cardinality result (at 100-TB customer counts each score
+    routes through the range sort instead — same closed NTILE
+    formula)."""
+    from ..ops.agg import bucketed_groupby
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "c_custkey": df["o_custkey"].to_numpy(np.int64),
+            "recency_day": (df["o_orderdate"].astype("datetime64[us]")
+                            .astype(np.int64) // 86_400_000_000),
+            "frequency": np.ones(len(df), dtype=np.int64),
+            "monetary_cents": np.round(
+                df["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        }).groupby("c_custkey", as_index=False, sort=False)
+            .agg(recency_day=("recency_day", "max"),
+                 frequency=("frequency", "sum"),
+                 monetary_cents=("monetary_cents", "sum")))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("c_custkey", as_index=False, sort=False)
+                .agg(recency_day=("recency_day", "max"),
+                     frequency=("frequency", "sum"),
+                     monetary_cents=("monetary_cents", "sum")))
+
+    per = bucketed_groupby(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["c_custkey"], merge).to_pandas()
+    if per.empty:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in (
+            "c_custkey", "recency_day", "frequency", "monetary_cents",
+            "r_score", "f_score", "m_score")})
+    ck = per["c_custkey"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "c_custkey": ck,
+        "recency_day": per["recency_day"].to_numpy(np.int64),
+        "frequency": per["frequency"].to_numpy(np.int64),
+        "monetary_cents": per["monetary_cents"].to_numpy(np.int64)})
+    out["r_score"] = _ntile_scores(out["recency_day"].to_numpy(), ck,
+                                   RFM_K)
+    out["f_score"] = _ntile_scores(out["frequency"].to_numpy(), ck,
+                                   RFM_K)
+    out["m_score"] = _ntile_scores(out["monetary_cents"].to_numpy(), ck,
+                                   RFM_K)
+    return (out.sort_values("c_custkey", kind="mergesort")
+            .reset_index(drop=True))

@@ -282,6 +282,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "tpch_q2": lambda: len(q.q_tpch_q2(sf_dir)),
             "tpch_q16": lambda: q.q_tpch_q16(sf_dir).count(),
             "tpch_q20": lambda: len(q.q_tpch_q20(sf_dir)),
+            "events_equidepth":
+                lambda: q.q_events_equidepth(sf_dir).count(),
+            "embed_centroids":
+                lambda: q.q_embed_centroids(sf_dir).count(),
+            "orders_rfm": lambda: len(q.q_orders_rfm(sf_dir)),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

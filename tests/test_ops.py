@@ -3602,3 +3602,43 @@ def test_tpch_q2_q16_q20_match_duckdb(tmp_path):
     want20 = con.execute(sql["tpch_q20"]).df()
     assert len(got20) > 0
     _canon_cmp(got20, want20)
+
+
+def test_equidepth_centroids_rfm_match_duckdb(tmp_path):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    ev = _write_events_mini(tmp_path)
+    _write_tpch_mini(tmp_path)
+    rng = np.random.RandomState(41)
+    emb = pd.DataFrame({
+        "vec_id": np.arange(80, dtype="int64"),
+        "embedding": [rng.randn(8).astype("float32") for _ in range(80)],
+        "label": rng.randint(0, 4, 80).astype("int32")})
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+
+    con = duckdb.connect()
+    con.register("events", ev)
+    con.register("orders", pd.read_parquet(tmp_path / "orders.parquet"))
+    con.register("embeddings",
+                 pd.read_parquet(tmp_path / "embeddings.parquet"))
+    sql = entry.oracle_sql()
+
+    got_eq = q.q_events_equidepth(str(tmp_path)).to_pandas()
+    _canon_cmp(got_eq, con.execute(sql["events_equidepth"]).df())
+    # equi-depth: bucket sizes differ by at most one
+    sizes = got_eq.groupby("bucket").size()
+    assert sizes.max() - sizes.min() <= 1 and len(sizes) == 16
+
+    _canon_cmp(q.q_embed_centroids(str(tmp_path)),
+               con.execute(sql["embed_centroids"]).df(),
+               float_cols=("mean_q",))
+
+    got_rfm = q.q_orders_rfm(str(tmp_path))
+    _canon_cmp(got_rfm, con.execute(sql["orders_rfm"]).df())
+    for c in ("r_score", "f_score", "m_score"):
+        assert set(got_rfm[c]) == set(range(1, 6))
