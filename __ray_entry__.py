@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_equidepth": q.q_events_equidepth,
         "embed_centroids": q.q_embed_centroids,
         "orders_rfm": q.q_orders_rfm,
+        "events_impute": q.q_events_impute,
+        "basket_rules": q.q_basket_rules,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1569,6 +1571,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC,
                                        c_custkey) AS BIGINT) AS m_score
             FROM per
+        """,
+        "events_impute": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(coalesce(sum(cents)
+                              FILTER (WHERE cents >= 200), 0) AS BIGINT)
+                           AS s,
+                         CAST(count(*) FILTER (WHERE cents >= 200)
+                              AS BIGINT) AS n
+                  FROM e GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   e.cents < 200 AS is_imputed,
+                   CAST(CASE WHEN e.cents < 200
+                        THEN m.s // greatest(m.n, 1)
+                        ELSE e.cents END AS BIGINT) AS cents_filled
+            FROM e JOIN m USING (event_type)
+        """,
+        "basket_rules": """
+            WITH items AS (
+              SELECT DISTINCT
+                     CAST(user_id AS VARCHAR) || '|' ||
+                       strftime(ts, '%Y-%m-%d') AS basket,
+                     event_type
+              FROM events),
+            pair AS (
+              SELECT x.event_type AS antecedent,
+                     y.event_type AS consequent,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM items x
+              JOIN items y ON x.basket = y.basket
+                          AND x.event_type <> y.event_type
+              GROUP BY 1, 2),
+            ant AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+                    FROM items GROUP BY event_type),
+            tot AS (SELECT count(DISTINCT basket) AS nb FROM items)
+            SELECT antecedent, consequent, n_both, ant.n_a,
+                   CAST((10000 * n_both) // greatest(nb, 1) AS BIGINT)
+                     AS support_bp,
+                   CAST((10000 * n_both) // n_a AS BIGINT) AS conf_bp
+            FROM pair
+            JOIN ant ON ant.event_type = antecedent
+            CROSS JOIN tot
+            WHERE n_both >= 5
         """,
         "vocab_stats": r"""
             WITH toks AS (

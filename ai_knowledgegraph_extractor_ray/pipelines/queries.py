@@ -4437,3 +4437,138 @@ def q_orders_rfm(sf_dir: str) -> pd.DataFrame:
                                    RFM_K)
     return (out.sort_values("c_custkey", kind="mergesort")
             .reset_index(drop=True))
+
+
+IMPUTE_SENTINEL_CENTS = 200     # value < 2.00 is treated as missing
+
+
+def q_events_impute(sf_dir: str) -> rd.Dataset:
+    """Missing-value imputation (the data-prep fill step): values below
+    the sentinel threshold count as missing and are filled with their
+    event_type's mean of the OBSERVED values (exact int64 sums, floor
+    division — order-independent and SQL-identical). Two passes: a
+    type-cardinality moments shuffle, then the broadcast fill map."""
+    import ray
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].astype("string"),
+            "cents": np.round(
+                df["value"].to_numpy() * 100).astype(np.int64)})
+
+    cents = ev.map_batches(prep, batch_format="pandas").materialize()
+
+    def mpartial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df[df["cents"].to_numpy(np.int64) >= IMPUTE_SENTINEL_CENTS]
+        return (pd.DataFrame({
+            "event_type": ok["event_type"],
+            "s": ok["cents"].to_numpy(np.int64),
+            "n": np.ones(len(ok), dtype=np.int64),
+        }).groupby("event_type", as_index=False, sort=False).sum())
+
+    means = bucketed_groupby(
+        cents.map_batches(mpartial, batch_format="pandas"),
+        ["event_type"], sum_merge(["event_type"], ["s", "n"]),
+        buckets=2).to_pandas()
+    fill = pd.Series(
+        means["s"].to_numpy(np.int64)
+        // np.maximum(means["n"].to_numpy(np.int64), 1),
+        index=means["event_type"])
+    fill_ref = ray.put(fill)
+
+    def impute(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy(np.int64)
+        miss = c < IMPUTE_SENTINEL_CENTS
+        f = df["event_type"].map(ray.get(fill_ref)).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"],
+            "is_imputed": miss,
+            "cents_filled": np.where(miss, f, c).astype(np.int64)})
+
+    return cents.map_batches(impute, batch_format="pandas")
+
+
+RULES_MIN_BOTH = 5
+
+
+def q_basket_rules(sf_dir: str) -> pd.DataFrame:
+    """Association rules over (user, day) baskets of distinct event
+    types: for every ordered pair a -> b with co-occurrence >=
+    RULES_MIN_BOTH, the co-count, antecedent count, support and
+    confidence in integer basis points — the market-basket statistic.
+    One basket-keyed exchange whose merge emits, per partition, pair
+    counts + antecedent counts + a basket-total row in a single tagged
+    frame (complete baskets are co-located INSIDE the merge — a
+    map_batches after the exchange could split a basket across batches,
+    which is why the emission lives in the merge); a vocabulary^2-sized
+    sum shuffle and an integer-bp driver finish follow."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "basket": df["user_id"].astype(str) + "|"
+            + df["ts"].dt.strftime("%Y-%m-%d"),
+            "event_type": df["event_type"].astype("string")})
+            .drop_duplicates())
+
+    def basket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        j = df.merge(df, on="basket")
+        j = j[j["event_type_x"] != j["event_type_y"]]
+        pair = (j.assign(n=np.int64(1))
+                .groupby(["event_type_x", "event_type_y"],
+                         as_index=False, sort=False)["n"].sum()
+                .rename(columns={"event_type_x": "a",
+                                 "event_type_y": "b"}))
+        ant = (df.assign(n=np.int64(1))
+               .groupby("event_type", as_index=False, sort=False)["n"]
+               .sum().rename(columns={"event_type": "a"}))
+        ant["b"] = ""
+        tot = pd.DataFrame({"a": [""], "b": [""],
+                            "n": [np.int64(df["basket"].nunique())]})
+        out = pd.concat([pair, ant, tot], ignore_index=True)
+        out["a"] = out["a"].astype("string")
+        out["b"] = out["b"].astype("string")
+        out["n"] = out["n"].astype(np.int64)
+        return out[["a", "b", "n"]]
+
+    tagged = bucketed_groupby(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["basket"], basket_merge)
+    counts = bucketed_groupby(
+        tagged, ["a", "b"], sum_merge(["a", "b"], ["n"]),
+        buckets=2).to_pandas()
+
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("antecedent", "string"), ("consequent", "string"),
+            ("n_both", np.int64), ("n_a", np.int64),
+            ("support_bp", np.int64), ("conf_bp", np.int64))})
+    is_tot = (counts["a"] == "") & (counts["b"] == "")
+    is_ant = (counts["a"] != "") & (counts["b"] == "")
+    n_baskets = int(counts.loc[is_tot, "n"].sum())
+    ant_map = dict(zip(counts.loc[is_ant, "a"],
+                       counts.loc[is_ant, "n"].astype(np.int64)))
+    pair = counts[~is_tot & ~is_ant]
+    pair = pair[pair["n"].to_numpy(np.int64) >= RULES_MIN_BOTH]
+    n_a = pair["a"].map(ant_map).to_numpy(np.int64)
+    res = pd.DataFrame({
+        "antecedent": pair["a"].astype("string"),
+        "consequent": pair["b"].astype("string"),
+        "n_both": pair["n"].astype(np.int64),
+        "n_a": n_a,
+        "support_bp": (10000 * pair["n"].to_numpy(np.int64))
+        // max(n_baskets, 1),
+        "conf_bp": (10000 * pair["n"].to_numpy(np.int64)) // n_a})
+    return (res.sort_values(["antecedent", "consequent"],
+                            kind="mergesort").reset_index(drop=True))

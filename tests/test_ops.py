@@ -3642,3 +3642,30 @@ def test_equidepth_centroids_rfm_match_duckdb(tmp_path):
     _canon_cmp(got_rfm, con.execute(sql["orders_rfm"]).df())
     for c in ("r_score", "f_score", "m_score"):
         assert set(got_rfm[c]) == set(range(1, 6))
+
+
+def test_impute_and_basket_rules_match_duckdb(tmp_path):
+    import duckdb
+    import numpy as np
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    ev = _write_events_mini(tmp_path)
+    con = duckdb.connect()
+    con.register("events", ev)
+    sql = entry.oracle_sql()
+
+    got_im = q.q_events_impute(str(tmp_path)).to_pandas()
+    _canon_cmp(got_im, con.execute(sql["events_impute"]).df())
+    assert got_im["is_imputed"].any()          # sentinel actually fires
+    assert (got_im["cents_filled"] >= 200).all()
+
+    got_br = q.q_basket_rules(str(tmp_path))
+    want_br = con.execute(sql["basket_rules"]).df()
+    assert len(got_br) > 0
+    _canon_cmp(got_br, want_br)
+    # confidence cannot exceed 100% and support <= confidence
+    assert (got_br["conf_bp"] <= 10000).all()
+    assert (got_br["support_bp"].to_numpy()
+            <= got_br["conf_bp"].to_numpy()).all()
