@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rfm": q.q_orders_rfm,
         "events_impute": q.q_events_impute,
         "basket_rules": q.q_basket_rules,
+        "fk_audit": q.q_fk_audit,
+        "events_drift": q.q_events_drift,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1616,6 +1618,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN ant ON ant.event_type = antecedent
             CROSS JOIN tot
             WHERE n_both >= 5
+        """,
+        "fk_audit": """
+            SELECT 'lineitem.l_orderkey->orders' AS relationship,
+                   CAST(count(*) AS BIGINT) AS n_child_rows,
+                   CAST(count(*) FILTER (WHERE l_orderkey NOT IN
+                        (SELECT o_orderkey FROM orders)) AS BIGINT)
+                     AS n_orphans
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE o_custkey NOT IN
+                        (SELECT c_custkey FROM customer)) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (WHERE s_nationkey NOT IN
+                        (SELECT n_nationkey FROM nation)) AS BIGINT)
+            FROM supplier
+        """,
+        "events_drift": """
+            WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                              CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+                       FROM events),
+            e AS (SELECT event_type,
+                         CASE WHEN epoch_us(ts) <=
+                                   (b.lo + b.hi) // 2
+                              THEN 1 ELSE 0 END AS first_half
+                  FROM events CROSS JOIN b),
+            per AS (SELECT event_type,
+                           CAST(sum(first_half) AS BIGINT) AS n_first,
+                           CAST(sum(1 - first_half) AS BIGINT)
+                             AS n_second
+                    FROM e GROUP BY event_type),
+            tot AS (SELECT greatest(sum(n_first), 1) AS t1,
+                           greatest(sum(n_second), 1) AS t2 FROM per)
+            SELECT event_type, n_first, n_second,
+                   CAST((10000 * n_first) // t1 AS BIGINT)
+                     AS share_first_bp,
+                   CAST((10000 * n_second) // t2 AS BIGINT)
+                     AS share_second_bp,
+                   CAST(abs((10000 * n_first) // t1
+                            - (10000 * n_second) // t2) AS BIGINT)
+                     AS drift_bp
+            FROM per CROSS JOIN tot
         """,
         "vocab_stats": r"""
             WITH toks AS (

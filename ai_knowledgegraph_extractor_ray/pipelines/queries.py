@@ -4572,3 +4572,111 @@ def q_basket_rules(sf_dir: str) -> pd.DataFrame:
         "conf_bp": (10000 * pair["n"].to_numpy(np.int64)) // n_a})
     return (res.sort_values(["antecedent", "consequent"],
                             kind="mergesort").reset_index(drop=True))
+
+
+def q_fk_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit (the ingest data-quality gate): for
+    each declared FK relationship, how many child rows and how many
+    orphans (keys absent from the parent). Each check is one distinct-
+    key partial pass + an anti-join-shaped membership probe against the
+    broadcast parent key set for driver-tiny parents (nation) or a
+    co-bucketed anti join for large ones (orders, customer) — the same
+    two plans the join family exposes."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+    from ..ops.joins import hash_anti_join
+
+    checks = []
+
+    def count_orphans(child: rd.Dataset, child_key: str,
+                      parent: rd.Dataset, parent_key: str) -> tuple:
+        ck = child.map_batches(
+            lambda df, c=child_key: pd.DataFrame(
+                {"k": df[c].to_numpy(np.int64),
+                 "n": np.ones(len(df), dtype=np.int64)})
+            .groupby("k", as_index=False, sort=False).sum(),
+            batch_format="pandas")
+        counts = bucketed_groupby(ck, ["k"], sum_merge(["k"], ["n"]))
+        pk = parent.map_batches(
+            lambda df, c=parent_key: pd.DataFrame(
+                {"k": np.unique(df[c].to_numpy(np.int64))}),
+            batch_format="pandas")
+        orphans = hash_anti_join(counts, pk, "k").to_pandas()
+        total = counts.to_pandas()
+        return (int(total["n"].sum()),
+                int(orphans["n"].sum()) if len(orphans) else 0)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    orders_k = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey"])
+    n, o = count_orphans(li, "l_orderkey", orders_k, "o_orderkey")
+    checks.append(("lineitem.l_orderkey->orders", n, o))
+
+    orders_c = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    n, o = count_orphans(orders_c, "o_custkey", cust, "c_custkey")
+    checks.append(("orders.o_custkey->customer", n, o))
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey"])
+    n, o = count_orphans(sup, "s_nationkey", nat, "n_nationkey")
+    checks.append(("supplier.s_nationkey->nation", n, o))
+
+    return pd.DataFrame({
+        "relationship": pd.array([c[0] for c in checks], dtype="string"),
+        "n_child_rows": pd.array([c[1] for c in checks], dtype="int64"),
+        "n_orphans": pd.array([c[2] for c in checks], dtype="int64")})
+
+
+def q_events_drift(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift detector between the first and second half of
+    event time (the silent-upstream-change alarm): per event_type, each
+    half's count and share, and the absolute share drift in basis
+    points. One partial-count pass keyed (type, half); shares and drift
+    finish on the vocabulary-sized table with integer bp math."""
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"]).materialize()
+    from ray.data.aggregate import Max, Min
+    stats = ev.aggregate(Min("ts"), Max("ts"))
+    lo, hi = stats["min(ts)"], stats["max(ts)"]
+    if lo is None:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("event_type", "string"), ("n_first", np.int64),
+            ("n_second", np.int64), ("share_first_bp", np.int64),
+            ("share_second_bp", np.int64), ("drift_bp", np.int64))})
+    lo_us = pd.Timestamp(lo).value // 1000
+    hi_us = pd.Timestamp(hi).value // 1000
+    mid_us = (lo_us + hi_us) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        first = us <= mid_us
+        return (pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "n_first": first.astype(np.int64),
+            "n_second": (~first).astype(np.int64),
+        }).groupby("event_type", as_index=False, sort=False).sum())
+
+    per = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        sum_merge(["event_type"], ["n_first", "n_second"]),
+        buckets=2).to_pandas()
+    t1 = max(int(per["n_first"].sum()), 1)
+    t2 = max(int(per["n_second"].sum()), 1)
+    s1 = (10000 * per["n_first"].to_numpy(np.int64)) // t1
+    s2 = (10000 * per["n_second"].to_numpy(np.int64)) // t2
+    out = pd.DataFrame({
+        "event_type": per["event_type"].astype("string"),
+        "n_first": per["n_first"].astype(np.int64),
+        "n_second": per["n_second"].astype(np.int64),
+        "share_first_bp": s1, "share_second_bp": s2,
+        "drift_bp": np.abs(s1 - s2)})
+    return (out.sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True))

@@ -3669,3 +3669,35 @@ def test_impute_and_basket_rules_match_duckdb(tmp_path):
     assert (got_br["conf_bp"] <= 10000).all()
     assert (got_br["support_bp"].to_numpy()
             <= got_br["conf_bp"].to_numpy()).all()
+
+
+def test_fk_audit_and_drift_match_duckdb(tmp_path):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    ev = _write_events_mini(tmp_path)
+    _write_tpch_mini(tmp_path)
+    # plant orphans: lineitem rows whose orderkey has no parent order
+    li = pd.read_parquet(tmp_path / "lineitem.parquet")
+    li.loc[li.index[:7], "l_orderkey"] = 999_999
+    li.to_parquet(tmp_path / "lineitem.parquet")
+
+    con = duckdb.connect()
+    con.register("events", ev)
+    for t in ("orders", "lineitem", "customer", "supplier", "nation"):
+        con.register(t, pd.read_parquet(tmp_path / f"{t}.parquet"))
+    sql = entry.oracle_sql()
+
+    got_fk = q.q_fk_audit(str(tmp_path))
+    _canon_cmp(got_fk, con.execute(sql["fk_audit"]).df())
+    row = got_fk[got_fk["relationship"]
+                 == "lineitem.l_orderkey->orders"].iloc[0]
+    assert int(row["n_orphans"]) == 7          # planted orphans found
+
+    got_dr = q.q_events_drift(str(tmp_path))
+    _canon_cmp(got_dr, con.execute(sql["events_drift"]).df())
+    assert (np.abs(got_dr["share_first_bp"].sum() - 10000) <= 10)
