@@ -3144,12 +3144,7 @@ def q_events_vrange(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "user_id": df["user_id"].to_numpy(np.int64),
-            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
-            "cents": np.round(
-                df["value"].to_numpy() * 100).astype(np.int64)})
+        return _events_cents_prep(df)
 
     out = keyed_window(
         ev.map_batches(prep, batch_format="pandas"),
@@ -3578,7 +3573,10 @@ def q_tpch_q9(sf_dir: str) -> pd.DataFrame:
     def lpartial(df: pd.DataFrame) -> pd.DataFrame:
         rc_m, s_m = ray.get(lut_ref)
         rc = df["l_partkey"].map(rc_m)
-        keep = rc.notna().to_numpy()
+        # inner-join semantics on BOTH dimensions: an orphan l_suppkey
+        # (FK-violating input) must drop like the oracle's JOIN supplier,
+        # not map to an INT64_MIN garbage nation key
+        keep = (rc.notna() & df["l_suppkey"].map(s_m).notna()).to_numpy()
         df, rc = df[keep], rc[keep]
         ext_c = np.round(
             df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
@@ -3690,12 +3688,7 @@ def q_events_twa(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "user_id": df["user_id"].to_numpy(np.int64),
-            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
-            "cents": np.round(
-                df["value"].to_numpy() * 100).astype(np.int64)})
+        return _events_cents_prep(df)
 
     led = keyed_window(
         ev.map_batches(prep, batch_format="pandas"),
@@ -3747,12 +3740,7 @@ def q_events_gapfill(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "user_id": df["user_id"].to_numpy(np.int64),
-            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
-            "cents": np.round(
-                df["value"].to_numpy() * 100).astype(np.int64)})
+        return _events_cents_prep(df)
 
     def densify(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts_us", "event_id"],
@@ -3888,12 +3876,7 @@ def q_events_rollmed(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "user_id", "ts", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "user_id": df["user_id"].to_numpy(np.int64),
-            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
-            "cents": np.round(
-                df["value"].to_numpy() * 100).astype(np.int64)})
+        return _events_cents_prep(df)
 
     out = keyed_window(
         ev.map_batches(prep, batch_format="pandas"),
@@ -4270,10 +4253,42 @@ def q_tpch_q20(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _events_cents_prep(df: pd.DataFrame,
+                       cols: tuple = ("event_id", "user_id", "ts_us",
+                                      "cents")) -> pd.DataFrame:
+    """Shared events quantization: the oracle-pinned cents (round half
+    to even on exact 2-decimal inputs) and int64 microsecond timestamps.
+    One definition so every query keeps the identical convention."""
+    out = {}
+    if "event_id" in cols:
+        out["event_id"] = df["event_id"].to_numpy(np.int64)
+    if "user_id" in cols:
+        out["user_id"] = df["user_id"].to_numpy(np.int64)
+    if "event_type" in cols:
+        out["event_type"] = df["event_type"].astype("string")
+    if "ts_us" in cols:
+        out["ts_us"] = df["ts"].astype("datetime64[us]").astype(np.int64)
+    if "cents" in cols:
+        out["cents"] = np.round(
+            df["value"].to_numpy() * 100).astype(np.int64)
+    return pd.DataFrame(out)
+
+
+def _ntile_from_rank(r0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 0-based global ranks: the first n % k tiles get
+    ceil(n / k) rows. Shared by the global equi-depth binning and the
+    RFM quintile scorer so the closed formula lives once."""
+    base, big = n // k, n % k
+    cut = big * (base + 1)
+    return (np.where(r0 < cut,
+                     r0 // max(base + 1, 1),
+                     big + (r0 - cut) // max(base, 1)) + 1).astype(np.int64)
+
+
 EQUIDEPTH_K = 16
 
 
-def q_events_equidepth(sf_dir: str) -> rd.Dataset:
+def q_events_equidepth(sf_dir: str) -> "rd.Dataset | pd.DataFrame":
     """GLOBAL equi-depth binning — NTILE(16) over the corpus-wide
     (value, id) total order, the histogram-equalization / feature-
     bucketize step. Ranks come from the range-partitioned sample sort
@@ -4285,31 +4300,26 @@ def q_events_equidepth(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "cents": np.round(
-                df["value"].to_numpy() * 100).astype(np.int64)})
+        return _events_cents_prep(df, cols=("event_id", "cents"))
 
     rn = global_row_number(
         ev.map_batches(prep, batch_format="pandas"),
         ["cents", "event_id"]).materialize()
     n = rn.count()
-    if n == 0:
-        return rn.select_columns(["event_id", "cents"])
-    k = EQUIDEPTH_K
-    base, big = n // k, n % k
-    cut = big * (base + 1)
 
     def tile(df: pd.DataFrame) -> pd.DataFrame:
         r0 = df["rn"].to_numpy(np.int64) - 1       # 0-based rank
-        t = np.where(r0 < cut,
-                     r0 // max(base + 1, 1),
-                     big + (r0 - cut) // max(base, 1)) + 1
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(np.int64),
             "cents": df["cents"].to_numpy(np.int64),
-            "bucket": t.astype(np.int64)})
+            "bucket": _ntile_from_rank(r0, n, EQUIDEPTH_K)})
 
+    if n == 0:      # typed empty: same 3-column schema as the full path
+        # (a DataFrame, not a Dataset — Ray's to_pandas drops the schema
+        # of a fully-empty dataset even when its blocks are Arrow)
+        return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                             "cents": pd.Series(dtype=np.int64),
+                             "bucket": pd.Series(dtype=np.int64)})
     return rn.map_batches(tile, batch_format="pandas")
 
 
@@ -4376,11 +4386,7 @@ def _ntile_scores(keys: np.ndarray, tiebreak: np.ndarray,
     order = np.lexsort((tiebreak, -keys))
     r0 = np.empty(n, dtype=np.int64)
     r0[order] = np.arange(n, dtype=np.int64)
-    base, big = n // k, n % k
-    cut = big * (base + 1)
-    return np.where(r0 < cut,
-                    r0 // max(base + 1, 1),
-                    big + (r0 - cut) // max(base, 1)) + 1
+    return _ntile_from_rank(r0, n, k)
 
 
 def q_orders_rfm(sf_dir: str) -> pd.DataFrame:
@@ -4456,11 +4462,9 @@ def q_events_impute(sf_dir: str) -> rd.Dataset:
                          columns=["event_id", "event_type", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(np.int64),
-            "event_type": df["event_type"].astype("string"),
-            "cents": np.round(
-                df["value"].to_numpy() * 100).astype(np.int64)})
+        return _events_cents_prep(df,
+                                  cols=("event_id", "event_type",
+                                        "cents"))
 
     cents = ev.map_batches(prep, batch_format="pandas").materialize()
 
@@ -4485,7 +4489,11 @@ def q_events_impute(sf_dir: str) -> rd.Dataset:
     def impute(df: pd.DataFrame) -> pd.DataFrame:
         c = df["cents"].to_numpy(np.int64)
         miss = c < IMPUTE_SENTINEL_CENTS
-        f = df["event_type"].map(ray.get(fill_ref)).to_numpy(np.int64)
+        # a type with ZERO observed values has no fill row; the oracle
+        # computes 0 // greatest(0,1) = 0 for it, and a bare int64 cast
+        # of the NaN lookup would silently produce INT64_MIN
+        f = (df["event_type"].map(ray.get(fill_ref))
+             .fillna(0).to_numpy(np.int64))
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(np.int64),
             "event_type": df["event_type"],
@@ -4530,23 +4538,29 @@ def q_basket_rules(sf_dir: str) -> pd.DataFrame:
                          as_index=False, sort=False)["n"].sum()
                 .rename(columns={"event_type_x": "a",
                                  "event_type_y": "b"}))
+        pair["kind"] = np.int64(0)
         ant = (df.assign(n=np.int64(1))
                .groupby("event_type", as_index=False, sort=False)["n"]
                .sum().rename(columns={"event_type": "a"}))
         ant["b"] = ""
-        tot = pd.DataFrame({"a": [""], "b": [""],
+        ant["kind"] = np.int64(1)
+        tot = pd.DataFrame({"a": [""], "b": [""], "kind": [np.int64(2)],
                             "n": [np.int64(df["basket"].nunique())]})
+        # kind is the OUT-OF-BAND row tag (0 pair / 1 antecedent /
+        # 2 total): an event_type that IS the empty string stays an
+        # ordinary value instead of colliding with an in-band sentinel
         out = pd.concat([pair, ant, tot], ignore_index=True)
         out["a"] = out["a"].astype("string")
         out["b"] = out["b"].astype("string")
         out["n"] = out["n"].astype(np.int64)
-        return out[["a", "b", "n"]]
+        return out[["kind", "a", "b", "n"]]
 
     tagged = bucketed_groupby(
         ev.map_batches(prep, batch_format="pandas"),
         ["basket"], basket_merge)
     counts = bucketed_groupby(
-        tagged, ["a", "b"], sum_merge(["a", "b"], ["n"]),
+        tagged, ["kind", "a", "b"],
+        sum_merge(["kind", "a", "b"], ["n"]),
         buckets=2).to_pandas()
 
     if counts.empty:
@@ -4554,8 +4568,8 @@ def q_basket_rules(sf_dir: str) -> pd.DataFrame:
             ("antecedent", "string"), ("consequent", "string"),
             ("n_both", np.int64), ("n_a", np.int64),
             ("support_bp", np.int64), ("conf_bp", np.int64))})
-    is_tot = (counts["a"] == "") & (counts["b"] == "")
-    is_ant = (counts["a"] != "") & (counts["b"] == "")
+    is_tot = counts["kind"].to_numpy(np.int64) == 2
+    is_ant = counts["kind"].to_numpy(np.int64) == 1
     n_baskets = int(counts.loc[is_tot, "n"].sum())
     ant_map = dict(zip(counts.loc[is_ant, "a"],
                        counts.loc[is_ant, "n"].astype(np.int64)))

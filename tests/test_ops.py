@@ -3701,3 +3701,50 @@ def test_fk_audit_and_drift_match_duckdb(tmp_path):
     got_dr = q.q_events_drift(str(tmp_path))
     _canon_cmp(got_dr, con.execute(sql["events_drift"]).df())
     assert (np.abs(got_dr["share_first_bp"].sum() - 10000) <= 10)
+
+
+def test_review_fixes_impute_sentinel_basket_empty_type_equidepth_schema(
+        tmp_path):
+    """Round-4b review fixes: (1) an event_type with ZERO observed
+    values imputes 0 (not INT64_MIN); (2) an event_type equal to the
+    empty string is an ordinary basket item, not the in-band tag;
+    (3) equi-depth binning on empty input keeps its 3-column schema."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    n = 60
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.Timestamp("2024-05-01")
+        + pd.to_timedelta(np.arange(n) * 4885, unit="s"),
+        "user_id": (np.arange(n, dtype="int64") % 4),
+        # "" is a legal type; "dead" never reaches the sentinel
+        "event_type": ["", "live", "dead"] * (n // 3),
+        "value": [5.0, 9.0, 0.5] * (n // 3)})
+    ev.to_parquet(tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.register("events", ev)
+    sql = entry.oracle_sql()
+
+    got_im = q.q_events_impute(str(tmp_path)).to_pandas()
+    _canon_cmp(got_im, con.execute(sql["events_impute"]).df())
+    dead = got_im[got_im["event_type"] == "dead"]
+    assert (dead["cents_filled"] == 0).all()       # oracle's 0, not MIN
+
+    got_br = q.q_basket_rules(str(tmp_path))
+    want_br = con.execute(sql["basket_rules"]).df()
+    assert ("" in set(got_br["antecedent"]))       # "" participates
+    _canon_cmp(got_br, want_br)
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    ev.iloc[:0].to_parquet(empty / "events.parquet")
+    got_eq = q.q_events_equidepth(str(empty))
+    if hasattr(got_eq, "to_pandas"):
+        got_eq = got_eq.to_pandas()
+    assert list(got_eq.columns) == ["event_id", "cents", "bucket"]
+    assert len(got_eq) == 0
