@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules": q.q_basket_rules,
         "fk_audit": q.q_fk_audit,
         "events_drift": q.q_events_drift,
+        "user_mobility": q.q_user_mobility,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1664,6 +1665,32 @@ def oracle_sql() -> dict[str, str]:
                             - (10000 * n_second) // t2) AS BIGINT)
                      AS drift_bp
             FROM per CROSS JOIN tot
+        """,
+        "user_mobility": """
+            WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                              CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+                       FROM events),
+            e AS (SELECT user_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents,
+                         CASE WHEN epoch_us(ts) <= (b.lo + b.hi) // 2
+                              THEN 1 ELSE 0 END AS fh
+                  FROM events CROSS JOIN b),
+            per AS (SELECT user_id,
+                           CAST(sum(cents * fh) AS BIGINT) AS c1,
+                           CAST(sum(fh) AS BIGINT) AS n1,
+                           CAST(sum(cents * (1 - fh)) AS BIGINT) AS c2,
+                           CAST(sum(1 - fh) AS BIGINT) AS n2
+                    FROM e GROUP BY user_id),
+            both_h AS (SELECT * FROM per WHERE n1 > 0 AND n2 > 0),
+            dec AS (SELECT user_id,
+                           CAST(ntile(10) OVER (ORDER BY c1 DESC,
+                                user_id) AS BIGINT) AS decile_1,
+                           CAST(ntile(10) OVER (ORDER BY c2 DESC,
+                                user_id) AS BIGINT) AS decile_2
+                    FROM both_h)
+            SELECT decile_1, decile_2,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM dec GROUP BY decile_1, decile_2
         """,
         "vocab_stats": r"""
             WITH toks AS (

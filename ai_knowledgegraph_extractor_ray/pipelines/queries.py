@@ -4694,3 +4694,68 @@ def q_events_drift(sf_dir: str) -> pd.DataFrame:
         "drift_bp": np.abs(s1 - s2)})
     return (out.sort_values("event_type", kind="mergesort")
             .reset_index(drop=True))
+
+
+MOBILITY_K = 10
+
+
+def q_user_mobility(sf_dir: str) -> pd.DataFrame:
+    """Rank-mobility transition matrix: users are deciled by total
+    value-cents in the FIRST half of event time and again in the
+    second; output counts every (decile_1 -> decile_2) transition for
+    users active in both halves — the churn/upgrade migration table.
+    One user-keyed partial-sum exchange carries both halves' sums; the
+    decile stamps reuse the shared NTILE formula on the user-cardinality
+    result (range-sort at 100-TB user counts, like RFM)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..ops.agg import bucketed_groupby, sum_merge
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"]).materialize()
+    stats = ev.aggregate(Min("ts"), Max("ts"))
+    lo, hi = stats["min(ts)"], stats["max(ts)"]
+    if lo is None:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in (
+            "decile_1", "decile_2", "n_users")})
+    lo_us = pd.Timestamp(lo).value // 1000
+    hi_us = pd.Timestamp(hi).value // 1000
+    mid_us = (lo_us + hi_us) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        first = us <= mid_us
+        return (pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "c1": np.where(first, cents, 0),
+            "n1": first.astype(np.int64),
+            "c2": np.where(first, 0, cents),
+            "n2": (~first).astype(np.int64),
+        }).groupby("user_id", as_index=False, sort=False).sum())
+
+    per = bucketed_groupby(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        sum_merge(["user_id"], ["c1", "n1", "c2", "n2"])).to_pandas()
+    per = per[(per["n1"].to_numpy(np.int64) > 0)
+              & (per["n2"].to_numpy(np.int64) > 0)]
+    if per.empty:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in (
+            "decile_1", "decile_2", "n_users")})
+    n = len(per)
+    uid = per["user_id"].to_numpy(np.int64)
+
+    def decile(totals: np.ndarray) -> np.ndarray:
+        order = np.lexsort((uid, -totals))
+        r0 = np.empty(n, dtype=np.int64)
+        r0[order] = np.arange(n, dtype=np.int64)
+        return _ntile_from_rank(r0, n, MOBILITY_K)
+
+    out = (pd.DataFrame({
+        "decile_1": decile(per["c1"].to_numpy(np.int64)),
+        "decile_2": decile(per["c2"].to_numpy(np.int64)),
+        "n_users": np.ones(n, dtype=np.int64)})
+        .groupby(["decile_1", "decile_2"], as_index=False, sort=True)
+        .sum())
+    return out.astype(np.int64).reset_index(drop=True)

@@ -3748,3 +3748,54 @@ def test_review_fixes_impute_sentinel_basket_empty_type_equidepth_schema(
         got_eq = got_eq.to_pandas()
     assert list(got_eq.columns) == ["event_id", "cents", "bucket"]
     assert len(got_eq) == 0
+
+
+def test_user_mobility_matches_duckdb(tmp_path):
+    import duckdb
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    ev = _write_events_mini(tmp_path)
+    con = duckdb.connect()
+    con.register("events", ev)
+    sql = entry.oracle_sql()
+
+    got = q.q_user_mobility(str(tmp_path))
+    want = con.execute(sql["user_mobility"]).df()
+    assert len(got) > 0
+    _canon_cmp(got, want)
+    # transition matrix covers every both-halves user exactly once
+    assert int(got["n_users"].sum()) == int(want["n_users"].sum())
+
+
+def test_compact_parquet_dir_roundtrip(tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.ops.sinks import (
+        compact_parquet_dir,
+    )
+
+    d = tmp_path / "frag"
+    d.mkdir()
+    frames = []
+    for i in range(25):
+        df = pd.DataFrame({
+            "k": np.arange(i * 10, i * 10 + 10, dtype="int64"),
+            "v": np.arange(10, dtype="int64") * i})
+        df.to_parquet(d / f"part-{i:04d}.parquet")
+        frames.append(df)
+    before = pd.concat(frames).sort_values(["k", "v"]).reset_index(
+        drop=True)
+
+    stats = compact_parquet_dir(str(d), target_mb=128)
+    assert stats["files_before"] == 25
+    assert stats["files_after"] < 25
+    assert stats["rows"] == 250
+    after = (pd.read_parquet(d).sort_values(["k", "v"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after)
+    assert not os.path.exists(str(d) + ".compact-tmp")
