@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": q.q_fk_audit,
         "events_drift": q.q_events_drift,
         "user_mobility": q.q_user_mobility,
+        "events_timeband": q.q_events_timeband,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1665,6 +1666,19 @@ def oracle_sql() -> dict[str, str]:
                             - (10000 * n_second) // t2) AS BIGINT)
                      AS drift_bp
             FROM per CROSS JOIN tot
+        """,
+        "events_timeband": """
+            WITH e AS (SELECT event_id, user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS t,
+                              event_type
+                       FROM events)
+            SELECT a.event_id AS error_id, b.event_id AS click_id,
+                   a.user_id, b.t - a.t AS dt_us
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'error' AND b.event_type = 'click'
+             AND b.t BETWEEN a.t
+                         AND a.t + CAST(86400000000 AS BIGINT)
         """,
         "user_mobility": """
             WITH b AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,

@@ -4759,3 +4759,81 @@ def q_user_mobility(sf_dir: str) -> pd.DataFrame:
         .groupby(["decile_1", "decile_2"], as_index=False, sort=True)
         .sum())
     return out.astype(np.int64).reset_index(drop=True)
+
+
+TIMEBAND_US = 86_400_000_000      # 24 h pairing window
+
+
+def q_events_timeband(sf_dir: str) -> rd.Dataset:
+    """Time-band pair ENUMERATION join: every (error, click) pair of the
+    same user where the click lands within 24 h AFTER the error — the
+    generalization of the as-of join that keeps ALL matches in the
+    window, not just the nearest (attribution / co-occurrence mining).
+    One user-keyed exchange; inside each merge both sides sort once and
+    two searchsorted passes bound every error's click range, with the
+    pair expansion a vectorized repeat/arange flatten — cost is
+    O(n log n + output), never an n^2 cross join."""
+    from ..ops.agg import bucketed_groupby
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("error", "click"))]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            "is_err": (df["event_type"] == "error").to_numpy()})
+
+    def band_merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "error_id": pd.Series(dtype=np.int64),
+            "click_id": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "dt_us": pd.Series(dtype=np.int64)})
+        err = df[df["is_err"]]
+        clk = df[~df["is_err"]]
+        if err.empty or clk.empty:
+            return empty
+        # one composite sort each: (user, ts, id) packs into the same
+        # searchsorted domain because user partitions the key space
+        clk = clk.sort_values(["user_id", "ts_us", "event_id"],
+                              kind="mergesort")
+        cu = clk["user_id"].to_numpy(np.int64)
+        ct = clk["ts_us"].to_numpy(np.int64)
+        eu = err["user_id"].to_numpy(np.int64)
+        et = err["ts_us"].to_numpy(np.int64)
+        # composite key = local_user_rank * stride + ts_offset, with the
+        # stride the exact observed span + band + 1 — overflow-safe for
+        # any raw user_id (a fixed bit-shift would overflow at 2^10
+        # users) as long as users_per_bucket * stride < 2^63, i.e.
+        # millions of users per bucket on a month-long span
+        t0 = min(ct.min(), et.min())
+        stride = (max(ct.max(), et.max()) - t0) + TIMEBAND_US + 1
+        uniq = np.unique(np.concatenate([cu, eu]))
+        if len(uniq) * stride >= np.iinfo(np.int64).max:
+            raise OverflowError(
+                "time-band key space exceeds int64: shrink the bucket "
+                "(more exchange partitions) or the time span")
+        ck = np.searchsorted(uniq, cu) * stride + (ct - t0)
+        ek = np.searchsorted(uniq, eu) * stride + (et - t0)
+        lo = np.searchsorted(ck, ek, "left")
+        hi = np.searchsorted(ck, ek + TIMEBAND_US, "right")
+        counts = hi - lo
+        if counts.sum() == 0:
+            return empty
+        e_idx = np.repeat(np.arange(len(err)), counts)
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        c_idx = np.repeat(lo, counts) + offs
+        return pd.DataFrame({
+            "error_id": err["event_id"].to_numpy(np.int64)[e_idx],
+            "click_id": clk["event_id"].to_numpy(np.int64)[c_idx],
+            "user_id": eu[e_idx],
+            "dt_us": ct[c_idx] - et[e_idx]})
+
+    return bucketed_groupby(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"], band_merge)

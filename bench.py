@@ -292,6 +292,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "fk_audit": lambda: len(q.q_fk_audit(sf_dir)),
             "events_drift": lambda: len(q.q_events_drift(sf_dir)),
             "user_mobility": lambda: len(q.q_user_mobility(sf_dir)),
+            "events_timeband":
+                lambda: q.q_events_timeband(sf_dir).count(),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box

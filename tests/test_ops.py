@@ -3799,3 +3799,34 @@ def test_compact_parquet_dir_roundtrip(tmp_path):
              .reset_index(drop=True))
     pd.testing.assert_frame_equal(before, after)
     assert not os.path.exists(str(d) + ".compact-tmp")
+
+
+def test_events_timeband_matches_duckdb(tmp_path):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    rng = np.random.RandomState(57)
+    n = 500
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.Timestamp("2024-02-01")
+        + pd.to_timedelta(rng.randint(0, 5 * 86400, n), unit="s"),
+        # user ids above 1024 exercise the overflow-safe key packing
+        "user_id": rng.choice([3, 7, 2048, 1_000_000], n).astype("int64"),
+        "event_type": rng.choice(["error", "click", "view"], n),
+        "value": rng.uniform(0, 10, n).round(2)})
+    ev.to_parquet(tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.register("events", ev)
+    sql = entry.oracle_sql()
+
+    got = q.q_events_timeband(str(tmp_path)).to_pandas()
+    want = con.execute(sql["events_timeband"]).df()
+    assert len(got) > 0
+    _canon_cmp(got, want)
+    assert (got["dt_us"] >= 0).all()
+    assert (got["dt_us"] <= 86_400_000_000).all()
