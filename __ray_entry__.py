@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drift": q.q_events_drift,
         "user_mobility": q.q_user_mobility,
         "events_timeband": q.q_events_timeband,
+        "transcript_roles": q.q_transcript_roles,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1666,6 +1667,21 @@ def oracle_sql() -> dict[str, str]:
                             - (10000 * n_second) // t2) AS BIGINT)
                      AS drift_bp
             FROM per CROSS JOIN tot
+        """,
+        "transcript_roles": """
+            WITH t AS (
+              SELECT 'c' || CAST(doc_id % 100 AS VARCHAR) AS conv_id,
+                     CASE WHEN (doc_id // 100) % 2 = 0
+                          THEN 'user' ELSE 'assistant' END AS role,
+                     length(text) AS nc
+              FROM documents)
+            SELECT role,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(sum(nc) AS BIGINT) AS total_chars,
+                   CAST((100 * sum(nc)) // greatest(count(*), 1)
+                        AS BIGINT) AS mean_chars_e2
+            FROM t GROUP BY role
         """,
         "events_timeband": """
             WITH e AS (SELECT event_id, user_id,

@@ -4837,3 +4837,54 @@ def q_events_timeband(sf_dir: str) -> rd.Dataset:
     return bucketed_groupby(
         ev.map_batches(prep, batch_format="pandas"),
         ["user_id"], band_merge)
+
+
+def q_transcript_roles(sf_dir: str) -> pd.DataFrame:
+    """Per-role conversation statistics over the transcript shape (the
+    input_hint's role column): turns, distinct conversations, total and
+    mean chars — the conversation-corpus census. One role-keyed partial
+    pass (role cardinality is tiny); distinct convs per role fold as
+    per-block sets bounded by conv vocabulary."""
+    from ..ops.agg import bucketed_groupby
+    from ..sources import transcripts as src
+
+    ts = src.transcripts_from_documents(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "role": df["role"].astype("string"),
+            "conv_id": df["conv_id"].astype("string"),
+            "n_turns": np.ones(len(df), dtype=np.int64),
+            "total_chars": df["text"].str.len().fillna(0)
+            .to_numpy(np.int64),
+        }).groupby(["role", "conv_id"], as_index=False, sort=False)
+            .sum())
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        f = (df.groupby(["role", "conv_id"], as_index=False, sort=False)
+             [["n_turns", "total_chars"]].sum())
+        out = (f.assign(n_convs=np.int64(1))
+               .groupby("role", as_index=False, sort=False)
+               .agg(n_turns=("n_turns", "sum"),
+                    n_convs=("n_convs", "sum"),
+                    total_chars=("total_chars", "sum")))
+        return out
+
+    per = bucketed_groupby(
+        ts.map_batches(partial, batch_format="pandas"),
+        ["role"], merge, buckets=2).to_pandas()
+    if per.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("role", "string"), ("n_turns", np.int64),
+            ("n_convs", np.int64), ("total_chars", np.int64),
+            ("mean_chars_e2", np.int64))})
+    out = pd.DataFrame({
+        "role": per["role"].astype("string"),
+        "n_turns": per["n_turns"].astype(np.int64),
+        "n_convs": per["n_convs"].astype(np.int64),
+        "total_chars": per["total_chars"].astype(np.int64),
+        "mean_chars_e2": (100 * per["total_chars"].to_numpy(np.int64))
+        // np.maximum(per["n_turns"].to_numpy(np.int64), 1)})
+    return (out.sort_values("role", kind="mergesort")
+            .reset_index(drop=True))

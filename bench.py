@@ -294,6 +294,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
             "user_mobility": lambda: len(q.q_user_mobility(sf_dir)),
             "events_timeband":
                 lambda: q.q_events_timeband(sf_dir).count(),
+            "transcript_roles":
+                lambda: len(q.q_transcript_roles(sf_dir)),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box
