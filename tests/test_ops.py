@@ -3830,3 +3830,32 @@ def test_events_timeband_matches_duckdb(tmp_path):
     _canon_cmp(got, want)
     assert (got["dt_us"] >= 0).all()
     assert (got["dt_us"] <= 86_400_000_000).all()
+
+
+def test_ntile_from_rank_matches_duckdb_property():
+    """The shared closed NTILE formula must equal SQL NTILE for every
+    (n, k) shape — including n < k, n % k != 0, and k = 1."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ai_knowledgegraph_extractor_ray.pipelines.queries import (
+        _ntile_from_rank,
+    )
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(3)
+    for n, k in [(1, 5), (4, 5), (5, 5), (6, 5), (37, 10), (100, 7),
+                 (13, 1), (2, 16), (250, 16)]:
+        vals = rng.randint(0, 50, n).astype("int64")
+        ids = np.arange(n, dtype="int64")
+        df = pd.DataFrame({"v": vals, "id": ids})
+        con.register("t", df)
+        want = con.execute(
+            f"SELECT id, ntile({k}) OVER (ORDER BY v, id) AS nt "
+            "FROM t ORDER BY id").df()["nt"].to_numpy()
+        order = np.lexsort((ids, vals))
+        r0 = np.empty(n, dtype=np.int64)
+        r0[order] = np.arange(n, dtype=np.int64)
+        got = _ntile_from_rank(r0, n, k)
+        assert (got == want).all(), (n, k)
