@@ -4588,29 +4588,54 @@ def q_basket_rules(sf_dir: str) -> pd.DataFrame:
                             kind="mergesort").reset_index(drop=True))
 
 
+FK_BROADCAST_MAX_PARENT = 5_000_000   # keys; ~40 MB of int64 broadcast
+
+
 def q_fk_audit(sf_dir: str) -> pd.DataFrame:
     """Referential-integrity audit (the ingest data-quality gate): for
     each declared FK relationship, how many child rows and how many
-    orphans (keys absent from the parent). Each check is one distinct-
-    key partial pass + an anti-join-shaped membership probe against the
-    broadcast parent key set for driver-tiny parents (nation) or a
-    co-bucketed anti join for large ones (orders, customer) — the same
-    two plans the join family exposes."""
+    orphans (keys absent from the parent). Cost-based per check: a
+    parent under the broadcast bound ships as a key set folded into ONE
+    map pass over the child (no exchange at all); a larger parent takes
+    the distinct-key partial pass + co-bucketed anti join — the same
+    broadcast-vs-shuffle split the join family exposes."""
+    import pyarrow.parquet as pq
+    import ray
+
     from ..ops.agg import bucketed_groupby, sum_merge
     from ..ops.joins import hash_anti_join
 
     checks = []
 
-    def count_orphans(child: rd.Dataset, child_key: str,
-                      parent: rd.Dataset, parent_key: str) -> tuple:
+    def count_orphans(child_path: str, child_key: str,
+                      parent_path: str, parent_key: str) -> tuple:
+        child = rd.read_parquet(child_path, columns=[child_key])
+        n_parent = pq.ParquetFile(parent_path).metadata.num_rows
+        if n_parent <= FK_BROADCAST_MAX_PARENT:
+            keys = pq.read_table(parent_path, columns=[parent_key])
+            kref = ray.put(frozenset(
+                keys[parent_key].to_numpy(zero_copy_only=False)
+                .astype(np.int64).tolist()))
+
+            def mark(df: pd.DataFrame) -> pd.DataFrame:
+                orphan = ~df[child_key].isin(ray.get(kref))
+                return pd.DataFrame({
+                    "n": [np.int64(len(df))],
+                    "o": [np.int64(orphan.sum())]})
+
+            agg = (child.map_batches(mark, batch_format="pandas")
+                   .to_pandas())
+            return int(agg["n"].sum()), int(agg["o"].sum())
+
         ck = child.map_batches(
             lambda df, c=child_key: pd.DataFrame(
                 {"k": df[c].to_numpy(np.int64),
                  "n": np.ones(len(df), dtype=np.int64)})
             .groupby("k", as_index=False, sort=False).sum(),
             batch_format="pandas")
-        counts = bucketed_groupby(ck, ["k"], sum_merge(["k"], ["n"]))
-        pk = parent.map_batches(
+        counts = bucketed_groupby(
+            ck, ["k"], sum_merge(["k"], ["n"])).materialize()
+        pk = rd.read_parquet(parent_path, columns=[parent_key])             .map_batches(
             lambda df, c=parent_key: pd.DataFrame(
                 {"k": np.unique(df[c].to_numpy(np.int64))}),
             batch_format="pandas")
@@ -4619,25 +4644,14 @@ def q_fk_audit(sf_dir: str) -> pd.DataFrame:
         return (int(total["n"].sum()),
                 int(orphans["n"].sum()) if len(orphans) else 0)
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey"])
-    orders_k = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_orderkey"])
-    n, o = count_orphans(li, "l_orderkey", orders_k, "o_orderkey")
+    n, o = count_orphans(f"{sf_dir}/lineitem.parquet", "l_orderkey",
+                         f"{sf_dir}/orders.parquet", "o_orderkey")
     checks.append(("lineitem.l_orderkey->orders", n, o))
-
-    orders_c = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey"])
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey"])
-    n, o = count_orphans(orders_c, "o_custkey", cust, "c_custkey")
+    n, o = count_orphans(f"{sf_dir}/orders.parquet", "o_custkey",
+                         f"{sf_dir}/customer.parquet", "c_custkey")
     checks.append(("orders.o_custkey->customer", n, o))
-
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                          columns=["s_nationkey"])
-    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
-                          columns=["n_nationkey"])
-    n, o = count_orphans(sup, "s_nationkey", nat, "n_nationkey")
+    n, o = count_orphans(f"{sf_dir}/supplier.parquet", "s_nationkey",
+                         f"{sf_dir}/nation.parquet", "n_nationkey")
     checks.append(("supplier.s_nationkey->nation", n, o))
 
     return pd.DataFrame({

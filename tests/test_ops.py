@@ -3698,6 +3698,17 @@ def test_fk_audit_and_drift_match_duckdb(tmp_path):
                  == "lineitem.l_orderkey->orders"].iloc[0]
     assert int(row["n_orphans"]) == 7          # planted orphans found
 
+    # force the co-bucketed anti-join plan (big-parent path) and check
+    # both physical plans agree
+    import ai_knowledgegraph_extractor_ray.pipelines.queries as qmod
+    orig = qmod.FK_BROADCAST_MAX_PARENT
+    try:
+        qmod.FK_BROADCAST_MAX_PARENT = 0
+        got_fk2 = q.q_fk_audit(str(tmp_path))
+    finally:
+        qmod.FK_BROADCAST_MAX_PARENT = orig
+    _canon_cmp(got_fk2, got_fk)
+
     got_dr = q.q_events_drift(str(tmp_path))
     _canon_cmp(got_dr, con.execute(sql["events_drift"]).df())
     assert (np.abs(got_dr["share_first_bp"].sum() - 10000) <= 10)
