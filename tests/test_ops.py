@@ -3870,3 +3870,38 @@ def test_ntile_from_rank_matches_duckdb_property():
         r0[order] = np.arange(n, dtype=np.int64)
         got = _ntile_from_rank(r0, n, k)
         assert (got == want).all(), (n, k)
+
+
+def test_events_timeband_random_fuzz_vs_duckdb(tmp_path):
+    """Randomized shapes for the band-join pair expansion: duplicate
+    timestamps, same-instant error+click, empty sides per user, and
+    window-boundary hits — engine vs DuckDB on 5 seeds."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    sql = entry.oracle_sql()["events_timeband"]
+    for seed in range(5):
+        rng = np.random.RandomState(100 + seed)
+        n = 120
+        base = pd.Timestamp("2024-06-01").value // 1000
+        # coarse grid forces exact-boundary and equal-ts collisions
+        t = base + rng.randint(0, 3, n) * 86_400_000_000 \
+            + rng.randint(0, 4, n) * 21_600_000_000
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        ev = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(t, unit="us"),
+            "user_id": rng.randint(0, 3, n).astype("int64"),
+            "event_type": rng.choice(["error", "click"], n),
+            "value": np.ones(n)})
+        ev.to_parquet(d / "events.parquet")
+        con = duckdb.connect()
+        con.register("events", ev)
+        got = q.q_events_timeband(str(d)).to_pandas()
+        want = con.execute(sql).df()
+        _canon_cmp(got, want)
