@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mobility": q.q_user_mobility,
         "events_timeband": q.q_events_timeband,
         "transcript_roles": q.q_transcript_roles,
+        "kg_relation_census": q.q_kg_relation_census,
         # judge-replayed green in round 3 (never driver-gated):
         "join_left": q.q_join_left,
         "join_semi": q.q_join_semi,
@@ -1667,6 +1668,15 @@ def oracle_sql() -> dict[str, str]:
                             - (10000 * n_second) // t2) AS BIGINT)
                      AS drift_bp
             FROM per CROSS JOIN tot
+        """,
+        "kg_relation_census": f"""
+            WITH edges AS ({_CANON_EDGES_SQL})
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(weight) AS BIGINT) AS total_weight,
+                   CAST(count(DISTINCT canonical_src) AS BIGINT) AS n_src,
+                   CAST(count(DISTINCT canonical_dst) AS BIGINT) AS n_dst
+            FROM edges GROUP BY pred
         """,
         "transcript_roles": """
             WITH t AS (

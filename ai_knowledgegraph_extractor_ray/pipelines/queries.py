@@ -4902,3 +4902,39 @@ def q_transcript_roles(sf_dir: str) -> pd.DataFrame:
         // np.maximum(per["n_turns"].to_numpy(np.int64), 1)})
     return (out.sort_values("role", kind="mergesort")
             .reset_index(drop=True))
+
+
+def q_kg_relation_census(sf_dir: str) -> pd.DataFrame:
+    """Relation-type census of the canonical graph — the KG schema
+    health report: per predicate, edge count, total mention weight,
+    distinct subjects and objects (fan-out shape). Predicate cardinality
+    is vocabulary-sized, so one pass of partials over the canonical
+    edge table folds driver-side."""
+    edges = q_canon_sql(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("pred", as_index=False, sort=False)
+                .agg(n_edges=("weight", "size"),
+                     total_weight=("weight", "sum"),
+                     srcs=("canonical_src", lambda s: set(s)),
+                     dsts=("canonical_dst", lambda s: set(s))))
+
+    parts = edges.map_batches(
+        lambda df: partial(df), batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+            ("pred", "string"), ("n_edges", np.int64),
+            ("total_weight", np.int64), ("n_src", np.int64),
+            ("n_dst", np.int64))})
+    rows = []
+    for pred, g in parts.groupby("pred", sort=True):
+        rows.append({
+            "pred": pred,
+            "n_edges": int(g["n_edges"].sum()),
+            "total_weight": int(g["total_weight"].sum()),
+            "n_src": len(set().union(*g["srcs"])),
+            "n_dst": len(set().union(*g["dsts"]))})
+    out = pd.DataFrame(rows)
+    return out.astype({"pred": "string", "n_edges": np.int64,
+                       "total_weight": np.int64, "n_src": np.int64,
+                       "n_dst": np.int64})

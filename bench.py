@@ -296,6 +296,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int, kg_only: bool) -> dict:
                 lambda: q.q_events_timeband(sf_dir).count(),
             "transcript_roles":
                 lambda: len(q.q_transcript_roles(sf_dir)),
+            "kg_relation_census":
+                lambda: len(q.q_kg_relation_census(sf_dir)),
         }
         # Timing discipline (round-3 fix for the r02 bench contradiction):
         # single-shot sequential timing conflated per-query cost with box
