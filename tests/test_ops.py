@@ -3905,3 +3905,42 @@ def test_events_timeband_random_fuzz_vs_duckdb(tmp_path):
         got = q.q_events_timeband(str(d)).to_pandas()
         want = con.execute(sql).df()
         _canon_cmp(got, want)
+
+
+def test_gapfill_and_concurrency_random_fuzz_vs_duckdb(tmp_path):
+    """Randomized boundary shapes for the two sweep operators: equal
+    timestamps within and across users, session gaps exactly at the
+    30-minute rule, single-event users, hour-boundary events."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    sqls = entry.oracle_sql()
+    for seed in range(4):
+        rng = np.random.RandomState(900 + seed)
+        n = 150
+        base = pd.Timestamp("2024-07-01").value // 1000
+        # half-hour / hour grid multiples force boundary collisions
+        t = base + rng.randint(0, 48, n) * 1_800_000_000
+        d = tmp_path / f"g{seed}"
+        d.mkdir()
+        ev = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(t, unit="us"),
+            "user_id": rng.randint(0, 5, n).astype("int64"),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": rng.uniform(0, 9, n).round(2)})
+        ev.loc[n - 1, "user_id"] = 42        # single-event user
+        ev.to_parquet(d / "events.parquet")
+        con = duckdb.connect()
+        con.register("events", ev)
+
+        got_gf = q.q_events_gapfill(str(d)).to_pandas()
+        _canon_cmp(got_gf, con.execute(sqls["events_gapfill"]).df())
+
+        got_sc = q.q_session_concurrency(str(d)).to_pandas()
+        _canon_cmp(got_sc, con.execute(
+            sqls["session_concurrency"]).df())
