@@ -3518,10 +3518,8 @@ def q_tpch_q21(sf_dir: str) -> pd.DataFrame:
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_name",
                                  "s_nationkey"]).to_pandas()
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"]).to_pandas()
-    keep_nk = set(nat.loc[nat["n_name"] == Q21_NATION, "n_nationkey"]
-                  .astype(int))
+    nname = _nation_names(sf_dir)
+    keep_nk = {k for k, v in nname.items() if v == Q21_NATION}
     sup = sup[sup["s_nationkey"].astype(int).isin(keep_nk)]
     if per_supp.empty:
         per_supp = pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
@@ -3613,9 +3611,7 @@ def q_tpch_q9(sf_dir: str) -> pd.DataFrame:
         ["s_nationkey", "o_year"],
         sum_merge(["s_nationkey", "o_year"], ["amount_e4"]),
         buckets=4).to_pandas()
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"]).to_pandas()
-    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nname = _nation_names(sf_dir)
     if per.empty:
         per = pd.DataFrame({"s_nationkey": pd.Series(dtype=np.int64),
                             "o_year": pd.Series(dtype=np.int64),
@@ -3792,7 +3788,9 @@ def q_events_mad(sf_dir: str) -> pd.DataFrame:
             "cents": np.round(
                 df["value"].to_numpy() * 100).astype(np.int64)})
 
-    cents = ev.map_batches(prep, batch_format="pandas")
+    # materialized: both quantile passes consume it — without this the
+    # read + quantize would execute twice
+    cents = ev.map_batches(prep, batch_format="pandas").materialize()
     med = grouped_quantile_disc(cents, ["event_type"], "cents",
                                 {"med_cents": 0.5}).to_pandas()
     med_ref = ray.put(pd.Series(med["med_cents"].to_numpy(np.int64),
@@ -3923,9 +3921,8 @@ def q_events_newusers(sf_dir: str) -> pd.DataFrame:
     # per-user first day (string min == chronological for the fixed
     # format), then new-user counts per day — both distributed
     def first_day(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby("user_id", as_index=False, sort=False)
-             .agg(day=("day", "min")))
-        return g.assign(n_new_users=np.int64(1))
+        return (df.groupby("user_id", as_index=False, sort=False)
+                .agg(day=("day", "min")))
 
     firsts = bucketed_groupby(
         prepped.map_batches(first_day, batch_format="pandas"),
@@ -4054,6 +4051,16 @@ def q_vocab_stats(sf_dir: str) -> pd.DataFrame:
         "n_hapax": pd.array([int(parts["n_hapax"].sum())], dtype="int64"),
         "ttr_bp": pd.array([(10000 * n_dis) // max(n_tok, 1)],
                            dtype="int64")})
+
+
+def _nation_names(sf_dir: str) -> dict:
+    """Driver-tiny nationkey -> n_name lookup shared by the dimension
+    finishes (Q9 / Q20 / Q21 and friends)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    return dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
 
 Q2_REGION = "ASIA"
@@ -4240,9 +4247,7 @@ def q_tpch_q20(sf_dir: str) -> pd.DataFrame:
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_name",
                                  "s_nationkey"]).to_pandas()
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"]).to_pandas()
-    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nname = _nation_names(sf_dir)
     out = per_supp.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
     out = pd.DataFrame({
         "s_name": out["s_name"].astype("string"),
@@ -4919,8 +4924,8 @@ def q_kg_relation_census(sf_dir: str) -> pd.DataFrame:
                      srcs=("canonical_src", lambda s: set(s)),
                      dsts=("canonical_dst", lambda s: set(s))))
 
-    parts = edges.map_batches(
-        lambda df: partial(df), batch_format="pandas").to_pandas()
+    parts = edges.map_batches(partial,
+                              batch_format="pandas").to_pandas()
     if parts.empty:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
             ("pred", "string"), ("n_edges", np.int64),
