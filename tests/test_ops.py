@@ -3944,3 +3944,19 @@ def test_gapfill_and_concurrency_random_fuzz_vs_duckdb(tmp_path):
         got_sc = q.q_session_concurrency(str(d)).to_pandas()
         _canon_cmp(got_sc, con.execute(
             sqls["session_concurrency"]).df())
+
+
+def test_driver_contract_window_and_oracle_consistency():
+    """The driver's CORRECTNESS gate checks only the FIRST 50 queries()
+    entries: every one of those slots must carry an exact DuckDB oracle
+    (a rows-only entry there would waste a gate slot), every oracle key
+    must name a query, and the catalog must stay import-clean."""
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+    first50 = list(qs)[:50]
+    unoracled = [n for n in first50 if n not in osql]
+    assert not unoracled, f"gate-window slots without oracles: {unoracled}"
+    assert len(qs) >= 150 and len(osql) >= 140   # contract floor
