@@ -53,6 +53,9 @@ def main() -> int:
         "events_twa": lambda: q.q_events_twa(out).count(),
         "events_equidepth": lambda: q.q_events_equidepth(out).count(),
         "events_impute": lambda: q.q_events_impute(out).count(),
+        "events_timeband": lambda: q.q_events_timeband(out).count(),
+        "user_mobility": lambda: len(q.q_user_mobility(out)),
+        "basket_rules": lambda: len(q.q_basket_rules(out)),
     }
     jobs["events_twa"]()          # warm the worker pool (untimed)
     for name, fn in jobs.items():
