@@ -52,13 +52,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-gated come first; the stable long-green core and the rows-only
     # sketches sit in the back half (each still pinned by its own tests).
     return {
-        # --- DRIVER GATE WINDOW (first 50): every query ADDED in round 4 —
-        # none has ever been checked by an external CORRECTNESS gate. The
-        # 22 r1-r3-era entries the round-3 judge already replayed green via
-        # tools/check_oracle.py sit immediately after the window; the
-        # long-green r1-r3 driver-gated core and the rows-only sketches
-        # close the list (each still pinned by its own tests, and
+        # --- DRIVER GATE WINDOW (first 50), round-5 rotation: the 49
+        # oracled queries never driver-gated in any round (added after the
+        # r4 window filled; all check_oracle-replayed green), plus
+        # lineitem_profile re-gated to prove the round-5 exact-int-mean fix
+        # (its r4 hash miss). After this window, EVERY oracled query has
+        # appeared in some round's driver gate. The long-green core and
+        # rows-only sketches sit below (each pinned by its own tests, and
         # `python tools/check_oracle.py` replays every oracled entry).
+        "lineitem_profile": q.q_lineitem_profile,
+        "events_transitions": q.q_events_transitions,
+        "events_spikes": q.q_events_spikes,
+        "events_wquantiles": q.q_events_wquantiles,
+        "lineitem_skyline": q.q_lineitem_skyline,
+        "events_wquantiles_cont": q.q_events_wquantiles_cont,
+        "kg_linkpred": q.q_kg_linkpred,
+        "events_systematic": q.q_events_systematic,
+        "tpch_q12": q.q_tpch_q12,
+        "tpch_q21": q.q_tpch_q21,
+        "tpch_q9": q.q_tpch_q9,
+        "tpch_q11": q.q_tpch_q11,
+        "events_twa": q.q_events_twa,
+        "events_gapfill": q.q_events_gapfill,
+        "events_mad": q.q_events_mad,
+        "events_lift": q.q_events_lift,
+        "events_rollmed": q.q_events_rollmed,
+        "events_newusers": q.q_events_newusers,
+        "session_concurrency": q.q_session_concurrency,
+        "vocab_stats": q.q_vocab_stats,
+        "tpch_q2": q.q_tpch_q2,
+        "tpch_q16": q.q_tpch_q16,
+        "tpch_q20": q.q_tpch_q20,
+        "events_equidepth": q.q_events_equidepth,
+        "embed_centroids": q.q_embed_centroids,
+        "orders_rfm": q.q_orders_rfm,
+        "events_impute": q.q_events_impute,
+        "basket_rules": q.q_basket_rules,
+        "fk_audit": q.q_fk_audit,
+        "events_drift": q.q_events_drift,
+        "user_mobility": q.q_user_mobility,
+        "events_timeband": q.q_events_timeband,
+        "transcript_roles": q.q_transcript_roles,
+        "kg_relation_census": q.q_kg_relation_census,
+        "join_left": q.q_join_left,
+        "join_semi": q.q_join_semi,
+        "join_anti": q.q_join_anti,
+        "join_outer": q.q_join_outer,
+        "join_skew": q.q_join_skew,
+        "join_bloom": q.q_join_bloom,
+        "events_window": q.q_events_window,
+        "events_rank": q.q_events_rank,
+        "events_argmax": q.q_events_argmax,
+        "lineitem_unpivot": q.q_lineitem_unpivot,
+        "stratified_split": q.q_stratified_split,
+        "tfidf": q.q_tfidf,
+        "doc_chunks": q.q_doc_chunks,
+        "ivf_pruned": q.q_ivf_pruned,
+        "kg_degrees": q.q_kg_degrees,
+        "kg_pagerank": q.q_kg_pagerank,
+        # --- below here: outside the 50-query gate window ---
+        # driver-gated green in earlier rounds, plus rows-only entries:
         "join_multi": q.q_join_multi,
         "events_pctrank": q.q_events_pctrank,
         "events_asof_fwd": q.q_events_asof_fwd,
@@ -73,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": q.q_tpch_q6,
         "tpch_q10": q.q_tpch_q10,
         "tpch_q18": q.q_tpch_q18,
-        "lineitem_profile": q.q_lineitem_profile,
         "events_corr": q.q_events_corr,
         "user_paths": q.q_user_paths,
         "events_mode": q.q_events_mode,
@@ -109,65 +161,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": q.q_doc_logprob,
         "events_vrange": q.q_events_vrange,
         "collocations": q.q_collocations,
-        # --- below here: outside the 50-query gate window ---
-        # (added after the 50-slot window filled; check_oracle-verified)
-        "events_transitions": q.q_events_transitions,
-        "events_spikes": q.q_events_spikes,
-        "events_wquantiles": q.q_events_wquantiles,
-        "lineitem_skyline": q.q_lineitem_skyline,
-        "events_wquantiles_cont": q.q_events_wquantiles_cont,
-        "kg_linkpred": q.q_kg_linkpred,
-        "events_systematic": q.q_events_systematic,
-        "tpch_q12": q.q_tpch_q12,
-        "tpch_q21": q.q_tpch_q21,
-        "tpch_q9": q.q_tpch_q9,
-        "tpch_q11": q.q_tpch_q11,
-        "events_twa": q.q_events_twa,
-        "events_gapfill": q.q_events_gapfill,
-        "events_mad": q.q_events_mad,
-        "events_lift": q.q_events_lift,
-        "events_rollmed": q.q_events_rollmed,
-        "events_newusers": q.q_events_newusers,
-        "session_concurrency": q.q_session_concurrency,
-        "vocab_stats": q.q_vocab_stats,
-        "tpch_q2": q.q_tpch_q2,
-        "tpch_q16": q.q_tpch_q16,
-        "tpch_q20": q.q_tpch_q20,
-        "events_equidepth": q.q_events_equidepth,
-        "embed_centroids": q.q_embed_centroids,
-        "orders_rfm": q.q_orders_rfm,
-        "events_impute": q.q_events_impute,
-        "basket_rules": q.q_basket_rules,
-        "fk_audit": q.q_fk_audit,
-        "events_drift": q.q_events_drift,
-        "user_mobility": q.q_user_mobility,
-        "events_timeband": q.q_events_timeband,
-        "transcript_roles": q.q_transcript_roles,
-        "kg_relation_census": q.q_kg_relation_census,
-        # judge-replayed green in round 3 (never driver-gated):
-        "join_left": q.q_join_left,
-        "join_semi": q.q_join_semi,
-        "join_anti": q.q_join_anti,
-        "join_outer": q.q_join_outer,
-        "join_skew": q.q_join_skew,
-        "join_bloom": q.q_join_bloom,
-        "events_window": q.q_events_window,
-        "events_rank": q.q_events_rank,
-        "events_argmax": q.q_events_argmax,
-        "lineitem_unpivot": q.q_lineitem_unpivot,
-        "stratified_split": q.q_stratified_split,
-        "tfidf": q.q_tfidf,
-        "doc_chunks": q.q_doc_chunks,
         "knn": q.q_knn,
         "ivf_exact": q.q_ivf_exact,
-        "ivf_pruned": q.q_ivf_pruned,
         "entities": q.q_entities,
         "edges_sql": q.q_edges_sql,
         "alias_exact": q.q_alias_exact,
         "canon_sql": q.q_canon_sql,
-        "kg_degrees": q.q_kg_degrees,
-        "kg_pagerank": q.q_kg_pagerank,
-        # driver-gated green in earlier rounds, plus rows-only entries:
         "ivf_knn": q.q_ivf_knn,
         "kg_nodes": q.q_kg_nodes,
         "kg_edges": q.q_kg_edges,
@@ -936,28 +935,32 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls,
                      CAST(min(l_quantity) AS DOUBLE) AS min_v,
                      CAST(max(l_quantity) AS DOUBLE) AS max_v,
-                     CAST(avg(l_quantity) AS DOUBLE) AS avg_v
+                     CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 / count(l_quantity) AS avg_v
               FROM lineitem
               UNION ALL
               SELECT 'l_extendedprice' AS col, CAST(count(*) AS BIGINT) AS n,
                      CAST(count(*) - count(l_extendedprice) AS BIGINT) AS nulls,
                      CAST(min(l_extendedprice) AS DOUBLE) AS min_v,
                      CAST(max(l_extendedprice) AS DOUBLE) AS max_v,
-                     CAST(avg(l_extendedprice) AS DOUBLE) AS avg_v
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 / count(l_extendedprice) AS avg_v
               FROM lineitem
               UNION ALL
               SELECT 'l_discount' AS col, CAST(count(*) AS BIGINT) AS n,
                      CAST(count(*) - count(l_discount) AS BIGINT) AS nulls,
                      CAST(min(l_discount) AS DOUBLE) AS min_v,
                      CAST(max(l_discount) AS DOUBLE) AS max_v,
-                     CAST(avg(l_discount) AS DOUBLE) AS avg_v
+                     CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 / count(l_discount) AS avg_v
               FROM lineitem
               UNION ALL
               SELECT 'l_tax' AS col, CAST(count(*) AS BIGINT) AS n,
                      CAST(count(*) - count(l_tax) AS BIGINT) AS nulls,
                      CAST(min(l_tax) AS DOUBLE) AS min_v,
                      CAST(max(l_tax) AS DOUBLE) AS max_v,
-                     CAST(avg(l_tax) AS DOUBLE) AS avg_v
+                     CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 / count(l_tax) AS avg_v
               FROM lineitem)
             ORDER BY col
         """,

@@ -1140,14 +1140,23 @@ def grouped_regression(ds: rd.Dataset, key_cols: list[str], x_col: str,
     return bucketed_groupby(partials, key_cols, merge, buckets=buckets)
 
 
-def profile_numeric(ds: rd.Dataset, cols: list[str]) -> pd.DataFrame:
+def profile_numeric(ds: rd.Dataset, cols: list[str], *,
+                    exact_scale: int | None = 100) -> pd.DataFrame:
     """One-pass data-quality profile of numeric columns: per column the
     row count, null count, min, max and mean — the stats a lakehouse
     ingest gate checks before accepting a partition. Each block folds to
     ONE partial row per column (count/nulls/min/max/sum), the driver
-    merges <= cols x blocks rows; no shuffle. Mean is sum/n in float64
-    (the same division SQL ``avg`` performs); all-null columns report
-    NaN min/max/mean."""
+    merges <= cols x blocks rows; no shuffle.
+
+    With ``exact_scale`` set (default 100 — basis-point money columns),
+    per-block sums are exact int64 ``round(v * scale)`` partials and the
+    mean is ``(sum / scale) / n`` computed once on the driver — the mean
+    is then BIT-EXACT regardless of block order and matches a SQL oracle
+    written as ``sum(CAST(round(c*scale) AS BIGINT)) / scale /
+    count(c)``. Requires every value to be representable at that scale
+    (e.g. TPC-H 2-decimal measures); pass ``exact_scale=None`` for
+    arbitrary floats (blockwise float64 sums — last-ulp mean is then
+    merge-order-dependent). All-null columns report NaN min/max/mean."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1155,13 +1164,18 @@ def profile_numeric(ds: rd.Dataset, cols: list[str]) -> pd.DataFrame:
             v = df[c]
             nn = v.notna()
             vv = v[nn].to_numpy(np.float64)
+            if exact_scale is not None:
+                s = np.round(vv * exact_scale).astype(np.int64).sum() \
+                    if len(vv) else np.int64(0)
+            else:
+                s = vv.sum() if len(vv) else 0.0
             rows.append({
                 "col": c,
                 "n": np.int64(len(v)),
                 "nulls": np.int64((~nn).sum()),
                 "min_v": vv.min() if len(vv) else np.nan,
                 "max_v": vv.max() if len(vv) else np.nan,
-                "sum_v": vv.sum() if len(vv) else 0.0})
+                "sum_v": s})
         return pd.DataFrame(rows)
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -1170,10 +1184,12 @@ def profile_numeric(ds: rd.Dataset, cols: list[str]) -> pd.DataFrame:
         min_v=("min_v", "min"), max_v=("max_v", "max"),
         sum_v=("sum_v", "sum"))
     nonnull = (g["n"] - g["nulls"]).to_numpy(np.float64)
+    if exact_scale is not None:
+        tot = g["sum_v"].to_numpy(np.int64).astype(np.float64) / exact_scale
+    else:
+        tot = g["sum_v"].to_numpy(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
-        g["avg_v"] = np.where(nonnull > 0,
-                              g["sum_v"].to_numpy(np.float64) / nonnull,
-                              np.nan)
+        g["avg_v"] = np.where(nonnull > 0, tot / nonnull, np.nan)
     g = g.drop(columns=["sum_v"]).astype({"n": "int64", "nulls": "int64"})
     return g.sort_values("col", kind="mergesort").reset_index(drop=True)
 
@@ -1300,7 +1316,13 @@ def pmi_pairs(ds: rd.Dataset, group_col: str, item_col: str, *,
         c_a = df["la"].map(m).to_numpy(np.float64)
         c_b = df["lb"].map(m).to_numpy(np.float64)
         cabv = df["cab"].to_numpy(np.float64)
-        pmi = np.log(float(n_groups) * cabv / (c_a * c_b))
+        arg = float(n_groups) * cabv / (c_a * c_b)
+        # math.log (libm), not np.log: numpy's SIMD log differs from
+        # libm in the last ulp on ~20% of inputs, and DuckDB's ln IS
+        # libm — elementwise is fine here, the pair table is
+        # vocabulary-bounded
+        import math
+        pmi = np.array([math.log(v) for v in arg], dtype=np.float64)
         out = df.copy()
         out["cab"] = out["cab"].astype("int64")
         out["pmi"] = pmi

@@ -419,7 +419,10 @@ def hash_anti_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
 
 def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
                           hot_threshold: int = 100_000,
-                          buckets: int | None = None) -> rd.Dataset:
+                          buckets: int | None = None,
+                          broadcast_limit_rows: int = 5_000_000,
+                          broadcast_limit_bytes: int = 256 * 1024 * 1024,
+                          ) -> rd.Dataset:
     """Inner equi-join that survives a skewed key distribution — the
     hybrid plan every 100-TB fact-table join eventually needs: a single
     hash bucket owning a hot key's entire row set is the one failure mode
@@ -437,7 +440,9 @@ def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
        the hot key's rows never co-locate anywhere. This assumes the right
        side is dimension-shaped on those keys (bounded rows per key) — the
        assumption any skew mitigation that avoids pair blowup must make,
-       guarded by ``broadcast_limit_rows``. A key hot on BOTH sides has a
+       guarded by BOTH ``broadcast_limit_rows`` and
+       ``broadcast_limit_bytes`` (measured in the object store before any
+       driver materialization). A key hot on BOTH sides has a
        quadratic output by construction; it trips that guard and raises.
     3. Keys hot ONLY on the RIGHT (fact-shaped right, dimension-shaped
        left — the mirror case the round-3 audit found unhandled): the
@@ -452,7 +457,6 @@ def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
 
     from .agg import bucketed_groupby
 
-    broadcast_limit_rows = 5_000_000
 
     def key_counts(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -496,16 +500,23 @@ def skew_aware_inner_join(left: rd.Dataset, right: rd.Dataset, on: str, *,
 
     def guarded_collect(side: rd.Dataset, keys: set, name: str) -> pd.DataFrame:
         keys_ref = ray.put(keys)
-        rows = (side.map_batches(in_set(keys_ref, True),
-                                 batch_format="pandas").to_pandas())
-        if len(rows) > broadcast_limit_rows:
+        # materialize in the OBJECT STORE first and check rows AND bytes
+        # there, before anything lands in driver heap (the round-4 guard
+        # was row-count-only: 5M wide dimension rows could be multiple
+        # GiB on the driver before it tripped — `auto_inner_join`'s
+        # size_bytes() discipline, applied here)
+        mat = (side.map_batches(in_set(keys_ref, True),
+                                batch_format="pandas").materialize())
+        n, nbytes = mat.count(), mat.size_bytes()
+        if n > broadcast_limit_rows or nbytes > broadcast_limit_bytes:
             raise ValueError(
-                f"skew_aware_inner_join: {name} side has {len(rows)} rows on "
-                f"{len(keys)} hot keys (> {broadcast_limit_rows}); that side "
-                "is not dimension-shaped on the hot keys (a key hot on both "
-                "sides has an inherently quadratic join) — pre-aggregate it "
-                "or raise hot_threshold")
-        return rows
+                f"skew_aware_inner_join: {name} side has {n} rows / "
+                f"{nbytes} bytes on {len(keys)} hot keys (limits "
+                f"{broadcast_limit_rows} rows / {broadcast_limit_bytes} "
+                "bytes); that side is not dimension-shaped on the hot keys "
+                "(a key hot on both sides has an inherently quadratic join) "
+                "— pre-aggregate it or raise hot_threshold")
+        return mat.to_pandas()
 
     if hot_l:
         right_hot = guarded_collect(right, hot_l, "right")

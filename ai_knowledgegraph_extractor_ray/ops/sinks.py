@@ -123,10 +123,14 @@ def compact_parquet_dir(path: str, *, target_mb: int = 128,
     right-sized files; this rewrites ``path``'s parquet files into
     ~``target_mb``-sized ones.
 
-    In place (default): writes to ``{path}.compact-tmp`` and atomically
-    swaps directories only after the rewritten row count matches, so a
-    crash mid-compaction leaves the original intact (the same
-    write-then-commit discipline as the lineage manifests). Returns
+    In place (default): writes to ``{path}.compact-tmp`` and swaps
+    directories only after the rewritten row count matches. The swap is
+    TWO renames, not one atomic op: a crash between them leaves ``path``
+    absent with the intact original at ``{path}.compact-old`` — recovery
+    is ``mv {path}.compact-old {path}``. Any non-parquet sidecar files
+    (manifests, _SUCCESS markers) are copied into the rewrite before the
+    swap so they survive; subdirectories (nested Hive partitions) are
+    refused — compact each leaf value directory instead. Returns
     ``{files_before, files_after, rows, bytes}``.
 
     Hive-partitioned layouts: run per value directory (the caller loops
@@ -134,7 +138,14 @@ def compact_parquet_dir(path: str, *, target_mb: int = 128,
     import os
     import shutil
 
-    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+    entries = sorted(os.listdir(path))
+    subdirs = [f for f in entries if os.path.isdir(os.path.join(path, f))]
+    if subdirs:
+        raise ValueError(
+            f"compact_parquet_dir: {path} contains subdirectories "
+            f"{subdirs[:3]} — compact each leaf partition directory")
+    sidecars = [f for f in entries if not f.endswith(".parquet")]
+    files = [os.path.join(path, f) for f in entries
              if f.endswith(".parquet")]
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
@@ -147,7 +158,11 @@ def compact_parquet_dir(path: str, *, target_mb: int = 128,
     shutil.rmtree(tmp, ignore_errors=True)
     ds.repartition(n_out).write_parquet(tmp)
 
-    rows_after = rd.read_parquet(tmp).count()
+    for f in sidecars:                 # manifests etc. survive the swap
+        shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+    rows_after = rd.read_parquet(
+        [os.path.join(tmp, f) for f in os.listdir(tmp)
+         if f.endswith(".parquet")]).count()
     if rows_after != rows_before:      # never swap a bad rewrite in
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(

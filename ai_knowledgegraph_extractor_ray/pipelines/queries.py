@@ -3757,8 +3757,16 @@ def q_events_gapfill(sf_dir: str) -> rd.Dataset:
             np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
         g_h = np.repeat(spans["h0"].to_numpy(np.int64), counts) + offs
         # forward fill: predecessor row in `last` under the composite
-        # (user, hour) order; epoch-hours < 2**20 for any sane timestamp
-        # horizon, so the packed key is collision-free
+        # (user, hour) order. Packed key requires 0 <= epoch-hour < 2**20
+        # (1970..~2089) and user_id >= 0 — out-of-range input would break
+        # key monotonicity and silently corrupt the searchsorted fill, so
+        # fail loudly instead.
+        if len(h) and not (h.min() >= 0 and h.max() < (1 << 20)
+                           and uid.min() >= 0):
+            raise ValueError(
+                "gapfill packed key out of range: need 0 <= epoch-hour "
+                f"< 2**20 and user_id >= 0 (got h in [{h.min()}, "
+                f"{h.max()}], uid.min()={uid.min()})")
         key_last = (uid << np.int64(20)) | h
         key_grid = (g_uid << np.int64(20)) | g_h
         idx = np.searchsorted(key_last, key_grid, side="right") - 1
@@ -4832,7 +4840,10 @@ def q_events_timeband(sf_dir: str) -> rd.Dataset:
         t0 = min(ct.min(), et.min())
         stride = (max(ct.max(), et.max()) - t0) + TIMEBAND_US + 1
         uniq = np.unique(np.concatenate([cu, eu]))
-        if len(uniq) * stride >= np.iinfo(np.int64).max:
+        # check in Python ints — a numpy int64 product silently wraps
+        # (4M users x a month-long stride goes negative), which would
+        # let wrapped packed keys produce wrong join pairs
+        if len(uniq) * int(stride) >= 2**63:
             raise OverflowError(
                 "time-band key space exceeds int64: shrink the bucket "
                 "(more exchange partitions) or the time span")

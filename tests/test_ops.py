@@ -1421,6 +1421,50 @@ def test_skew_aware_join_matches_plain_and_splits():
     pd.testing.assert_frame_equal(got2, want)
 
 
+def test_skew_aware_join_broadcast_byte_guard():
+    """Wide (>=1 KB) dimension rows trip the byte bound even when the row
+    count is tiny; narrow rows under both bounds still broadcast
+    (round-4 VERDICT #4: the guard must be byte-based, measured in the
+    object store before driver materialization)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.joins import (
+        hash_inner_join,
+        skew_aware_inner_join,
+    )
+
+    rng = np.random.RandomState(11)
+    keys = np.where(rng.rand(1000) < 0.8, 3,
+                    rng.randint(0, 20, 1000)).astype("int64")
+    left = pd.DataFrame({"k": keys, "lv": np.arange(1000, dtype="int64")})
+    wide = pd.DataFrame({"k": np.arange(0, 20, dtype="int64"),
+                         "payload": ["x" * 65536] * 20})
+    with pytest.raises(ValueError, match="bytes"):
+        skew_aware_inner_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(wide).repartition(2), "k",
+            hot_threshold=100,
+            broadcast_limit_bytes=8 * 1024).to_pandas()
+    # narrow rows under both bounds: plan succeeds and matches plain join
+    narrow = pd.DataFrame({"k": np.arange(0, 20, dtype="int64"),
+                           "rv": np.arange(0, 20, dtype="int64")})
+    got = skew_aware_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(narrow).repartition(2), "k",
+        hot_threshold=100,
+        broadcast_limit_bytes=8 * 1024).to_pandas()
+    want = hash_inner_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(narrow).repartition(2), "k").to_pandas()
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True))
+
+
 def test_window_rank_dense_ntile_match_duckdb():
     import duckdb
     import numpy as np

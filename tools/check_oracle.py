@@ -46,7 +46,23 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         if av.dtype.kind != bv.dtype.kind and {av.dtype.kind, bv.dtype.kind} <= {"f", "i", "u"}:
             return f"DTYPE col={c}: ray={av.dtype} sql={bv.dtype}"
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+            # Driver-precision: the gate hashes values bit-exactly, so a
+            # last-ulp mean drift IS a failure (the round-4 default
+            # rtol=1e-5 masked exactly that in lineitem_profile). Require
+            # bit equality (NaN==NaN); report the drift magnitude so a
+            # genuine ulp-level miss is distinguishable from a wrong
+            # algorithm.
+            af, bf = av.astype(float), bv.astype(float)
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            ok = bool(eq.all())
+            if not ok:
+                d = np.abs(af - bf)
+                d = d[~np.isnan(d)]
+                mx = float(d.max()) if len(d) else float("nan")
+                bad = np.nonzero(~eq)[0][:3]
+                detail = "; ".join(
+                    f"[{i}] ray={af[i]!r} sql={bf[i]!r}" for i in bad)
+                return f"VALUES col={c} (maxabs={mx:.3e}): {detail}"
         else:
             ok = (av == bv).all()
         if not ok:
