@@ -369,6 +369,33 @@ def read_edges(out_dir: str, version: int) -> rd.Dataset:
     return rd.read_parquet(_committed_files(out_dir, version, "edges.parquet"))
 
 
+def read_convs(out_dir: str, version: int,
+               columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(_committed_files(out_dir, version, "convs.parquet"),
+                           columns=columns)
+
+
+def read_versions_harmonized(out_dir: str, versions: list[int],
+                             table: str = "edges") -> rd.Dataset:
+    """Union several committed versions of one graph table under ONE
+    read schema, even when the versions were written by different engine
+    versions with different schemas (schema-on-read: missing columns
+    become typed nulls, numeric columns widen — state/schema_evo.py, the
+    lake analogue of the reference's Alembic migration
+    alembic/versions/60875d8d58f2). ``table`` is ``nodes``/``edges``/
+    ``convs``; each row keeps its ``version`` column for provenance."""
+    from ..state import schema_evo
+
+    groups = [_committed_files(out_dir, v, f"{table}.parquet")
+              for v in versions]
+    empty = [v for v, g in zip(versions, groups) if not g]
+    if empty:
+        raise FileNotFoundError(
+            f"read_versions_harmonized: no committed partitions for "
+            f"version(s) {empty} under {out_dir}")
+    return schema_evo.read_harmonized(groups)
+
+
 def run_canonicalize_job(out_dir: str, cfg: KGConfig,
                          link=None, use_embed_scorer: bool = True,
                          resume: bool = True) -> dict:

@@ -26,6 +26,9 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+from . import schema_evo
 
 
 def version_dir(out_dir: str, version: int) -> Path:
@@ -100,6 +103,17 @@ def write_partition(group: pd.DataFrame, out_dir: str, version: int,
         # num_partitions / window_chars / backend — a fingerprint match
         # under a different layout or extractor would be meaningless)
         "config_sig": config_sig,
+        # per-table schema signatures (state/schema_evo.py): lets readers
+        # and audits detect mixed-schema version ranges from manifests
+        # alone — the lake's Alembic-revision analogue
+        "schema_sig": {
+            "nodes": schema_evo.schema_sig(
+                pa.Schema.from_pandas(nodes, preserve_index=False)),
+            "edges": schema_evo.schema_sig(
+                pa.Schema.from_pandas(edges, preserve_index=False)),
+            "convs": schema_evo.schema_sig(
+                pa.Schema.from_pandas(convs, preserve_index=False)),
+        },
     }
     mpath = manifest_path(out_dir, version, pid)
     mpath.parent.mkdir(parents=True, exist_ok=True)
