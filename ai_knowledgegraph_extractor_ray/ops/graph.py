@@ -5,11 +5,12 @@ its NODE set is vocabulary-sized — the same boundedness the alias
 broadcast already relies on (stages/canonicalize.py) — so per-node state
 (degrees during reduce, the PageRank vector between iterations) may live
 driver-side and broadcast, while every edge pass stays distributed. For
-graphs whose node set itself exceeds driver memory, the same iteration
-body runs with vertex state as a second keyed Dataset joined through the
-exchange instead of a broadcast — the documented scale path, not built
-here because the KG's entity vocabulary is the bounded side by
-construction.
+graphs whose node set itself exceeds driver memory,
+``pagerank_distributed`` (round 5) runs the same recurrence with rank
+state EXCHANGE-PARTITIONED: edges bucketed once by src hash, state
+co-bucketed by node hash, per-iteration traffic limited to contribution
+partials — ``pagerank(max_driver_nodes=...)`` dispatches between the two
+automatically.
 """
 
 from __future__ import annotations
@@ -57,7 +58,8 @@ def degree_table(edges: rd.Dataset, *, src_col: str = "canonical_src",
 def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
              dst_col: str = "canonical_dst", weight_col: str | None = "weight",
              damping: float = 0.85, iters: int = 3,
-             buckets: int | None = None) -> pd.DataFrame:
+             buckets: int | None = None,
+             max_driver_nodes: int = 2_000_000) -> pd.DataFrame:
     """Weighted PageRank, per-node-1 formulation (no 1/N scaling):
 
         r_{t+1}(v) = (1 - d) + d * sum_{u->v} w(u,v) / W_out(u) * r_t(u)
@@ -65,8 +67,10 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
     Dangling mass is not redistributed (the simplified variant — fully
     deterministic, SQL-expressible for the oracle). Iteration state is the
     node-vocabulary-sized rank vector (driver + broadcast, see module
-    docstring); every per-iteration contribution pass is a distributed
-    edge scan reduced through one bucketed shuffle. Deliberately NOT an
+    docstring) UP TO ``max_driver_nodes`` distinct nodes; beyond that the
+    call dispatches to ``pagerank_distributed`` (exchange-partitioned
+    rank state, same recurrence). Every per-iteration contribution pass
+    is a distributed edge scan reduced through one bucketed shuffle. Deliberately NOT an
     all-Dataset loop: iterative Dataset-only loops degrade per round on
     this Ray version (see ops/cc.py and the round-1 notes); driver-held
     iteration state is both faster and the broadcast is needed anyway.
@@ -79,8 +83,21 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
     # one execution for the degree pass AND every iteration's edge scan —
     # the input is often an expensive lazy pipeline (canonicalization)
     edges = edges.materialize()
-    deg = degree_table(edges, src_col=src_col, dst_col=dst_col,
-                       weight_col=weight_col, buckets=buckets).to_pandas()
+    deg_ds = degree_table(edges, src_col=src_col, dst_col=dst_col,
+                          weight_col=weight_col, buckets=buckets).materialize()
+    if deg_ds.count() > max_driver_nodes:
+        # node vocabulary outgrew driver-held iteration state: run the
+        # exchange-partitioned loop (rank state never on the driver) and
+        # only the FINAL (node, rank) result collects — callers at true
+        # web scale should use pagerank_distributed directly and write
+        # the Dataset out instead
+        out = pagerank_distributed(
+            edges, src_col=src_col, dst_col=dst_col, weight_col=weight_col,
+            damping=damping, iters=iters).to_pandas()
+        out["node"] = out["node"].astype("string")
+        return (out.sort_values("node", kind="mergesort")
+                .reset_index(drop=True))
+    deg = deg_ds.to_pandas()
     if len(deg) == 0:
         return pd.DataFrame({"node": pd.Series(dtype="string"),
                              "rank": pd.Series(dtype="float64")})
@@ -117,6 +134,144 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
                         "rank": pd.Series(list(ranks.values()),
                                           dtype="float64")})
     return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
+def _pr_bucket_tables(ds: rd.Dataset, key: str, P: int) -> dict[int, object]:
+    """Hash-bucket a dataset's rows into P object-store Arrow tables keyed
+    by ``crc32(key) % P``. Returns {pid: ObjectRef[pa.Table]} for
+    non-empty partitions; nothing lands on the driver but the refs."""
+    import ray
+
+    from .exchange import hash_exchange
+
+    def keep(pid, tbl):
+        import pyarrow as pa
+        t = tbl if isinstance(tbl, pa.Table) else pa.Table.from_pandas(
+            tbl, preserve_index=False)
+        t = t.drop_columns([c for c in ("partition_id",)
+                            if c in t.column_names])
+        return (pid, ray.put(t)) if len(t) else None
+
+    return dict(hash_exchange(ds, P, keep, key=key))
+
+
+def pagerank_distributed(edges: rd.Dataset, *,
+                         src_col: str = "canonical_src",
+                         dst_col: str = "canonical_dst",
+                         weight_col: str | None = "weight",
+                         damping: float = 0.85, iters: int = 3,
+                         num_partitions: int | None = None) -> rd.Dataset:
+    """PageRank with EXCHANGE-PARTITIONED rank state — the web-scale
+    variant of ``pagerank`` (same per-node-1 recurrence, same no-dangling
+    semantics): the rank vector never exists on the driver or in any one
+    task; it lives as P hash-bucketed Arrow tables in the object store,
+    co-partitioned with the edges.
+
+    Shuffle shape (the part that matters at 10^9+ nodes):
+
+    * edges are bucketed ONCE by ``crc32(src) % P`` (one all-to-all for
+      the whole run, not per iteration);
+    * state is bucketed by ``crc32(node) % P`` — the SAME hash, so each
+      iteration's rank lookup is a partition-LOCAL join (task p reads
+      exactly edge bucket p + state bucket p);
+    * per iteration only CONTRIBUTION PARTIALS move: each join task
+      partial-sums by dst and returns P zero-copy slices keyed by
+      ``crc32(dst) % P``; each update task folds its slices into its
+      state bucket. Per-iteration traffic is bounded by (distinct dst per
+      bucket) x P partials, never raw edges, never the full rank vector.
+
+    Returns a Dataset (node, rank) — write it to parquet; don't collect
+    it. For vocabulary-sized graphs ``pagerank`` (driver-state loop) is
+    faster: fewer waves, no per-iteration task launch overhead."""
+    import pyarrow as pa
+    import ray
+
+    from .hashing import crc32_column
+
+    edges = edges.materialize()
+    deg = degree_table(edges, src_col=src_col, dst_col=dst_col,
+                       weight_col=weight_col).materialize()
+    if num_partitions is None:
+        # size from the bigger of the two partitioned sides: edge buckets
+        # ~256 MB (scanned once per iteration), state buckets ~64 MB
+        # (resident + merged per iteration). The P x P slice fan-out is
+        # quadratic in P, so undersizing beats oversizing (measured: 1M
+        # nodes / 3M edges runs 10.4s at P=32 vs 38s at P=128).
+        num_partitions = max(8,
+                             edges.size_bytes() // (256 << 20),
+                             deg.size_bytes() // (64 << 20))
+    P = min(int(num_partitions), 512)
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edge_parts = _pr_bucket_tables(edges.select_columns(cols), src_col, P)
+
+    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"].astype("string"),
+            "rank": np.float64(1.0),
+            "out_w": df["out_weight"].astype("float64")})
+
+    state_parts = _pr_bucket_tables(
+        deg.select_columns(["node", "out_weight"])
+           .map_batches(init_state, batch_format="pandas"), "node", P)
+    if not state_parts:
+        import ray.data as rdm
+        return rdm.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                        "rank": pa.array([], pa.float64())}))
+
+    @ray.remote
+    def contrib(edges_t: pa.Table, state_t: pa.Table):
+        e = edges_t.to_pandas()
+        s = state_t.to_pandas().rename(columns={"node": src_col})
+        # vectorized hash join, not a Python-dict .map — the per-bucket
+        # hot loop at 10^7+ edges
+        e = e.merge(s, on=src_col, how="left")
+        w = (e[weight_col].to_numpy(np.float64) if weight_col
+             else np.ones(len(e)))
+        ow = e["out_w"].to_numpy(np.float64)
+        r = e["rank"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = np.where(ow > 0, w * r / ow, 0.0)
+        part = (pd.DataFrame({"node": e[dst_col], "c": c})
+                .groupby("node", as_index=False).sum())
+        t = pa.Table.from_pandas(part, preserve_index=False)
+        pid = crc32_column(t.column("node")) % P
+        order = np.argsort(pid, kind="stable")
+        t = t.take(order)
+        pid = pid[order]
+        bounds = np.searchsorted(pid, np.arange(P + 1))
+        return tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                     for i in range(P))
+
+    @ray.remote
+    def update(state_t: pa.Table, *slices: pa.Table) -> pa.Table:
+        s = state_t.to_pandas()
+        inc = (pd.concat([t.to_pandas() for t in slices],
+                         ignore_index=True)
+               .groupby("node", as_index=False)["c"].sum()
+               if slices else pd.DataFrame({"node": pd.Series(dtype=object),
+                                            "c": pd.Series(dtype=float)}))
+        s = s.drop(columns=["rank"]).merge(inc, on="node", how="left")
+        s["rank"] = ((1.0 - damping)
+                     + damping * s.pop("c").fillna(0.0).to_numpy(np.float64))
+        return pa.Table.from_pandas(s[["node", "rank", "out_w"]],
+                                    preserve_index=False)
+
+    for _ in range(iters):
+        slice_refs: dict[int, list] = {p: [] for p in state_parts}
+        for p, eref in edge_parts.items():
+            if p not in state_parts:
+                continue  # impossible by construction (every src has state)
+            outs = contrib.options(num_returns=P).remote(
+                eref, state_parts[p])
+            for q, ref in enumerate(outs):
+                if q in slice_refs:
+                    slice_refs[q].append(ref)
+        state_parts = {p: update.remote(state_parts[p], *slice_refs[p])
+                       for p in state_parts}
+
+    import ray.data as rdm
+    out = rdm.from_arrow_refs(list(state_parts.values()))
+    return out.select_columns(["node", "rank"])
 
 
 def components_table(edges: rd.Dataset, *, src_col: str = "canonical_src",

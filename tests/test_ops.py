@@ -1115,6 +1115,51 @@ def test_graph_degrees_and_pagerank():
         assert abs(ranks[n] - ref[n]) < 1e-9, n
 
 
+def test_pagerank_distributed_matches_driver_state_path():
+    """The exchange-partitioned rank loop (rank state never driver-held)
+    computes the same recurrence as the driver-state loop; the
+    max_driver_nodes dispatch routes through it transparently."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_knowledgegraph_extractor_ray.ops.graph import (
+        pagerank,
+        pagerank_distributed,
+    )
+
+    rng = np.random.RandomState(5)
+    n_nodes = 80
+    nodes = [f"v{i:03d}" for i in range(n_nodes)]
+    edges = pd.DataFrame({
+        "canonical_src": [nodes[i] for i in rng.randint(0, n_nodes, 600)],
+        "canonical_dst": [nodes[i] for i in rng.randint(0, n_nodes, 600)],
+        "weight": rng.randint(1, 5, 600).astype("int64")})
+    ds = rd.from_pandas(edges).repartition(5)
+
+    want = pagerank(ds, iters=4)
+    got = (pagerank_distributed(ds, iters=4, num_partitions=7)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert list(got["node"]) == list(want["node"])
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=0, atol=1e-12)
+
+    # dispatch: tiny max_driver_nodes forces the distributed path inside
+    # pagerank() itself; result identical shape and values
+    auto = pagerank(ds, iters=4, max_driver_nodes=10)
+    np.testing.assert_allclose(auto["rank"], want["rank"], rtol=0,
+                               atol=1e-12)
+
+    # dangling nodes (no out-edges) still receive rank
+    e2 = pd.DataFrame({"canonical_src": ["a", "b"],
+                       "canonical_dst": ["sink", "sink"],
+                       "weight": [1, 1]})
+    r2 = (pagerank_distributed(rd.from_pandas(e2), iters=2,
+                               num_partitions=3).to_pandas())
+    assert set(r2["node"]) == {"a", "b", "sink"}
+    sink = float(r2.loc[r2["node"] == "sink", "rank"].iloc[0])
+    assert sink > float(r2.loc[r2["node"] == "a", "rank"].iloc[0])
+
+
 def test_review_regressions_round3():
     """Pins for the round-3 code-review findings."""
     import numpy as np
