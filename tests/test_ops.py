@@ -3901,6 +3901,54 @@ def test_compact_parquet_dir_roundtrip(tmp_path):
     assert not os.path.exists(str(d) + ".compact-tmp")
 
 
+def test_compact_parquet_dir_sidecars_and_subdir_refusal(tmp_path):
+    """Round-5 ADVICE pins: non-parquet sidecar files (manifests) survive
+    the in-place swap; nested partition directories are refused."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from ai_knowledgegraph_extractor_ray.ops.sinks import (
+        compact_parquet_dir,
+    )
+
+    d = tmp_path / "frag"
+    d.mkdir()
+    for i in range(4):
+        pd.DataFrame({"k": np.arange(5, dtype="int64")}).to_parquet(
+            d / f"part-{i:04d}.parquet")
+    (d / "_manifest.json").write_text('{"rows": 20}')
+    stats = compact_parquet_dir(str(d), target_mb=128)
+    assert stats["rows"] == 20
+    assert (d / "_manifest.json").read_text() == '{"rows": 20}'
+
+    nested = tmp_path / "hive"
+    (nested / "lang=en").mkdir(parents=True)
+    pd.DataFrame({"k": [1]}).to_parquet(nested / "top.parquet")
+    with pytest.raises(ValueError, match="subdirectories"):
+        compact_parquet_dir(str(nested), target_mb=128)
+
+
+def test_gapfill_packed_key_guard(tmp_path):
+    """Round-5 ADVICE pin: packed-key precondition violations (negative
+    user_id here — epoch-hour >= 2**20 cannot even pass the cents prep)
+    fail loudly instead of silently corrupting the forward fill."""
+    import pandas as pd
+    import pytest
+
+    from ai_knowledgegraph_extractor_ray.pipelines import queries as q
+
+    ts0 = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame({
+        "event_id": [1, 2], "user_id": [-5, -5],
+        "ts": [ts0, ts0 + pd.Timedelta(hours=3)],
+        "value": [1.0, 2.0]})
+    df.to_parquet(tmp_path / "events.parquet")
+    with pytest.raises(Exception, match="packed key out of range"):
+        res = q.q_events_gapfill(str(tmp_path))
+        res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
 def test_events_timeband_matches_duckdb(tmp_path):
     import duckdb
     import numpy as np
