@@ -383,11 +383,21 @@ def read_versions_harmonized(out_dir: str, versions: list[int],
     become typed nulls, numeric columns widen — state/schema_evo.py, the
     lake analogue of the reference's Alembic migration
     alembic/versions/60875d8d58f2). ``table`` is ``nodes``/``edges``/
-    ``convs``; each row keeps its ``version`` column for provenance."""
+    ``convs`` (phase-1 partition tables) or ``aliases``/
+    ``canonical_nodes``/``canonical_edges`` (phase-2 canonical dirs);
+    each row keeps its ``version`` column for provenance."""
+    import glob
+
     from ..state import schema_evo
 
-    groups = [_committed_files(out_dir, v, f"{table}.parquet")
-              for v in versions]
+    canonical = {"aliases", "canonical_nodes", "canonical_edges"}
+    if table in canonical:
+        groups = [sorted(glob.glob(str(
+            lineage.version_dir(out_dir, v) / "canonical" / table
+            / "*.parquet"))) for v in versions]
+    else:
+        groups = [_committed_files(out_dir, v, f"{table}.parquet")
+                  for v in versions]
     empty = [v for v, g in zip(versions, groups) if not g]
     if empty:
         raise FileNotFoundError(

@@ -87,6 +87,30 @@ def test_read_versions_harmonized_mixed_schema_lake(tmp_path, ray_session):
         kg.read_versions_harmonized(out, [1, 9], "edges")
 
 
+def test_read_versions_harmonized_canonical_tables(tmp_path, ray_session):
+    """Phase-2 canonical dirs harmonize across versions too: a v2 engine
+    that added a ``confidence`` column to canonical_edges unions with v1
+    output under one schema."""
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.state import lineage
+
+    out = str(tmp_path / "lake")
+    for v, extra in ((1, {}), (2, {"confidence": [0.5]})):
+        cdir = lineage.version_dir(out, v) / "canonical" / "canonical_edges"
+        cdir.mkdir(parents=True)
+        pd.DataFrame({
+            "canonical_src": [f"e_v{v}"], "pred": ["works_at"],
+            "canonical_dst": ["e_x"], "weight": [1],
+            "version": [v], **extra}).to_parquet(cdir / "part.parquet")
+
+    got = (kg.read_versions_harmonized(out, [1, 2], "canonical_edges")
+           .to_pandas().sort_values("version").reset_index(drop=True))
+    assert len(got) == 2
+    assert got["confidence"].isna().tolist() == [True, False]
+    with pytest.raises(FileNotFoundError, match="version"):
+        kg.read_versions_harmonized(out, [3], "canonical_edges")
+
+
 def test_partition_manifest_carries_schema_sig(tmp_path):
     """Every partition commit records per-table schema signatures so a
     mixed-schema version range is detectable from manifests alone."""
