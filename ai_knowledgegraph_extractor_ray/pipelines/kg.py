@@ -406,6 +406,34 @@ def read_versions_harmonized(out_dir: str, versions: list[int],
     return schema_evo.read_harmonized(groups)
 
 
+def schema_report(out_dir: str) -> pd.DataFrame:
+    """Per-version, per-table schema signatures from the lineage
+    manifests ALONE (no data file opened): the audit a reader runs before
+    unioning versions to know whether ``read_versions_harmonized`` is
+    needed. One row per (version, table, schema_sig) with the partition
+    count carrying that sig; a version+table appearing with >1 sig means
+    even its own partitions are mixed (a mid-job engine upgrade).
+    Pre-round-5 manifests lack ``schema_sig`` and report ``<unrecorded>``."""
+    rows = []
+    for vm in list_versions(out_dir):
+        v = vm["version"]
+        for pid, m in lineage.committed_partitions(out_dir, v).items():
+            sigs = m.get("schema_sig") or {}
+            for table in ("nodes", "edges", "convs"):
+                rows.append({"version": v, "table": table,
+                             "schema_sig": sigs.get(table, "<unrecorded>")})
+    if not rows:
+        return pd.DataFrame({"version": pd.Series(dtype="int64"),
+                             "table": pd.Series(dtype="object"),
+                             "schema_sig": pd.Series(dtype="object"),
+                             "n_partitions": pd.Series(dtype="int64")})
+    df = (pd.DataFrame(rows)
+          .groupby(["version", "table", "schema_sig"], as_index=False)
+          .size().rename(columns={"size": "n_partitions"}))
+    return df.sort_values(["version", "table", "schema_sig"],
+                          kind="mergesort").reset_index(drop=True)
+
+
 def run_canonicalize_job(out_dir: str, cfg: KGConfig,
                          link=None, use_embed_scorer: bool = True,
                          resume: bool = True) -> dict:

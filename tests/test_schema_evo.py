@@ -111,6 +111,26 @@ def test_read_versions_harmonized_canonical_tables(tmp_path, ray_session):
         kg.read_versions_harmonized(out, [3], "canonical_edges")
 
 
+def test_schema_report_from_manifests(tmp_path, ray_session):
+    """schema_report reads only manifests: one (version, table, sig) row
+    per distinct signature with its partition count — mixed-schema ranges
+    are visible without opening a data file."""
+    from ai_knowledgegraph_extractor_ray.config import KGConfig
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+
+    out = str(tmp_path / "lake")
+    ts = src.synthetic_transcripts(n_convs=12, seed=9)
+    kg.run_kg_job(ts, KGConfig(num_partitions=3, extract_concurrency=2),
+                  out, resume=False)
+    rep = kg.schema_report(out)
+    assert set(rep["table"]) == {"nodes", "edges", "convs"}
+    # uniform engine version: exactly one sig per table, all 3 partitions
+    assert len(rep) == 3
+    assert (rep["n_partitions"] == 3).all()
+    assert (rep["schema_sig"] != "<unrecorded>").all()
+
+
 def test_partition_manifest_carries_schema_sig(tmp_path):
     """Every partition commit records per-table schema signatures so a
     mixed-schema version range is detectable from manifests alone."""
