@@ -139,7 +139,11 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
 def _pr_bucket_tables(ds: rd.Dataset, key: str, P: int) -> dict[int, object]:
     """Hash-bucket a dataset's rows into P object-store Arrow tables keyed
     by ``crc32(key) % P``. Returns {pid: ObjectRef[pa.Table]} for
-    non-empty partitions; nothing lands on the driver but the refs."""
+    non-empty partitions; nothing lands on the driver but the refs.
+    Ownership note: each table is ``ray.put`` from inside its reduce
+    task, so the owning worker process must outlive the refs — true for
+    a driver-scoped iteration loop (this module's only caller), not for
+    refs persisted past the session."""
     import ray
 
     from .exchange import hash_exchange

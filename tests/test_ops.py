@@ -1159,6 +1159,14 @@ def test_pagerank_distributed_matches_driver_state_path():
     sink = float(r2.loc[r2["node"] == "sink", "rank"].iloc[0])
     assert sink > float(r2.loc[r2["node"] == "a", "rank"].iloc[0])
 
+    # empty edge set -> empty typed (node, rank) dataset, not a crash
+    empty = pd.DataFrame({"canonical_src": pd.Series(dtype=object),
+                          "canonical_dst": pd.Series(dtype=object),
+                          "weight": pd.Series(dtype="int64")})
+    r3 = pagerank_distributed(rd.from_pandas(empty), iters=2)
+    assert r3.count() == 0
+    assert set(r3.schema().names) == {"node", "rank"}
+
 
 def test_review_regressions_round3():
     """Pins for the round-3 code-review findings."""
