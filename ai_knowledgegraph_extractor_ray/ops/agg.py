@@ -1141,22 +1141,24 @@ def grouped_regression(ds: rd.Dataset, key_cols: list[str], x_col: str,
 
 
 def profile_numeric(ds: rd.Dataset, cols: list[str], *,
-                    exact_scale: int | None = 100) -> pd.DataFrame:
+                    exact_scale: int | None = None) -> pd.DataFrame:
     """One-pass data-quality profile of numeric columns: per column the
     row count, null count, min, max and mean — the stats a lakehouse
     ingest gate checks before accepting a partition. Each block folds to
     ONE partial row per column (count/nulls/min/max/sum), the driver
     merges <= cols x blocks rows; no shuffle.
 
-    With ``exact_scale`` set (default 100 — basis-point money columns),
-    per-block sums are exact int64 ``round(v * scale)`` partials and the
-    mean is ``(sum / scale) / n`` computed once on the driver — the mean
-    is then BIT-EXACT regardless of block order and matches a SQL oracle
-    written as ``sum(CAST(round(c*scale) AS BIGINT)) / scale /
-    count(c)``. Requires every value to be representable at that scale
-    (e.g. TPC-H 2-decimal measures); pass ``exact_scale=None`` for
-    arbitrary floats (blockwise float64 sums — last-ulp mean is then
-    merge-order-dependent). All-null columns report NaN min/max/mean."""
+    With ``exact_scale`` set (an EXPLICIT opt-in — e.g. 100 for
+    2-decimal money columns), per-block sums are exact int64
+    ``round(v * scale)`` partials and the mean is ``(sum / scale) / n``
+    computed once on the driver — the mean is then BIT-EXACT regardless
+    of block order and matches a SQL oracle written as
+    ``sum(CAST(round(c*scale) AS BIGINT)) / scale / count(c)``. The
+    CALLER owns representability: every value must be exact at that
+    scale and |v|*scale must fit int64 — tiny values round to 0 and
+    huge ones would wrap, which is why the generic default is ``None``
+    (blockwise float64 sums; last-ulp mean is merge-order-dependent).
+    All-null columns report NaN min/max/mean."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -85,15 +85,22 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
     edges = edges.materialize()
     deg_ds = degree_table(edges, src_col=src_col, dst_col=dst_col,
                           weight_col=weight_col, buckets=buckets).materialize()
-    if deg_ds.count() > max_driver_nodes:
+    n_nodes = deg_ds.count()
+    if n_nodes > max_driver_nodes:
         # node vocabulary outgrew driver-held iteration state: run the
-        # exchange-partitioned loop (rank state never on the driver) and
-        # only the FINAL (node, rank) result collects — callers at true
-        # web scale should use pagerank_distributed directly and write
-        # the Dataset out instead
+        # exchange-partitioned loop (rank state never on the driver).
+        # The FINAL (node, rank) result still collects to the returned
+        # DataFrame — bounded at 10x max_driver_nodes; beyond that this
+        # API's return type is itself the problem and the caller must
+        # use pagerank_distributed directly and write the Dataset out.
+        if n_nodes > 10 * max_driver_nodes:
+            raise ValueError(
+                f"pagerank: {n_nodes} nodes exceeds the DataFrame-return "
+                f"bound ({10 * max_driver_nodes}); call "
+                "pagerank_distributed(...) and write_parquet the result")
         out = pagerank_distributed(
             edges, src_col=src_col, dst_col=dst_col, weight_col=weight_col,
-            damping=damping, iters=iters).to_pandas()
+            damping=damping, iters=iters, deg=deg_ds).to_pandas()
         out["node"] = out["node"].astype("string")
         return (out.sort_values("node", kind="mergesort")
                 .reset_index(drop=True))
@@ -138,25 +145,58 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "canonical_src",
 
 def _pr_bucket_tables(ds: rd.Dataset, key: str, P: int) -> dict[int, object]:
     """Hash-bucket a dataset's rows into P object-store Arrow tables keyed
-    by ``crc32(key) % P``. Returns {pid: ObjectRef[pa.Table]} for
-    non-empty partitions; nothing lands on the driver but the refs.
-    Ownership note: each table is ``ray.put`` from inside its reduce
-    task, so the owning worker process must outlive the refs — true for
-    a driver-scoped iteration loop (this module's only caller), not for
-    refs persisted past the session."""
+    by ``crc32(key) % P``. Returns {pid: ObjectRef[pa.Table]} for ALL P
+    partitions (empty buckets are schema-typed empty tables); nothing
+    lands on the driver but the refs.
+
+    Every ref is a TASK RETURN of a task launched from the driver — the
+    driver owns them and Ray can lineage-reconstruct a lost bucket — not
+    a worker-side ``ray.put`` (whose object dies unrecoverably with its
+    owning worker: the failure mode a many-iteration run on a real
+    cluster would eventually hit)."""
+    import pyarrow as pa
     import ray
 
-    from .exchange import hash_exchange
+    from .hashing import crc32_column
 
-    def keep(pid, tbl):
-        import pyarrow as pa
-        t = tbl if isinstance(tbl, pa.Table) else pa.Table.from_pandas(
-            tbl, preserve_index=False)
-        t = t.drop_columns([c for c in ("partition_id",)
-                            if c in t.column_names])
-        return (pid, ray.put(t)) if len(t) else None
+    @ray.remote
+    def bmap(*blocks):
+        tbls = [b if isinstance(b, pa.Table)
+                else pa.Table.from_pandas(b, preserve_index=False)
+                for b in blocks]
+        t = pa.concat_tables(tbls, promote_options="permissive")
+        pid = crc32_column(t.column(key)) % P
+        order = np.argsort(pid, kind="stable")
+        t = t.take(order)
+        pid = pid[order]
+        bounds = np.searchsorted(pid, np.arange(P + 1))
+        return tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                     for i in range(P))
 
-    return dict(hash_exchange(ds, P, keep, key=key))
+    @ray.remote
+    def breduce(*parts: pa.Table) -> pa.Table:
+        # empties included on purpose: a zero-row concat keeps the schema
+        return pa.concat_tables(parts, promote_options="permissive")
+
+    refs_per_pid: list[list] = [[] for _ in range(P)]
+    pending: list = []
+
+    def launch(blocks) -> None:
+        outs = bmap.options(num_returns=P).remote(*blocks)
+        for p, r in enumerate(outs):
+            refs_per_pid[p].append(r)
+
+    for bundle in ds.iter_internal_ref_bundles():
+        for blk in bundle.block_refs:
+            pending.append(blk)
+            if len(pending) >= 4:
+                launch(pending)
+                pending = []
+    if pending:
+        launch(pending)
+    if not refs_per_pid[0]:
+        return {}
+    return {p: breduce.remote(*refs_per_pid[p]) for p in range(P)}
 
 
 def pagerank_distributed(edges: rd.Dataset, *,
@@ -164,7 +204,8 @@ def pagerank_distributed(edges: rd.Dataset, *,
                          dst_col: str = "canonical_dst",
                          weight_col: str | None = "weight",
                          damping: float = 0.85, iters: int = 3,
-                         num_partitions: int | None = None) -> rd.Dataset:
+                         num_partitions: int | None = None,
+                         deg: rd.Dataset | None = None) -> rd.Dataset:
     """PageRank with EXCHANGE-PARTITIONED rank state — the web-scale
     variant of ``pagerank`` (same per-node-1 recurrence, same no-dangling
     semantics): the rank vector never exists on the driver or in any one
@@ -193,8 +234,14 @@ def pagerank_distributed(edges: rd.Dataset, *,
     from .hashing import crc32_column
 
     edges = edges.materialize()
-    deg = degree_table(edges, src_col=src_col, dst_col=dst_col,
-                       weight_col=weight_col).materialize()
+    if deg is None:   # the pagerank() dispatch passes its own through —
+        # recomputing it here would double the most expensive pre-pass
+        deg = degree_table(edges, src_col=src_col, dst_col=dst_col,
+                           weight_col=weight_col).materialize()
+    if deg.count() == 0:
+        import ray.data as rdm
+        return rdm.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                        "rank": pa.array([], pa.float64())}))
     if num_partitions is None:
         # size from the bigger of the two partitioned sides: edge buckets
         # ~256 MB (scanned once per iteration), state buckets ~64 MB
@@ -243,6 +290,12 @@ def pagerank_distributed(edges: rd.Dataset, *,
             c = np.where(ow > 0, w * r / ow, 0.0)
         part = (pd.DataFrame({"node": e[dst_col], "c": c})
                 .groupby("node", as_index=False).sum())
+        if not len(part):     # empty bucket: typed empty slices (an
+            # all-object empty frame would arrow-infer a null column and
+            # break the dst hash)
+            t0 = pa.table({"node": pa.array([], pa.string()),
+                           "c": pa.array([], pa.float64())})
+            return tuple(t0 for _ in range(P))
         t = pa.Table.from_pandas(part, preserve_index=False)
         pid = crc32_column(t.column("node")) % P
         order = np.argsort(pid, kind="stable")

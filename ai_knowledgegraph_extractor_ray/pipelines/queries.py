@@ -2249,7 +2249,10 @@ def q_lineitem_profile(sf_dir: str) -> pd.DataFrame:
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
-    return profile_numeric(li, cols)
+    # exact_scale=100: TPC-H measures are exact 2-decimal values, making
+    # the mean bit-exact vs the oracle's integer-cents sum (round-4 gate
+    # hash miss); generic float columns must NOT opt in
+    return profile_numeric(li, cols, exact_scale=100)
 
 
 def q_image_near_dups(sf_dir: str) -> rd.Dataset:
@@ -3781,15 +3784,16 @@ def q_events_gapfill(sf_dir: str) -> rd.Dataset:
         g_h = np.repeat(spans["h0"].to_numpy(np.int64), counts) + offs
         # forward fill: predecessor row in `last` under the composite
         # (user, hour) order. Packed key requires 0 <= epoch-hour < 2**20
-        # (1970..~2089) and user_id >= 0 — out-of-range input would break
-        # key monotonicity and silently corrupt the searchsorted fill, so
-        # fail loudly instead.
+        # (1970..~2089) and 0 <= user_id < 2**43 (the shift's headroom —
+        # a snowflake-style 2**62 id would wrap int64 and break key
+        # monotonicity) — out-of-range input would silently corrupt the
+        # searchsorted fill, so fail loudly instead.
         if len(h) and not (h.min() >= 0 and h.max() < (1 << 20)
-                           and uid.min() >= 0):
+                           and uid.min() >= 0 and uid.max() < (1 << 43)):
             raise ValueError(
                 "gapfill packed key out of range: need 0 <= epoch-hour "
-                f"< 2**20 and user_id >= 0 (got h in [{h.min()}, "
-                f"{h.max()}], uid.min()={uid.min()})")
+                f"< 2**20 and 0 <= user_id < 2**43 (got h in [{h.min()}, "
+                f"{h.max()}], uid in [{uid.min()}, {uid.max()}])")
         key_last = (uid << np.int64(20)) | h
         key_grid = (g_uid << np.int64(20)) | g_h
         idx = np.searchsorted(key_last, key_grid, side="right") - 1

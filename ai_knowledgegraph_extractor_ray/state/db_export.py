@@ -79,34 +79,50 @@ def export_sqlite(out_dir: str, versions: list[int], db_path: str, *,
     """Export committed lake versions into a reference-schema SQLite DB.
 
     Document ids are assigned in sorted-``conv_id`` order (deterministic
-    across runs); version ids in (document, version_number) order.
-    Returns counts per table."""
+    across runs); version ids in (document, version_number) order. A
+    ``versions`` row is created ONLY for (document, version) pairs whose
+    conversation actually appears in that lake version — a phantom row
+    for a document absent from the newest version would hijack the
+    reference's latest-version read into an empty graph. Refuses a
+    ``db_path`` that already holds export tables (ids start at 1, so a
+    second export would collide mid-write). Returns counts per table."""
     from ..pipelines import kg
 
     con = sqlite3.connect(db_path)
     try:
+        existing = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        clash = existing & {"documents", "versions", "nodes", "edges"}
+        if clash:
+            raise ValueError(
+                f"export_sqlite: {db_path} already contains export "
+                f"tables {sorted(clash)}; export to a fresh file "
+                "(ids are assigned from 1 and would collide)")
         con.executescript(_DDL)
 
-        # documents: distinct conv_ids across the exported versions.
-        # Distinct is computed lake-side per version (convs.parquet is the
-        # slimmest table) and folded into one sorted vocabulary.
-        convs: set[str] = set()
+        # membership is computed lake-side PER VERSION (convs.parquet is
+        # the slimmest table); documents = the union vocabulary
+        convs_by_v: dict[int, set[str]] = {}
         for v in versions:
             part = kg.read_convs(out_dir, v, columns=["conv_id"])
+            s: set[str] = set()
             for b in part.iter_batches(batch_size=batch_rows,
                                        batch_format="pandas"):
-                convs.update(b["conv_id"].astype(str))
+                s.update(b["conv_id"].astype(str))
+            convs_by_v[v] = s
+        convs = set().union(*convs_by_v.values()) if convs_by_v else set()
         doc_id = {c: i + 1 for i, c in enumerate(sorted(convs))}
         con.executemany(
             "INSERT INTO documents (id, filename, file_type, file_path) "
             "VALUES (?, ?, 'txt', ?)",
             [(i, c, c) for c, i in doc_id.items()])
 
-        # versions: one row per (document, lake version)
+        # versions: one row per (document, lake version) THE DOCUMENT
+        # APPEARS IN
         ver_id: dict[tuple[int, int], int] = {}
         rows = []
         for v in sorted(versions):
-            for c in sorted(convs):
+            for c in sorted(convs_by_v[v]):
                 vid = len(ver_id) + 1
                 ver_id[(doc_id[c], v)] = vid
                 rows.append((vid, doc_id[c], v))

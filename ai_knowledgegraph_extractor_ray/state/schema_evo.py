@@ -105,14 +105,18 @@ def harmonize(ds: rd.Dataset, target: pa.Schema) -> rd.Dataset:
 def read_harmonized(file_groups: list[list[str]]) -> rd.Dataset:
     """Read several parquet file groups written by (possibly) different
     engine versions as ONE dataset under the union schema. Schemas are
-    taken from parquet footers (metadata-only — no data read) so the
-    target is known before any block materializes."""
+    taken from EVERY file's parquet footer (metadata-only — no data
+    read), not just one file per group: a version whose own partitions
+    were written by two engine versions (a mid-job upgrade — exactly
+    what the manifest ``schema_sig`` audit flags) must contribute every
+    column it holds, or the late-written columns would silently vanish
+    from the "harmonized" read."""
     import pyarrow.parquet as pq
 
     groups = [g for g in file_groups if g]
     if not groups:
         raise ValueError("read_harmonized: no input files")
-    schemas = [pq.read_schema(g[0]) for g in groups]
+    schemas = [pq.read_schema(f) for g in groups for f in g]
     target = union_schema(schemas)
     parts = [harmonize(rd.read_parquet(g), target) for g in groups]
     out = parts[0]

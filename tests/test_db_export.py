@@ -94,3 +94,42 @@ def test_sqlite_export_multi_version_latest(tmp_path, ray_session):
             for r in nodes_v2[nodes_v2["conv_id"] == conv].itertuples()}
     assert {(n["id"], n["label"], n["type"])
             for n in latest["nodes"]} == want
+
+    # re-export into the same db collides on ids -> refused up front
+    import pytest
+    with pytest.raises(ValueError, match="fresh file"):
+        db_export.export_sqlite(out, [1], db)
+
+
+def test_sqlite_export_doc_absent_from_newest_version(tmp_path, ray_session):
+    """A document present in v1 but absent from v2 must NOT get a phantom
+    v2 versions row — the reference's latest-version read resolves to its
+    real v1 graph, not an empty one."""
+    from ai_knowledgegraph_extractor_ray.config import KGConfig
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.sources import transcripts as src
+    from ai_knowledgegraph_extractor_ray.state import db_export
+
+    out = str(tmp_path / "lake")
+    kg.run_kg_job(src.synthetic_transcripts(n_convs=10, seed=3),
+                  KGConfig(num_partitions=2, extract_concurrency=2),
+                  out, resume=False)
+    kg.run_kg_job(src.synthetic_transcripts(n_convs=4, seed=3),
+                  KGConfig(num_partitions=2, extract_concurrency=2,
+                           version=2), out, resume=False)
+
+    db = str(tmp_path / "export.db")
+    counts = db_export.export_sqlite(out, [1, 2], db)
+    assert counts["documents"] == 10
+    assert counts["versions"] == 14          # 10 in v1 + 4 in v2
+
+    nodes_v1 = kg.read_nodes(out, 1).to_pandas()
+    convs_v2 = set(kg.read_convs(out, 2).to_pandas()["conv_id"])
+    only_v1 = sorted(set(nodes_v1["conv_id"]) - convs_v2)
+    assert only_v1, "fixture must have v1-only conversations"
+    conv = only_v1[0]
+    g = db_export.get_document_graph(db, conv)     # latest = its real v1
+    want = {(r.node_id, r.label, r.node_type)
+            for r in nodes_v1[nodes_v1["conv_id"] == conv].itertuples()}
+    assert {(n["id"], n["label"], n["type"]) for n in g["nodes"]} == want
+    assert want                                     # non-empty graph

@@ -87,6 +87,26 @@ def test_read_versions_harmonized_mixed_schema_lake(tmp_path, ray_session):
         kg.read_versions_harmonized(out, [1, 9], "edges")
 
 
+def test_read_harmonized_mixed_schema_within_one_group(tmp_path, ray_session):
+    """A single version whose own partitions were written by two engine
+    versions (mid-job upgrade): a column present only in the LATER file
+    of the group must survive — the union schema is built from every
+    footer, not the group's first file."""
+    from ai_knowledgegraph_extractor_ray.state import schema_evo as se
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    pd.DataFrame({"id": ["x"], "w": pd.array([1], dtype="int64")}
+                 ).to_parquet(a)
+    pd.DataFrame({"id": ["y"], "w": pd.array([2], dtype="int64"),
+                  "confidence": [0.9]}).to_parquet(b)
+    got = (se.read_harmonized([[str(a), str(b)]])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert "confidence" in got.columns
+    assert got["confidence"].isna().tolist() == [True, False]
+    assert got.loc[1, "confidence"] == 0.9
+
+
 def test_read_versions_harmonized_canonical_tables(tmp_path, ray_session):
     """Phase-2 canonical dirs harmonize across versions too: a v2 engine
     that added a ``confidence`` column to canonical_edges unions with v1
