@@ -496,12 +496,26 @@ def run_canonicalize_job(out_dir: str, cfg: KGConfig,
     n_edges = rd.read_parquet(str(cdir / "canonical_edges")).count()
     n_aliases = alias.count()
     n_entities = rd.read_parquet(str(cdir / "canonical_nodes")).count()
+    from ..state import schema_evo
+    import pyarrow.parquet as _pq
+    import glob as _glob
+
+    def _sig(sub: str) -> str:
+        files = sorted(_glob.glob(str(cdir / sub / "*.parquet")))
+        return schema_evo.schema_sig(_pq.read_schema(files[0])) \
+            if files else ""
+
     summary = {
         "version": cfg.version,
         "n_aliases": int(n_aliases),
         "n_canonical_entities": int(n_entities),
         "n_canonical_edges": int(n_edges),
         "input_fp": fp,
+        # phase-2 schema signatures (footer-only): the canonical tables'
+        # analogue of the per-partition schema_sig — one engine version
+        # writes phase 2 atomically, so one sig per table suffices
+        "schema_sig": {s: _sig(s) for s in
+                       ("aliases", "canonical_nodes", "canonical_edges")},
     }
     tmp = cmanifest.with_suffix(".json.tmp")   # manifest written LAST = commit
     tmp.write_text(json.dumps(summary))

@@ -230,6 +230,10 @@ def test_canonicalize_job(job):
         f"{out}/version={cfg.version}/canonical/aliases")  # partitioned dir
     assert not aliases["norm"].duplicated().any()
     assert aliases["canonical_id"].notna().all()
+    # phase-2 manifest carries per-table schema signatures (round 5)
+    sigs = canon["schema_sig"]
+    assert set(sigs) == {"aliases", "canonical_nodes", "canonical_edges"}
+    assert all(len(v) == 16 for v in sigs.values())
 
 
 def test_deterministic_across_partitioning(corpus_path, tmp_path):
