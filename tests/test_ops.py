@@ -1149,6 +1149,12 @@ def test_pagerank_distributed_matches_driver_state_path():
     np.testing.assert_allclose(auto["rank"], want["rank"], rtol=0,
                                atol=1e-12)
 
+    # beyond 10x max_driver_nodes even the final DataFrame collect is the
+    # problem: refuse with a pointer to pagerank_distributed
+    import pytest
+    with pytest.raises(ValueError, match="pagerank_distributed"):
+        pagerank(ds, iters=1, max_driver_nodes=5)
+
     # dangling nodes (no out-edges) still receive rank
     e2 = pd.DataFrame({"canonical_src": ["a", "b"],
                        "canonical_dst": ["sink", "sink"],
