@@ -151,6 +151,25 @@ def test_schema_report_from_manifests(tmp_path, ray_session):
     assert (rep["schema_sig"] != "<unrecorded>").all()
 
 
+def test_schema_report_pre_round5_manifest(tmp_path):
+    """Manifests written before schema_sig existed report <unrecorded>
+    instead of KeyError-ing the audit."""
+    import json as _json
+
+    from ai_knowledgegraph_extractor_ray.pipelines import kg
+    from ai_knowledgegraph_extractor_ray.state import lineage
+
+    out = str(tmp_path / "lake")
+    mpath = lineage.manifest_path(out, 1, 0)
+    mpath.parent.mkdir(parents=True)
+    mpath.write_text(_json.dumps({
+        "partition_id": 0, "version": 1, "input_fingerprint": "0" * 16,
+        "n_conversations": 1, "n_turns": 1, "n_nodes": 0, "n_edges": 0}))
+    rep = kg.schema_report(out)
+    assert (rep["schema_sig"] == "<unrecorded>").all()
+    assert len(rep) == 3
+
+
 def test_partition_manifest_carries_schema_sig(tmp_path):
     """Every partition commit records per-table schema signatures so a
     mixed-schema version range is detectable from manifests alone."""
